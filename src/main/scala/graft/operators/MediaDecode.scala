@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** Multimodal decode stage: opaque `binary` media payloads → typed metadata.
+  *
+  * The decode itself is a STUB — this container ships no image/audio
+  * codecs, so `decodeStub` derives deterministic fake metadata from the
+  * payload bytes. Everything around it is the real Spark plumbing a media
+  * pipeline needs at 100 TB:
+  *   - payloads stay `BinaryType` columns (never strings) end-to-end;
+  *   - decode runs once per partition via `mapPartitions`, amortizing
+  *     per-batch decoder setup (the JVM-side equivalent of a Pandas UDF
+  *     over `mapInPandas` batches);
+  *   - output schema is the input schema + a typed metadata struct, so
+  *     downstream stages (resize, frame-sample, feature-extract) compose as
+  *     further columns.
+  */
+object MediaDecode {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB decoder — deterministic fake: replace with a real codec binding
+    * (e.g. TwelveMonkeys/javacv) in deployment. Pure function of the bytes.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
+    var h = 1125899906842597L // arbitrary FNV-ish fold of the payload
+    var i = 0
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+    val pos = h & Long.MaxValue
+    ((pos % 1920).toInt, (pos % 1080).toInt, if (pos % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Append a `media_meta` struct decoded from `payloadCol`. Per-partition
+    * batching: the (stub) decoder is instantiated once per partition, not
+    * once per row.
+    */
+  def withMetadata(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema.add(StructField("media_meta", metaSchema, nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // per-partition decoder setup would go here (open codec context once)
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(w, h, f))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * surface: exact hashing, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: nothing here is O(n²) over the corpus.
+  *   - exact: one hash-shuffle.
+  *   - minhash: per-doc signatures are computed with zero shuffle (array
+  *     higher-order functions); only band buckets are joined, so candidate
+  *     generation is proportional to bucket collisions, not n².
+  *   - simhash: one explode + one grouped aggregation.
+  *   - ngram_jaccard: inverted-index (shared-shingle) join — at 100 TB add
+  *     positional prefix filtering to cap per-shingle fanout; the synthetic
+  *     corpus's shingle frequencies keep the join linear-ish here.
+  *
+  * All hashes derive from `TextFns.hash60` (md5-prefix), which DuckDB
+  * reproduces exactly, so every stage is oracle-checkable.
+  */
+object DedupQueries {
+
+  // -------------------------------------------------------------- dedup_exact
+  /** Q9 `dedup_exact` — exact duplicate removal: keep the minimum doc_id
+    * per sha256(text) (SURVEY §2.4 Q9).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- shared plumbing
+
+  /** MinHash parameters: k=12 permutations h_i(x) = (a_i·x + b_i) mod P over
+    * 60-bit shingle hashes reduced mod P; banded 4×3 for LSH candidate
+    * generation (s-curve threshold ≈ (1/4)^(1/3) ≈ 0.63, tuned for the
+    * verify threshold τ=0.8). Constants are primes < P fixed on both
+    * engines.
+    */
+  val P = 2147483647L // 2^31 - 1: keeps a_i·x + b_i < 2^63 (no overflow)
+  val AB: Seq[(Long, Long)] = Seq(
+    (1610612741L, 805306457L), (402653189L, 201326611L),
+    (100663319L, 50331653L), (25165843L, 12582917L),
+    (6291469L, 3145739L), (1572869L, 786433L),
+    (393241L, 196613L), (98317L, 49157L),
+    (24593L, 12289L), (6151L, 3079L), (1543L, 769L), (389L, 193L))
+  val Bands = 4
+  val RowsPerBand = 3
+  val JaccardTau = 0.8
+
+  /** (doc_id, hs: array<long>) — distinct 3-gram shingle hashes per doc. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextFns.wordNgrams(TextFns.tokens(col("text")), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), s => TextFns.hash60(s) % P)).as("hs"))
+
+  private val shingleHashesCte: String =
+    s"""toks AS (${Oracle.toksCte}),
+       |sh AS (SELECT doc_id, list_distinct(${Oracle.ngrams3("t")}) AS shingles FROM toks WHERE len(t) >= 3),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${Oracle.hash60("s")} % $P)) AS hs FROM sh)""".stripMargin
+
+  /** Exploded distinct (doc_id, h) shingle-hash pairs. */
+  private def shinglePairs(spark: SparkSession, dir: String): DataFrame =
+    shingleHashes(spark, dir).select(col("doc_id"), explode(col("hs")).as("h"))
+
+  private val shinglePairsCte: String =
+    s"""$shingleHashesCte,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs)""".stripMargin
+
+  /** Verified-Jaccard join: candidate pairs → (doc_a, doc_b, jaccard≥τ).
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|) over exact integer counts — the
+    * resulting double is engine-identical.
+    */
+  private def verifyJaccard(cand: DataFrame, ex: DataFrame, tau: Double): DataFrame = {
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ex.as("a"), col("da") === col("a.doc_id"))
+      .join(ex.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  // ------------------------------------------------------------ dedup_minhash
+  /** `dedup_minhash` — MinHash+LSH near-duplicate pairs: shingle → 12
+    * minhashes (computed per-row over the hash array, no shuffle) → 4
+    * banded signatures → bucket self-join → exact-Jaccard verification at
+    * τ=0.8. Output: (doc_a, doc_b, jaccard).
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val hs = shingleHashes(spark, dir)
+    val mh = hs.select(
+      col("doc_id") +: AB.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"mh$i")
+      }: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val sig = concat_ws("-",
+        (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(cand, shinglePairs(spark, dir), JaccardTau)
+  }
+
+  val dedupMinhashSql: String = {
+    val mins = AB.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n             ")
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+        .mkString("concat(", ", '-', ", ")")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglePairsCte,
+       |mh AS (SELECT doc_id,
+       |             $mins
+       |      FROM hs),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c
+       |          JOIN ex a ON a.doc_id = c.da
+       |          JOIN ex b ON b.doc_id = c.db AND b.h = a.h
+       |          GROUP BY 1, 2)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.da
+       |JOIN sz sb ON sb.doc_id = i.db
+       |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $JaccardTau""".stripMargin
+  }
+
+  // ------------------------------------------------------------ dedup_simhash
+  /** `dedup_simhash` — 32-bit SimHash fingerprint over distinct token
+    * hashes (unit weights): bit j of the fingerprint is the sign of
+    * Σ_tokens (±1 by bit j of the token hash). Docs are then grouped by
+    * identical fingerprint (keep min doc_id). One explode + one aggregation
+    * with 32 codegen'd conditional sums — no joins.
+    */
+  val SimhashBits = 32
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(TextFns.tokens(col("text")))).as("w"))
+      .select(col("doc_id"), TextFns.hash60(col("w")).as("h"))
+      .distinct()
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val fingerprint = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+  }
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n              ")
+    val fp = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |tok AS (SELECT DISTINCT doc_id, ${Oracle.hash60("w")} AS h
+       |        FROM (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks)),
+       |bits AS (SELECT doc_id,
+       |              $bitSums
+       |         FROM tok GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM bits)
+       |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+       |FROM fp GROUP BY simhash""".stripMargin
+  }
+
+  // ------------------------------------------------------------ ngram_jaccard
+  /** `ngram_jaccard` — exact n-gram Jaccard similarity via inverted-index
+    * join (pairs sharing ≥1 shingle), verified at τ=0.5. Unlike
+    * `dedup_minhash` this has perfect recall; the LSH variant is the
+    * 100 TB path, this is the exact path.
+    */
+  val NgramJaccardTau = 0.5
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shinglePairs(spark, dir)
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(cand, ex, NgramJaccardTau)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shinglePairsCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.da
+       |JOIN sz sb ON sb.doc_id = i.db
+       |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $NgramJaccardTau""".stripMargin
+
+  val entries: Seq[(String, QueryDef)] = Seq(
+    "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),
+    "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
+    "ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)))
+}

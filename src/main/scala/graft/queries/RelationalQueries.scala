@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational queries over the TPC-H-ish tables (SURVEY §2.4 Q5, Q6, Q8,
+  * Q11, plus window/sessionization coverage).
+  *
+  * Money aggregation strategy: the driver's numeric columns are
+  * decimal-intent doubles (2-dec prices, 2-dec discounts, integral
+  * quantities). Sums are computed over *exact integer cents*
+  * (`CAST(round(x * 10^s) AS BIGINT)`), which makes them associative,
+  * order-independent, and bit-identical between Spark's parallel partial
+  * aggregation and the sequential DuckDB oracle — then divided back once at
+  * the end (an identical IEEE-754 op on both engines). This is also the
+  * right call at 100 TB: long sums partial-aggregate map-side with no
+  * floating-point drift across 1000 executors.
+  */
+object RelationalQueries {
+
+  /** Exact integer sum of a decimal-intent double at `scale` decimals. */
+  private def intSum(e: Column, scale: Int): Column =
+    sum(round(e * math.pow(10, scale).toLong).cast("long"))
+
+  private def sqlIntSum(e: String, scale: Int): String =
+    s"CAST(sum(CAST(round(($e) * ${math.pow(10, scale).toLong}) AS BIGINT)) AS BIGINT)"
+
+  // --------------------------------------------------------------- group_agg
+  /** Q5 `group_agg` — TPC-H Q1-shaped pricing summary: the canonical
+    * MapReduce aggregate (map = classify, reduce = fold), expressed so
+    * Catalyst plans scan → partial hash agg → single shuffle on the two
+    * grouping keys → final agg.
+    */
+  def groupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = discPrice * (lit(1) + col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      sum(col("l_quantity").cast("long")).as("sum_qty"),
+      (intSum(col("l_extendedprice"), 2) / 100.0).as("sum_base_price"),
+      (intSum(discPrice, 4) / 10000.0).as("sum_disc_price"),
+      (intSum(charge, 6) / 1000000.0).as("sum_charge"),
+      (sum(col("l_quantity").cast("long")) / count(lit(1))).as("avg_qty"),
+      (intSum(col("l_extendedprice"), 2) / 100.0 / count(lit(1))).as("avg_price"),
+      count(lit(1)).as("cnt"))
+  }
+
+  val groupAggSql: String = {
+    val disc = "l_extendedprice * (1 - l_discount)"
+    val charge = s"$disc * (1 + l_tax)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |       ${sqlIntSum("l_extendedprice", 2)} / 100.0 AS sum_base_price,
+       |       ${sqlIntSum(disc, 4)} / 10000.0 AS sum_disc_price,
+       |       ${sqlIntSum(charge, 6)} / 1000000.0 AS sum_charge,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
+       |       ${sqlIntSum("l_extendedprice", 2)} / 100.0 / count(*) AS avg_price,
+       |       count(*) AS cnt
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  // ----------------------------------------------------------- distinct_count
+  /** Q6 `distinct_count` — exact distinct users per event type. At 100 TB
+    * this is a two-stage shuffle (partial distinct per key); swap to
+    * `approx_count_distinct` (HLL) when exactness is negotiable.
+    */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("n_users"),
+      count(lit(1)).as("n_events"),
+      (intSum(col("value"), 2) / 100.0).as("total_value"))
+
+  val distinctCountSql: String =
+    s"""SELECT event_type,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       count(*) AS n_events,
+       |       ${sqlIntSum("value", 2)} / 100.0 AS total_value
+       |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- histogram
+  /** Q8 `histogram` — per-day / per-type event counts (MR with date-string
+    * keys). Day is emitted as a yyyy-MM-dd string: timestamp-free and
+    * engine-neutral. `ts` arrives as raw BIGINT nanos (see Tables), so the
+    * day boundary is exact integer division, then formatted in UTC.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (intSum(col("value"), 2) / 100.0).as("total_value"))
+
+  val histogramSql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       |       count(*) AS n,
+       |       ${sqlIntSum("value", 2)} / 100.0 AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- join_enrich
+  /** Q11 `join_enrich` — events ⋈ customer ⋈ nation rollup (the reference's
+    * MR shape would need a reduce-side join; here Catalyst picks the
+    * strategy). `nation` is explicitly broadcast (25 rows at any scale);
+    * customer is a shuffle-hash/broadcast candidate AQE resolves from
+    * runtime stats. events→customer shuffles on the join key only.
+    */
+  def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    e.join(c, e("user_id") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (intSum(col("value"), 2) / 100.0).as("total_value"))
+  }
+
+  val joinEnrichSql: String =
+    s"""SELECT n_name,
+       |       count(*) AS n_events,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       ${sqlIntSum("value", 2)} / 100.0 AS total_value
+       |FROM events
+       |JOIN customer ON user_id = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name""".stripMargin
+
+  // -------------------------------------------------------------- window_rank
+  /** `window_rank` — top-2 orders per customer by total price: the window
+    * operator family (reference has none — SURVEY §2.3 — but the engine
+    * surface includes it). Single shuffle on o_custkey; ties broken by
+    * o_orderkey for a deterministic result.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2""".stripMargin
+
+  // --------------------------------------------------------------- sessionize
+  /** `sessionize` — 30-minute-gap sessionization of the event stream per
+    * user (lag window + cumulative flag sum): the batch form of the
+    * streaming `mapGroupsWithState` sessionizer. One shuffle on user_id.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id")) // ts = BIGINT nanos
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          (col("ts") - col("prev_ts")) > 1800L * 1000000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val sessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT user_id,
+      |       CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |       count(*) AS n_events
+      |FROM x GROUP BY user_id""".stripMargin
+
+  val entries: Seq[(String, QueryDef)] = Seq(
+    "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
+    "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
+    "histogram" -> QueryDef(histogram, Some(histogramSql)),
+    "join_enrich" -> QueryDef(joinEnrich, Some(joinEnrichSql)),
+    "window_rank" -> QueryDef(windowRank, Some(windowRankSql)),
+    "sessionize" -> QueryDef(sessionize, Some(sessionizeSql)))
+}

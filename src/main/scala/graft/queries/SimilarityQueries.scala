@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim): blocked cosine near-duplicate pairs (SURVEY
+  * §2.4 Q12) and approximate-nearest-neighbor top-k — brute force as the
+  * exact baseline, axis-LSH bucketing as the scale path.
+  *
+  * Numeric determinism: vectors are widened to double and folded
+  * left-to-right (`VectorFns.dot`); norms are computed once per vector
+  * before any join. Ranking orders by `round(cos, 6)` with the candidate id
+  * as tiebreak, so rank boundaries never depend on sub-ULP float noise.
+  */
+object SimilarityQueries {
+
+  /** Embeddings with precomputed double vector + norm (O(d) per row, once —
+    * not recomputed per pair).
+    */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+
+  private val embCte: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |      FROM embeddings)""".stripMargin
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    VectorFns.dot(va, vb) / (na * nb)
+
+  // ------------------------------------------------------------ similar_pairs
+  /** Q12 `similar_pairs` — embedding-cosine near-duplicate pairs within
+    * `label` blocks at τ=0.35 (threshold fitted to the synthetic data's
+    * cosine distribution). Blocking by label keeps the pair join linear per
+    * block — the same role LSH bands play for text dedup.
+    */
+  val CosTau = 0.35
+
+  def similarPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label").as("lb"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("lb") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4))
+      .filter(col("sim") >= CosTau)
+      .select(col("label"), col("a_id"), col("b_id"), col("sim"))
+  }
+
+  val similarPairsSql: String =
+    s"""WITH $embCte
+       |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $CosTau""".stripMargin
+
+  // ---------------------------------------------------------------- ann_topk
+  /** `ann_topk` — exact brute-force cosine top-10 for a deterministic query
+    * subset (vec_id ≡ 0 mod 101): broadcast the small query side, stream
+    * the corpus side once, per-query top-k via window. This is the
+    * recall=1 baseline the LSH variant is measured against.
+    */
+  val QueryMod = 101
+  val TopK = 10
+
+  private def ranked(joined: DataFrame): DataFrame = {
+    val cos = cosine(col("qv"), col("cv"), col("qn"), col("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(cos, 6).desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("sim", round(cos, 4))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ranked(broadcast(q).join(c, col("query_id") =!= col("neighbor_id")))
+  }
+
+  private def rankedSql(candJoin: String): String =
+    s"""r AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6,
+       |             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+       |      FROM $candJoin),
+       |rk AS (SELECT query_id, neighbor_id, sim,
+       |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rank
+       |       FROM r)
+       |SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $TopK""".stripMargin
+
+  val annTopkSql: String =
+    s"""WITH $embCte,
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryMod = 0),
+       |${rankedSql(s"q JOIN e c ON q.vec_id <> c.vec_id")}""".stripMargin
+
+  // ----------------------------------------------------------------- ann_lsh
+  /** `ann_lsh` — LSH-bucketed ANN: candidates restricted to the query's
+    * axis-hyperplane bucket (sign bits of the first 8 dims → 256 buckets),
+    * then exact cosine top-10 within the bucket. Trades recall for a 256×
+    * candidate reduction; bucket assignment is engine-exact (float sign
+    * tests), so results remain oracle-checkable.
+    */
+  val LshBits = 8
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", VectorFns.axisLshBucket(col("v"), LshBits))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("bucket").as("cb"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    ranked(broadcast(q).join(c,
+      col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")))
+  }
+
+  private val bucketSql: String =
+    (0 until LshBits)
+      .map(j => s"CASE WHEN v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+
+  val annLshSql: String =
+    s"""WITH $embCte,
+       |eb AS (SELECT *, $bucketSql AS bucket FROM e),
+       |q AS (SELECT * FROM eb WHERE vec_id % $QueryMod = 0),
+       |${rankedSql(s"q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id")}""".stripMargin
+
+  val entries: Seq[(String, QueryDef)] = Seq(
+    "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
+    "ann_topk" -> QueryDef(annTopk, Some(annTopkSql)),
+    "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)))
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text queries over the `documents` table: the reference's real MapReduce
+  * apps transplanted onto the driver's tables (SURVEY §2.4 Q1-Q4, Q7, Q10)
+  * plus the text-analysis operators of the training-data pipeline surface
+  * (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * All implementations are pure DataFrame pipelines (whole-stage codegen,
+  * map-side partial aggregation); the generic `graft.operators.MapReduce`
+  * path exists separately for arbitrary user reducers.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Exploded (doc_id, word) pairs — the map phase of wc (wc.go:19-32). */
+  private def words(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+
+  // ---------------------------------------------------------------- wordcount
+  /** Q1 `wordcount` — reference src/mrapps/wc.go:19-40. */
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  val wordcountSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT unnest(t) AS word FROM toks)
+       |SELECT word, count(*) AS cnt FROM w GROUP BY word""".stripMargin
+
+  // ----------------------------------------------------------- inverted_index
+  /** Q2 `inverted_index` — reference src/mrapps/indexer.go:20-39: per-doc
+    * distinct words; per word: doc count + sorted CSV of doc ids.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir).distinct()
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_set(col("doc_id")))).as("doc_ids"))
+
+  val invertedIndexSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(t) AS word FROM toks))
+       |SELECT word, count(*) AS n_docs,
+       |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+       |FROM w GROUP BY word""".stripMargin
+
+  // ----------------------------------------------------------- per_file_count
+  /** Q3 `per_file_count` — early_exit.go:19-23 map shape: one count per
+    * source document (here: emitted tokens per document).
+    */
+  def perFileCount(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+
+  val perFileCountSql: String =
+    s"""WITH toks AS (${Oracle.toksCte})
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks""".stripMargin
+
+  // ----------------------------------------------------------------- kv_fold
+  /** Q4 `kv_fold` — crash/nocrash reduce semantics (crash.go:45-55): per
+    * fixed key, the sorted space-joined concatenation of all values.
+    * Keys = `lang`, values = `source`, mirroring the reference's small
+    * fixed key domain.
+    */
+  def kvFold(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang").as("key"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        concat_ws(" ", sort_array(collect_list(col("source")))).as("folded"))
+
+  val kvFoldSql: String =
+    """SELECT lang AS key, count(*) AS n_values,
+      |       string_agg(source, ' ' ORDER BY source) AS folded
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ------------------------------------------------------------------- top_k
+  /** Q7 `top_k` — top 20 words of wordcount, count desc then word asc (a
+    * total order, so the result set is deterministic).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    wordcount(spark, dir).orderBy(col("cnt").desc, col("word").asc).limit(20)
+
+  val topKSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT unnest(t) AS word FROM toks),
+       |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+       |SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------- ngram_freq
+  /** Q10 `ngram_freq` — top 100 word 3-grams by frequency (count desc,
+    * ngram asc — total order).
+    */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(TextFns.wordNgrams(TextFns.tokens(col("text")), 3)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(100)
+
+  val ngramFreqSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |ng AS (SELECT unnest(${Oracle.ngrams3("t")}) AS ngram FROM toks WHERE len(t) >= 3)
+       |SELECT ngram, count(*) AS cnt FROM ng GROUP BY ngram
+       |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
+
+  // ----------------------------------------------------------------- lang_id
+  /** `lang_id` — n-gram/stopword-heuristic language identification: the
+    * ratio of stopword tokens decides between 'en' and 'und'. (The corpus
+    * is synthetic English-like word soup; the heuristic's *shape* — token
+    * stats per document, no shuffle beyond the scan — is the operator.)
+    */
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val nTok = size(t)
+    val nStop = size(filter(t, w => w.isInCollection(Stopwords)))
+    val ratio = nStop.cast("double") / nTok // int/int -> identical doubles
+    docs(spark, dir)
+      .filter(nTok > 0)
+      .select(
+        col("doc_id"),
+        when(ratio >= 0.04, lit("en")).otherwise(lit("und")).as("pred_lang"),
+        ratio.as("stop_ratio"))
+  }
+
+  private val stopListSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val langIdSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |r AS (SELECT doc_id,
+       |             CAST(len(list_filter(t, w -> list_contains($stopListSql, w))) AS DOUBLE) / len(t) AS stop_ratio
+       |      FROM toks WHERE len(t) > 0)
+       |SELECT doc_id,
+       |       CASE WHEN stop_ratio >= 0.04 THEN 'en' ELSE 'und' END AS pred_lang,
+       |       stop_ratio
+       |FROM r""".stripMargin
+
+  // ----------------------------------------------------------- quality_score
+  /** `quality_score` — document quality from length / letter-ratio /
+    * stopword-ratio signals (training-data pipeline filter). All signals are
+    * exact integer ratios, so the composite double is engine-identical.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(Stopwords))).cast("long")
+    val alphaRatio = nAlpha.cast("double") / nChars
+    val stopRatio = nStop.cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 200.0, lit(1.0))
+    docs(spark, dir)
+      .filter(nTok > 0 && nChars > 0)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nChars.as("n_chars"),
+        alphaRatio.as("alpha_ratio"),
+        stopRatio.as("stop_ratio"),
+        (alphaRatio * 0.5 + stopRatio * 0.3 + lenScore * 0.2).as("score"))
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[^\\p{L}]+'), w -> length(w) > 0) AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |             CAST(len(t) AS BIGINT) AS n_tokens,
+       |             CAST(length(text) AS BIGINT) AS n_chars,
+       |             CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS BIGINT) AS n_alpha,
+       |             CAST(len(list_filter(t, w -> list_contains($stopListSql, w))) AS BIGINT) AS n_stop
+       |      FROM toks WHERE len(t) > 0 AND length(text) > 0)
+       |SELECT doc_id, n_tokens, n_chars,
+       |       CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+       |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |       (CAST(n_alpha AS DOUBLE) / n_chars) * 0.5
+       |         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |         + least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.2 AS score
+       |FROM m""".stripMargin
+
+  // ------------------------------------------------------------- token_count
+  /** `token_count` — whitespace token count + a BPE-ish regex token count
+    * (letter runs / digit runs / single other non-space chars).
+    */
+  private val BpeishRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
+        .cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeishRegex), lit(0)))
+        .cast("long").as("n_re_tokens"))
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)) AS BIGINT) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$BpeishRegex')) AS BIGINT) AS n_re_tokens
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- doc_fingerprint
+  /** `doc_fingerprint` — deterministic content fingerprints of the
+    * whitespace-normalized text: full MD5 plus a 60-bit integer fingerprint
+    * (the LSH/dedup join key at scale).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = TextFns.normalized(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(encode(norm, "UTF-8")).as("fp_md5"),
+      TextFns.hash60(norm).as("fp60"))
+  }
+
+  val docFingerprintSql: String = {
+    val norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    s"""SELECT doc_id, md5($norm) AS fp_md5, ${Oracle.hash60(norm)} AS fp60
+       |FROM documents""".stripMargin
+  }
+
+  val entries: Seq[(String, QueryDef)] = Seq(
+    "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
+    "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
+    "per_file_count" -> QueryDef(perFileCount, Some(perFileCountSql)),
+    "kv_fold" -> QueryDef(kvFold, Some(kvFoldSql)),
+    "top_k" -> QueryDef(topK, Some(topKSql)),
+    "ngram_freq" -> QueryDef(ngramFreq, Some(ngramFreqSql)),
+    "lang_id" -> QueryDef(langId, Some(langIdSql)),
+    "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
+    "token_count" -> QueryDef(tokenCount, Some(tokenCountSql)),
+    "doc_fingerprint" -> QueryDef(docFingerprint, Some(docFingerprintSql)))
+}
