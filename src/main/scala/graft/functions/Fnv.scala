@@ -36,7 +36,7 @@ object Fnv1a32 {
   /** Register `fnv1a32(str)` for SQL / `call_function` use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv1a32", exprs => Fnv1a32Expr(exprs.head), "builtin")
+      "fnv1a32", exprs => Fnv1a32Expr(exprs.head), "built-in")
 }
 
 case class Fnv1a32Expr(child: Expression) extends UnaryExpression {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + shape tests of the full declared query inventory at sf0.001.
+  * (Value-level correctness is gated by the DuckDB oracle harness —
+  * tools/verify_local.py / the driver's t2 compare; these tests assert the
+  * engine-side invariants that the oracle can't see.)
+  */
+class QueriesSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  test("every declared query runs and returns rows") {
+    SparkEntry.all.foreach { case (name, q) =>
+      val n = q.fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("wordcount total equals token count total") {
+    val words = graft.queries.TextQueries.wordcount(spark, dir)
+      .agg(sum("cnt")).as("total").collect()(0).getLong(0)
+    val perFile = graft.queries.TextQueries.perFileCount(spark, dir)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(words === perFile)
+  }
+
+  test("dedup_minhash pairs are a subset of ngram_jaccard pairs at tau>=0.8") {
+    // LSH has recall <= 1 at the same threshold, never false positives
+    // (pairs are Jaccard-verified), so minhash ⊆ exact pairs.
+    val mh = graft.queries.DedupQueries.dedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.queries.DedupQueries.ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+    assert(mh.nonEmpty)
+  }
+
+  test("ann_lsh results are a subset of brute-force ann_topk candidates' pairs") {
+    // every (query, neighbor) returned by the LSH variant must have the
+    // same similarity the brute-force path computes (bucketing only
+    // filters candidates, never changes the metric)
+    val brute = graft.queries.SimilarityQueries.annTopk(spark, dir)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = graft.queries.SimilarityQueries.annLsh(spark, dir)
+      .select("query_id", "neighbor_id", "sim").collect()
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      brute.get(k).foreach(s => assert(s === r.getDouble(2), s"pair $k"))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("multimodal decode plumbing: binary payload -> typed metadata struct") {
+    import graft.operators.MediaDecode
+    val df = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = MediaDecode.withMetadata(df, "payload")
+    assert(out.schema.fieldNames.contains("media_meta"))
+    val row = out.select("media_meta.width", "media_meta.height", "media_meta.format")
+      .collect()(0)
+    assert(row.getInt(0) >= 0 && row.getInt(0) < 1920)
+    assert(row.getInt(1) >= 0 && row.getInt(1) < 1080)
+    assert(Set("png", "jpeg").contains(row.getString(2)))
+    // determinism: same payload -> same metadata
+    val again = MediaDecode.withMetadata(df, "payload")
+      .select("media_meta.width").collect()(0).getInt(0)
+    assert(again === row.getInt(0))
+  }
+}
