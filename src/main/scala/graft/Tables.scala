@@ -24,4 +24,23 @@ object Tables {
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** `documents` spread across the session's shuffle parallelism. The test
+    * corpus ships as one tiny single-row-group parquet file, which the scan
+    * cannot split — without this every per-document CPU-heavy stage
+    * (tokenize, shingle, hash) runs on one thread. One cheap shuffle of the
+    * raw text buys full parallelism for everything downstream. At real
+    * scale (many files / row groups) the scan splits naturally and this
+    * repartition collapses to a no-op-cost rebalance keyed on doc_id.
+    */
+  def docs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    apply(spark, dir, "documents").repartition(col("doc_id"))
+  }
+
+  /** `embeddings`, spread like [[docs]] (same single-file constraint). */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    apply(spark, dir, "embeddings").repartition(col("vec_id"))
+  }
 }

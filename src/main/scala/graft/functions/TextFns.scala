@@ -24,14 +24,11 @@ object TextFns {
     filter(split(text, TokenSplitRegex), t => length(t) > lit(0))
 
   /** Sliding word n-grams joined with single spaces; empty array when the
-    * document has fewer than `n` tokens. Built from `sequence`/`slice`
-    * higher-order functions — evaluated per-row, no shuffle, no UDF.
+    * document has fewer than `n` tokens. Native codegen'd expression
+    * (WordNgramsExpr) — per-row, no shuffle, no UDF, no per-position
+    * interpreted lambda.
     */
-  def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  def wordNgrams(toks: Column, n: Int): Column = WordNgramsExpr(toks, n)
 
   /** Deterministic 60-bit hash of a string: the first 15 hex digits of its
     * MD5, read as a base-16 integer. Chosen because both engines reproduce

@@ -17,9 +17,11 @@ object VectorFns {
   /** Cast array<float> → array<double> (exact widening). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two equal-length double arrays — codegen'd native
+    * expression (see ArrayDotProduct); identical fold order to the
+    * interpreted HOF form `aggregate(zip_with(a,b,_*_), 0.0, _+_)`.
+    */
+  def dot(a: Column, b: Column): Column = ArrayDotProduct(a, b)
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

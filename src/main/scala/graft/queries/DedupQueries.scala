@@ -29,7 +29,7 @@ object DedupQueries {
     * per sha256(text) (SURVEY §2.4 Q9).
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -56,14 +56,21 @@ object DedupQueries {
   val RowsPerBand = 3
   val JaccardTau = 0.8
 
-  /** (doc_id, hs: array<long>) — distinct 3-gram shingle hashes per doc. */
+  /** (doc_id, hs: array<long>) — distinct 3-gram shingle hashes per doc.
+    * Persisted: every dedup pipeline references this subplan several times
+    * (signature branch, candidate branch, both sides of the verify join);
+    * without persistence Spark re-tokenizes and re-hashes the corpus per
+    * reference, which dominated the sf0.1 bench. At cluster scale this is
+    * the standard "materialize the shingle table once per dedup job" step.
+    */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"),
         array_distinct(TextFns.wordNgrams(TextFns.tokens(col("text")), 3)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         array_distinct(transform(col("shingles"), s => TextFns.hash60(s) % P)).as("hs"))
+      .persist()
 
   private val shingleHashesCte: String =
     s"""toks AS (${Oracle.toksCte}),
@@ -104,10 +111,10 @@ object DedupQueries {
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val hs = shingleHashes(spark, dir)
-    val mh = hs.select(
-      col("doc_id") +: AB.zipWithIndex.map { case ((a, b), i) =>
-        array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"mh$i")
-      }: _*)
+    val mh = hs
+      .select(col("doc_id"), graft.functions.MinHashSig(col("hs"), AB, P).as("sig"))
+      .select(
+        col("doc_id") +: AB.indices.map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
     val bandStructs = (0 until Bands).map { b =>
       val sig = concat_ws("-",
         (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
@@ -120,7 +127,7 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    verifyJaccard(cand, shinglePairs(spark, dir), JaccardTau)
+    verifyJaccard(cand, hs.select(col("doc_id"), explode(col("hs")).as("h")), JaccardTau)
   }
 
   val dedupMinhashSql: String = {
@@ -165,7 +172,7 @@ object DedupQueries {
   val SimhashBits = 32
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(spark, dir, "documents")
+    val tok = Tables.docs(spark, dir)
       .select(col("doc_id"), explode(array_distinct(TextFns.tokens(col("text")))).as("w"))
       .select(col("doc_id"), TextFns.hash60(col("w")).as("h"))
       .distinct()
@@ -208,12 +215,23 @@ object DedupQueries {
   val NgramJaccardTau = 0.5
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shinglePairs(spark, dir)
-    val cand = ex.as("a").join(ex.as("b"),
+    val ex = shinglePairs(spark, dir).persist()
+    // Intersection sizes computed directly from the inverted-index
+    // self-join — one shuffle, no candidate-pair re-join. (At 100 TB,
+    // popular shingles make this join skew-heavy: add positional prefix
+    // filtering — join only on each doc's rarest (1-τ)·n shingles, which
+    // provably preserves all pairs with J ≥ τ — before this stage.)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    verifyJaccard(cand, ex, NgramJaccardTau)
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= NgramJaccardTau)
   }
 
   val ngramJaccardSql: String =

@@ -25,7 +25,7 @@ object MultimodalQueries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val payload = col("text").cast("binary")
     val h = TextFns.hash60(col("text"))
-    Tables(spark, dir, "documents").select(
+    Tables.docs(spark, dir).select(
       col("doc_id"),
       octet_length(payload).cast("long").as("n_bytes"),
       sha2(payload, 256).as("content_hash"),

@@ -23,7 +23,7 @@ object SimilarityQueries {
     * not recomputed per pair).
     */
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), VectorFns.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorFns.norm(col("v")))
 

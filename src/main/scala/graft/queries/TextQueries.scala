@@ -18,7 +18,7 @@ import graft.functions.TextFns
 object TextQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.docs(spark, dir)
 
   /** Exploded (doc_id, word) pairs — the map phase of wc (wc.go:19-32). */
   private def words(spark: SparkSession, dir: String): DataFrame =
