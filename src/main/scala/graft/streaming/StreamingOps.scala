@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape.
+  *
+  * The reference engine is batch-only (SURVEY §2.3: no streams), so this
+  * module is part of the training-data-pipeline extension: the same event
+  * analytics the batch queries compute (`histogram`, `sessionize` in
+  * graft.queries.RelationalQueries), expressed as continuous queries —
+  * watermarked windowed aggregation and `flatMapGroupsWithState`
+  * sessionization. Tests drive them with a file source + memory sink and
+  * assert batch/stream agreement on a closed input.
+  */
+object StreamingOps {
+
+  /** events schema as read with nanosAsLong (ts = BIGINT nanos; Tables). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of an events directory (parquet). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming form of the `histogram` query: per-day / per-type counts
+    * with a 1-hour watermark. Output mode: update (or complete in tests).
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(window(col("tstamp"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+
+  case class Ev(user_id: Long, ts: Long)
+  case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Session gap, nanos — 30 minutes, matching the batch sessionize. */
+  val GapNanos: Long = 1800L * 1000000000L
+
+  /** Streaming sessionization: per-user session counting with explicit
+    * state (`flatMapGroupsWithState`). Within each trigger the group's
+    * events are processed in event-time order; state carries (last event
+    * ts, session count) across triggers. On a closed input this agrees
+    * exactly with the batch lag-window sessionize.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[UserSessions] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          val sorted = evs.map(_.ts).toArray
+          java.util.Arrays.sort(sorted)
+          var (last, sessions, events) = state.getOption
+            .map(s => (s.lastTs, s.nSessions, s.nEvents))
+            .getOrElse((Long.MinValue, 0L, 0L))
+          sorted.foreach { t =>
+            if (last == Long.MinValue || t - last > GapNanos) sessions += 1
+            last = t
+            events += 1
+          }
+          state.update(SessionState(last, sessions, events))
+          Iterator(UserSessions(user, sessions, events))
+        })
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+/** Batch/stream agreement: on a closed input, the streaming windowed
+  * aggregation and the stateful sessionizer must produce exactly the batch
+  * queries' results (histogram / sessionize in RelationalQueries).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  test("streaming dailyCounts equals batch histogram counts") {
+    val stream = StreamingOps.dailyCounts(StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("daily_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("daily_counts")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = graft.queries.RelationalQueries.histogram(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("streaming sessionize equals batch sessionize") {
+    val stream = StreamingOps.sessionize(spark, StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("stream_sessions")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // last update per user wins (single closed input -> one trigger)
+    val got = spark.table("stream_sessions")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = graft.queries.RelationalQueries.sessionize(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+}
