@@ -7,8 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * session; suites must not stop() it).
   */
 trait SparkTestBase extends AnyFunSuite {
+  // local[4,2]: 4 threads, maxFailures=2 so fault-injection tests can
+  // exercise task retry (the reference crash-test capability, SURVEY §5.4)
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4,2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
