@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Cast array<float> → array<double> (exact widening). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast array<float> → array<double> (exact widening) — native Cast,
+    * not an interpreted per-element transform.
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product of two equal-length double arrays — codegen'd native
     * expression (see ArrayDotProduct); identical fold order to the

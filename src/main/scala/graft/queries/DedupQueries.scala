@@ -247,9 +247,41 @@ object DedupQueries {
        |JOIN sz sb ON sb.doc_id = i.db
        |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $NgramJaccardTau""".stripMargin
 
+  // ----------------------------------------------------- ngram_jaccard_prefix
+  /** `ngram_jaccard_prefix` — the same exact n-gram Jaccard join with
+    * positional prefix filtering: each document joins only on its
+    * n - ⌈τ·n⌉ + 1 globally-rarest shingles (rarity order = document
+    * frequency asc, hash asc). If J(A,B) ≥ τ the prefixes provably share a
+    * shingle, so the result is IDENTICAL to the brute-force join (same
+    * oracle SQL) — but candidate generation no longer touches the
+    * high-frequency shingle head, which is what explodes the inverted-index
+    * join under skew at 100 TB. Cost: one extra doc-frequency aggregation +
+    * a per-doc rank window over the persisted shingle table.
+    */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shinglePairs(spark, dir).persist()
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    val prefix = ex.join(freq, "h")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("r") <= col("n") - ceil(col("n") * NgramJaccardTau) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(cand, ex, NgramJaccardTau)
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
-    "ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)))
+    "ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
+    // same oracle as ngram_jaccard: prefix filtering is lossless, and the
+    // hash-match against the brute-force SQL proves it per round
+    "ngram_jaccard_prefix" -> QueryDef(ngramJaccardPrefix, Some(ngramJaccardSql)))
 }
