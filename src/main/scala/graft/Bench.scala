@@ -10,6 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass at the smallest SF: populates the janino codegen cache
+    // and JIT-compiles the kernels so the timed pass measures steady-state
+    // throughput, not one-time compilation. Disable: SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output row/column (a bare count()

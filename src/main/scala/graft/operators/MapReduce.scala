@@ -84,6 +84,25 @@ object MapReduce {
       Fnv1a32.hash(key.toString.getBytes("UTF-8")) % numPartitions
   }
 
+  /** The reference's intermediate-file JSON encoding: one object per line,
+    * capitalized field names (`{"Key":…,"Value":…}`, encoder at reference
+    * `src/mr/worker.go:96-113`; committed examples `src/main/mr-1-1`).
+    */
+  def toReferenceJson(ds: Dataset[KV]): DataFrame =
+    ds.toDF().select(col("key").as("Key"), col("value").as("Value"))
+
+  /** Read reference-format intermediate files back as KV (decoder parity
+    * with `src/mr/worker.go:157-178`).
+    */
+  def fromReferenceJson(spark: SparkSession, path: String): Dataset[KV] = {
+    import spark.implicits._
+    spark.read
+      .schema("Key STRING, Value STRING")
+      .json(path)
+      .select(col("Key").as("key"), col("Value").as("value"))
+      .as[KV]
+  }
+
   /** Map-side output partitioned exactly like the reference's `mr-<m>-<r>`
     * buckets (E3/E4) — debugging/parity aid.
     */
