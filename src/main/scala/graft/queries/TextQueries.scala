@@ -225,6 +225,45 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  // -------------------------------------------------------------- doc_winnow
+  /** `doc_winnow` — winnowing document fingerprints (Schleimer/Wilkerson/
+    * Aiken): hash every k=8-char gram of the normalized text, slide a
+    * w=4 window over the hash sequence, keep each window's minimum —
+    * the classic rolling-hash fingerprint set used for local-similarity
+    * detection (MOSS-style). Output: distinct (doc_id, fp) pairs. All
+    * per-row compute, one final distinct — scan-local at any scale.
+    */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  def docWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val norm = TextFns.normalized(col("text"))
+    docs(spark, dir)
+      .filter(length(norm) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(1, length(${"trim(regexp_replace(text, '\\\\s+', ' '))"}) - ${WinnowK - 1}),
+                 i -> substring(${"trim(regexp_replace(text, '\\\\s+', ' '))"}, i, $WinnowK))""")
+          .as("grams"))
+      .select(col("doc_id"),
+        transform(col("grams"), g => TextFns.hash60(g)).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("hs")) - WinnowW),
+          j => array_min(slice(col("hs"), j + lit(1), lit(WinnowW))))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  val docWinnowSql: String = {
+    val norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    s"""WITH g AS (SELECT doc_id,
+       |                  [substr($norm, i, $WinnowK) for i in generate_series(1, length($norm) - ${WinnowK - 1})] AS grams
+       |           FROM documents WHERE length($norm) >= ${WinnowK + WinnowW - 1}),
+       |h AS (SELECT doc_id, list_transform(grams, s -> ${Oracle.hash60("s")}) AS hs FROM g),
+       |f AS (SELECT doc_id,
+       |             list_distinct([list_min(hs[j:j+${WinnowW - 1}]) for j in generate_series(1, len(hs) - ${WinnowW - 1})]) AS fps
+       |      FROM h)
+       |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
     "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
@@ -235,5 +274,6 @@ object TextQueries {
     "lang_id" -> QueryDef(langId, Some(langIdSql)),
     "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
     "token_count" -> QueryDef(tokenCount, Some(tokenCountSql)),
-    "doc_fingerprint" -> QueryDef(docFingerprint, Some(docFingerprintSql)))
+    "doc_fingerprint" -> QueryDef(docFingerprint, Some(docFingerprintSql)),
+    "doc_winnow" -> QueryDef(docWinnow, Some(docWinnowSql)))
 }
