@@ -134,8 +134,82 @@ object SimilarityQueries {
        |q AS (SELECT * FROM eb WHERE vec_id % $QueryMod = 0),
        |${rankedSql(s"q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id")}""".stripMargin
 
+  // ------------------------------------------------------------- dedup_embed
+  /** `dedup_embed` — embedding-cosine near-duplicate *removal* (the dedup
+    * counterpart of `similar_pairs`): within each `label` block, a vector is
+    * a near-dup if some lower-id vector in the block has cosine ≥ τ; output
+    * is the survivor set. Join shape is identical to `similar_pairs`
+    * (blocked pair join, norms precomputed) followed by a left-anti join —
+    * at 100 TB the `label` block is replaced/augmented by the LSH bucket of
+    * `ann_lsh`, keeping candidate generation linear per bucket.
+    */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label").as("lb"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, col("label") === col("lb") && col("b_id") < col("vec_id") &&
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4) >= CosTau)
+      .select(col("vec_id")).distinct()
+    e.join(dups, Seq("vec_id"), "left_anti").select(col("label"), col("vec_id"))
+  }
+
+  val dedupEmbedSql: String =
+    s"""WITH $embCte
+       |SELECT label, vec_id FROM e a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM e b
+       |  WHERE b.label = a.label AND b.vec_id < a.vec_id
+       |    AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $CosTau)""".stripMargin
+
+  // ----------------------------------------------------------------- ann_ivf
+  /** `ann_ivf` — IVF-bucketed ANN, the second scale path beside `ann_lsh`:
+    * a deterministic coarse quantizer (centroids = every `IvfMod`-th vector;
+    * a k-means codebook at real scale, fixed here so the oracle reproduces
+    * it) assigns each corpus vector to its nearest centroid once — O(n·C)
+    * with the C centroids broadcast, the standard IVF build cost — and each
+    * query probes only its `Nprobe` nearest inverted lists, doing exact
+    * cosine top-k inside ~Nprobe/C of the corpus. Assignment and probe
+    * order use `round(cos, 6)` with centroid id as tiebreak, so list
+    * membership is engine-exact and the result oracle-checkable.
+    */
+  val IvfMod = 31
+  val Nprobe = 2
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfMod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val centRank = Window.partitionBy(col("vec_id"))
+      .orderBy(round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6).desc,
+        col("cent_id").asc)
+    val toCent = e.crossJoin(broadcast(cents))
+      .withColumn("cr", row_number().over(centRank))
+    val assigned = toCent.filter(col("cr") === 1)
+      .select(col("cent_id"), col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val probes = toCent.filter(col("vec_id") % QueryMod === 0 && col("cr") <= Nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("v").as("qv"), col("nrm").as("qn"))
+    ranked(broadcast(probes).join(assigned,
+      Seq("cent_id")).filter(col("query_id") =!= col("neighbor_id")))
+  }
+
+  val annIvfSql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % $IvfMod = 0),
+       |tc AS (SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+       |              row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY round(list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+       |                         cent.cent_id) AS cr
+       |       FROM e CROSS JOIN cent),
+       |assigned AS (SELECT cent_id, vec_id, v, nrm FROM tc WHERE cr = 1),
+       |probes AS (SELECT vec_id, cent_id, v, nrm FROM tc
+       |           WHERE vec_id % $QueryMod = 0 AND cr <= $Nprobe),
+       |${rankedSql(
+        "probes q JOIN assigned c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id")}""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
+    "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
     "ann_topk" -> QueryDef(annTopk, Some(annTopkSql)),
-    "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)))
+    "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
+    "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)))
 }

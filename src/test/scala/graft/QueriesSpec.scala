@@ -62,6 +62,42 @@ class QueriesSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("ann_ivf pairs carry brute-force similarities; probes cap candidate lists") {
+    // IVF only restricts the candidate set (Nprobe inverted lists); any
+    // returned pair must agree with the exact metric, and no query may
+    // return more than TopK neighbors.
+    val brute = graft.queries.SimilarityQueries.annTopk(spark, dir)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = graft.queries.SimilarityQueries.annIvf(spark, dir)
+      .select("query_id", "neighbor_id", "sim").collect()
+    ivf.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      brute.get(k).foreach(s => assert(s === r.getDouble(2), s"pair $k"))
+    }
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= graft.queries.SimilarityQueries.TopK, s"query $q over TopK")
+    }
+  }
+
+  test("dedup_embed survivors complement the similar_pairs duplicate graph") {
+    // a vector survives iff no lower-id near-dup exists in its label block,
+    // so survivors = all - {b_id : (a_id < b_id) ∈ similar_pairs}; the
+    // lowest vec_id of every label block always survives.
+    val all = Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val dupIds = graft.queries.SimilarityQueries.similarPairs(spark, dir)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    val survivors = graft.queries.SimilarityQueries.dedupEmbed(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === all.map(_._1).toSet -- dupIds)
+    all.groupBy(_._2).foreach { case (label, vs) =>
+      assert(survivors.contains(vs.map(_._1).min), s"label $label min id dropped")
+    }
+  }
+
   test("multimodal decode plumbing: binary payload -> typed metadata struct") {
     import graft.operators.MediaDecode
     val df = Tables(spark, dir, "documents")
