@@ -32,15 +32,24 @@ object Tables {
     * raw text buys full parallelism for everything downstream. At real
     * scale (many files / row groups) the scan splits naturally and this
     * repartition collapses to a no-op-cost rebalance keyed on doc_id.
+    *
+    * The partition count is pinned to `defaultParallelism` (total cores):
+    * a bare `repartition(col)` lets AQE size the exchange by shuffle
+    * *bytes*, and a few MB of raw text coalesces to ONE partition — which
+    * serializes every downstream per-document kernel (observed: a 32-core
+    * bench pinned at one core for minutes). CPU-heavy, small-byte stages
+    * must pin their width explicitly; AQE only sees bytes.
     */
   def docs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    apply(spark, dir, "documents").repartition(col("doc_id"))
+    apply(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   /** `embeddings`, spread like [[docs]] (same single-file constraint). */
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    apply(spark, dir, "embeddings").repartition(col("vec_id"))
+    apply(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
   }
 }

@@ -69,7 +69,7 @@ object DedupQueries {
         array_distinct(TextFns.wordNgrams(TextFns.tokens(col("text")), 3)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
-        array_distinct(transform(col("shingles"), s => TextFns.hash60(s) % P)).as("hs"))
+        array_distinct(graft.functions.Hash60ArrayExpr(col("shingles"), P)).as("hs"))
       .persist()
 
   private val shingleHashesCte: String =

@@ -179,14 +179,26 @@ object SimilarityQueries {
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") % IvfMod === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
+    // Assignment (all n corpus vectors): max_by aggregation instead of a
+    // row_number window — partial aggregation collapses the n·C
+    // broadcast-join rows to n map-side, so only one row per vector
+    // crosses the exchange. Ordering key (cos6, -cent_id) is unique per
+    // (vec_id, cent_id), so the argmax is deterministic and matches the
+    // oracle's (cos6 DESC, cent_id ASC) rank-1 row.
+    val assigned = e.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(cos6, -col("cent_id"))).as("cent_id"),
+        first(col("v")).as("cv"), first(col("nrm")).as("cn"))
+      .select(col("cent_id"), col("vec_id").as("neighbor_id"), col("cv"), col("cn"))
+    // Probe lists (n/QueryMod query vectors): top-Nprobe centroids via a
+    // window over the already-filtered query×centroid join — tiny input.
     val centRank = Window.partitionBy(col("vec_id"))
-      .orderBy(round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6).desc,
-        col("cent_id").asc)
-    val toCent = e.crossJoin(broadcast(cents))
+      .orderBy(cos6.desc, col("cent_id").asc)
+    val probes = e.filter(col("vec_id") % QueryMod === 0)
+      .crossJoin(broadcast(cents))
       .withColumn("cr", row_number().over(centRank))
-    val assigned = toCent.filter(col("cr") === 1)
-      .select(col("cent_id"), col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val probes = toCent.filter(col("vec_id") % QueryMod === 0 && col("cr") <= Nprobe)
+      .filter(col("cr") <= Nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"), col("v").as("qv"), col("nrm").as("qn"))
     ranked(broadcast(probes).join(assigned,
       Seq("cent_id")).filter(col("query_id") =!= col("neighbor_id")))

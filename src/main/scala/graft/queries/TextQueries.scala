@@ -231,7 +231,8 @@ object TextQueries {
     * w=4 window over the hash sequence, keep each window's minimum —
     * the classic rolling-hash fingerprint set used for local-similarity
     * detection (MOSS-style). Output: distinct (doc_id, fp) pairs. All
-    * per-row compute, one final distinct — scan-local at any scale.
+    * per-row compute in one native kernel (WinnowFpsExpr — the interpreted
+    * HOF chain was ~100× slower), scan-local at any scale.
     */
   val WinnowK = 8
   val WinnowW = 4
@@ -241,15 +242,7 @@ object TextQueries {
     docs(spark, dir)
       .filter(length(norm) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"),
-        expr(s"""transform(sequence(1, length(${"trim(regexp_replace(text, '\\\\s+', ' '))"}) - ${WinnowK - 1}),
-                 i -> substring(${"trim(regexp_replace(text, '\\\\s+', ' '))"}, i, $WinnowK))""")
-          .as("grams"))
-      .select(col("doc_id"),
-        transform(col("grams"), g => TextFns.hash60(g)).as("hs"))
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("hs")) - WinnowW),
-          j => array_min(slice(col("hs"), j + lit(1), lit(WinnowW))))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+        explode(graft.functions.WinnowFpsExpr(norm, WinnowK, WinnowW)).as("fp"))
   }
 
   val docWinnowSql: String = {

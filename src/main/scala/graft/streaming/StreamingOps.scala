@@ -48,6 +48,33 @@ object StreamingOps {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"))
 
+  /** documents schema (Tables / TESTDATA.md). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of a documents directory (parquet). */
+  def docStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming exact dedup — the ingestion-time twin of the batch
+    * `dedup_exact` query: the first-arriving document per sha256(text)
+    * passes, later copies are dropped. State is one hash per distinct
+    * text; at real scale bound it by ingestion-time watermark
+    * (`withWatermark` + `dropDuplicatesWithinWatermark`) so state ages
+    * out — a closed test input needs no horizon.
+    */
+  def dedupDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+      .dropDuplicates("text_hash")
+
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -28,6 +28,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming dedupDocs keeps exactly one doc per distinct text, matching batch dedup_exact") {
+    val stream = StreamingOps.dedupDocs(StreamingOps.docStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_docs")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("dedup_docs").select("text_hash")
+      .collect().map(_.getString(0))
+    assert(got.length === got.distinct.length) // one survivor per hash
+    val batch = graft.queries.DedupQueries.dedupExact(spark, dir)
+      .select("text_hash").collect().map(_.getString(0))
+    assert(got.toSet === batch.toSet) // same distinct-text set as batch
+  }
+
   test("streaming sessionize equals batch sessionize") {
     val stream = StreamingOps.sessionize(spark, StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
