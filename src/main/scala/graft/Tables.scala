@@ -25,31 +25,37 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `documents` spread across the session's shuffle parallelism. The test
-    * corpus ships as one tiny single-row-group parquet file, which the scan
-    * cannot split — without this every per-document CPU-heavy stage
-    * (tokenize, shingle, hash) runs on one thread. One cheap shuffle of the
-    * raw text buys full parallelism for everything downstream. At real
-    * scale (many files / row groups) the scan splits naturally and this
-    * repartition collapses to a no-op-cost rebalance keyed on doc_id.
+  /** Spread `df` across the session's parallelism ONLY when the scan
+    * itself cannot (fewer split partitions than cores). The test corpus
+    * ships as one tiny single-row-group parquet file, which the scan cannot
+    * split — without the repartition every per-document CPU-heavy stage
+    * (tokenize, shingle, hash) runs on one thread. At real scale the scan
+    * splits into >= cores partitions naturally, the condition is false, and
+    * NO shuffle is prepended — an unconditional `repartition` would re-move
+    * every byte of a 100 TB corpus before every text query.
     *
-    * The partition count is pinned to `defaultParallelism` (total cores):
-    * a bare `repartition(col)` lets AQE size the exchange by shuffle
-    * *bytes*, and a few MB of raw text coalesces to ONE partition — which
-    * serializes every downstream per-document kernel (observed: a 32-core
-    * bench pinned at one core for minutes). CPU-heavy, small-byte stages
-    * must pin their width explicitly; AQE only sees bytes.
+    * When it does fire, the partition count is pinned to
+    * `defaultParallelism` (total cores): a bare `repartition(col)` lets AQE
+    * size the exchange by shuffle *bytes*, and a few MB of raw text
+    * coalesces to ONE partition — which serializes every downstream
+    * per-document kernel (observed: a 32-core bench pinned at one core for
+    * minutes). CPU-heavy, small-byte stages must pin their width
+    * explicitly; AQE only sees bytes.
+    *
+    * `df.rdd.getNumPartitions` is planning-only (file listing + split
+    * arithmetic — no Spark job), so the check itself is cheap.
     */
-  def docs(spark: SparkSession, dir: String): DataFrame = {
+  private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    apply(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
   }
 
-  /** `embeddings`, spread like [[docs]] (same single-file constraint). */
-  def embeddings(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    apply(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-  }
+  /** `documents`, conditionally spread (see [[spread]]). */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, apply(spark, dir, "documents"), "doc_id")
+
+  /** `embeddings`, conditionally spread like [[docs]]. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, apply(spark, dir, "embeddings"), "vec_id")
 }

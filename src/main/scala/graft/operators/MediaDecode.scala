@@ -26,13 +26,18 @@ object MediaDecode {
     StructField("format", StringType, nullable = false)))
 
   /** STUB decoder — deterministic fake: replace with a real codec binding
-    * (e.g. TwelveMonkeys/javacv) in deployment. Pure function of the bytes.
+    * (e.g. TwelveMonkeys/javacv) in deployment. Pure function of the bytes:
+    * metadata derives from the payload's 60-bit md5 prefix (the same
+    * `hash60` the text kernels use — first 15 md5 hex digits as an
+    * integer), so the DuckDB oracle reproduces the decode exactly and the
+    * whole mapPartitions stage sits on the CORRECTNESS path.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
-    var h = 1125899906842597L // arbitrary FNV-ish fold of the payload
-    var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    val pos = h & Long.MaxValue
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    val pos = h >>> 4 // top 60 bits = hash60(payload), always non-negative
     ((pos % 1920).toInt, (pos % 1080).toInt, if (pos % 2 == 0) "png" else "jpeg")
   }
 

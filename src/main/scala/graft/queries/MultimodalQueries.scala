@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFns
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata extracted by a decode stage.
@@ -17,20 +16,25 @@ import graft.functions.TextFns
   */
 object MultimodalQueries {
 
-  /** `multimodal_meta` — payload byte length, content hash, and stub-decoded
-    * (width, height) metadata derived deterministically from the content
-    * hash. Oracle-checkable end-to-end because the stub decode is a pure
-    * function of the payload bytes.
+  /** `multimodal_meta` — payload byte length, content hash, and
+    * stub-decoded (width, height, format) metadata. The metadata comes from
+    * the REAL decode stage (`MediaDecode.withMetadata` — the per-partition
+    * mapPartitions batch decoder), not a column-expression bypass, so the
+    * decode plumbing itself is oracle-checked: the stub decoder derives
+    * metadata from the payload's md5 top-60-bits (= `hash60`), which the
+    * DuckDB oracle reproduces in SQL.
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
-    val payload = col("text").cast("binary")
-    val h = TextFns.hash60(col("text"))
-    Tables.docs(spark, dir).select(
-      col("doc_id"),
-      octet_length(payload).cast("long").as("n_bytes"),
-      sha2(payload, 256).as("content_hash"),
-      (h % 1920).as("width"),
-      (h % 1080).as("height"))
+    val base = Tables.docs(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.operators.MediaDecode.withMetadata(base, "payload")
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("content_hash"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.height").cast("long").as("height"),
+        col("media_meta.format").as("format"))
   }
 
   val multimodalMetaSql: String =
@@ -38,7 +42,8 @@ object MultimodalQueries {
        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        |       sha256(text) AS content_hash,
        |       ${Oracle.hash60("text")} % 1920 AS width,
-       |       ${Oracle.hash60("text")} % 1080 AS height
+       |       ${Oracle.hash60("text")} % 1080 AS height,
+       |       CASE WHEN ${Oracle.hash60("text")} % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
        |FROM documents""".stripMargin
 
   val entries: Seq[(String, QueryDef)] = Seq(

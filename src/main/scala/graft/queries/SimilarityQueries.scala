@@ -40,14 +40,44 @@ object SimilarityQueries {
     * `label` blocks at τ=0.35 (threshold fitted to the synthetic data's
     * cosine distribution). Blocking by label keeps the pair join linear per
     * block — the same role LSH bands play for text dedup.
+    *
+    * Skew guard: the block self-join is fragmented over an S×S salt grid
+    * (see [[saltedBlockJoin]]) so one hot label never lands its entire
+    * pair-quadratic on a single task.
     */
   val CosTau = 0.35
 
+  /** Salt-grid fragmentation factor for block self-joins. Each side is
+    * replicated S×; a block's pairs spread over S² join cells.
+    */
+  val SaltGrid = 4
+
+  /** Fragment a block self-join over an S×S salt grid: left rows carry
+    * (si = salt(leftId), sj = 0..S-1), right rows (si = 0..S-1,
+    * sj = salt(rightId)); joining on (block, si, sj) makes each (a, b)
+    * pair meet in EXACTLY one cell — (salt(a), salt(b)) — so results are
+    * identical to the unsalted join, but a hot block's O(block²) pairs
+    * spread across S² independent join cells instead of one straggler
+    * task. Standard theta-join fragmentation; replication factor S per
+    * side.
+    */
+  private def saltedGrid(df: DataFrame, idCol: String, ownAxis: String,
+      otherAxis: String): DataFrame =
+    df.withColumn(ownAxis, pmod(xxhash64(col(idCol)), lit(SaltGrid)).cast("int"))
+      .withColumn(otherAxis, explode(array((0 until SaltGrid).map(lit): _*)))
+
+  private def saltedJoinCond: Column =
+    col("sa_i") === col("sb_i") && col("sa_j") === col("sb_j")
+
   def similarPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("label").as("lb"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("label") === col("lb") && col("a_id") < col("b_id"))
+    val a = saltedGrid(
+      e.select(col("label"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na")),
+      "a_id", "sa_i", "sa_j")
+    val b = saltedGrid(
+      e.select(col("label").as("lb"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")),
+      "b_id", "sb_j", "sb_i")
+    a.join(b, col("label") === col("lb") && saltedJoinCond && col("a_id") < col("b_id"))
       .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4))
       .filter(col("sim") >= CosTau)
       .select(col("label"), col("a_id"), col("b_id"), col("sim"))
@@ -62,12 +92,22 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- ann_topk
   /** `ann_topk` — exact brute-force cosine top-10 for a deterministic query
-    * subset (vec_id ≡ 0 mod 101): broadcast the small query side, stream
-    * the corpus side once, per-query top-k via window. This is the
-    * recall=1 baseline the LSH variant is measured against.
+    * subset (vec_id ≡ 0 mod 101): broadcast the query side in BOUNDED
+    * chunks, stream the corpus side once per chunk, per-query top-k via
+    * window. This is the recall=1 baseline the LSH variant is measured
+    * against.
+    *
+    * The query set is O(corpus/QueryMod), so an unchunked `broadcast(q)`
+    * grows with the corpus and would kill the driver at 100 TB. Queries are
+    * split into ceil(nq / MaxBroadcastQueries) disjoint hash classes; each
+    * chunk broadcasts within a fixed memory bound and the corpus streams
+    * once per chunk — same total compute, bounded memory. At the test SFs
+    * nq < MaxBroadcastQueries, so this is a single chunk and the plan is
+    * the round-1 plan unchanged.
     */
   val QueryMod = 101
   val TopK = 10
+  val MaxBroadcastQueries = 65536
 
   private def ranked(joined: DataFrame): DataFrame = {
     val cos = cosine(col("qv"), col("cv"), col("qn"), col("cn"))
@@ -85,7 +125,13 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    ranked(broadcast(q).join(c, col("query_id") =!= col("neighbor_id")))
+    val nq = q.count() // one cheap planning action bounds every broadcast
+    val nChunks = math.max(1L, (nq + MaxBroadcastQueries - 1) / MaxBroadcastQueries).toInt
+    val joined = (0 until nChunks).map { k =>
+      val qk = if (nChunks == 1) q else q.filter(pmod(col("query_id"), lit(nChunks)) === k)
+      broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
+    }.reduce(_ union _)
+    ranked(joined) // chunks are query_id-disjoint, so the rank window is per-chunk-safe
   }
 
   private def rankedSql(candJoin: String): String =
@@ -119,7 +165,12 @@ object SimilarityQueries {
         col("v").as("qv"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("bucket").as("cb"),
       col("v").as("cv"), col("nrm").as("cn"))
-    ranked(broadcast(q).join(c,
+    // Shuffle-hash join on the bucket equi-key, NOT broadcast(q): the query
+    // side is O(corpus/QueryMod) and grows unboundedly. Both sides shuffle
+    // on `bucket`; the per-partition build side is only that bucket's
+    // queries. At 100 TB, raise LshBits so 2^LshBits >= cluster parallelism
+    // (bucket count is the join's max fan-out).
+    ranked(q.hint("shuffle_hash").join(c,
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")))
   }
 
@@ -145,9 +196,16 @@ object SimilarityQueries {
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val a = e.select(col("label"), col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("label").as("lb"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val dups = a.join(b, col("label") === col("lb") && col("b_id") < col("vec_id") &&
+    // same salt-grid fragmentation as similar_pairs: a hot label block's
+    // pair-quadratic spreads over SaltGrid² join cells, results unchanged
+    val a = saltedGrid(
+      e.select(col("label"), col("vec_id"), col("v").as("va"), col("nrm").as("na")),
+      "vec_id", "sa_i", "sa_j")
+    val b = saltedGrid(
+      e.select(col("label").as("lb"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")),
+      "b_id", "sb_j", "sb_i")
+    val dups = a.join(b, col("label") === col("lb") && saltedJoinCond &&
+        col("b_id") < col("vec_id") &&
         round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4) >= CosTau)
       .select(col("vec_id")).distinct()
     e.join(dups, Seq("vec_id"), "left_anti").select(col("label"), col("vec_id"))
@@ -200,7 +258,11 @@ object SimilarityQueries {
       .withColumn("cr", row_number().over(centRank))
       .filter(col("cr") <= Nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"), col("v").as("qv"), col("nrm").as("qn"))
-    ranked(broadcast(probes).join(assigned,
+    // Shuffle-hash join on cent_id, NOT broadcast(probes): the probe side
+    // is O(corpus·Nprobe/QueryMod) and grows unboundedly; the centroid
+    // broadcast above stays — a codebook is fixed-size by construction at
+    // real scale (~√n k-means centroids, not corpus-proportional).
+    ranked(probes.hint("shuffle_hash").join(assigned,
       Seq("cent_id")).filter(col("query_id") =!= col("neighbor_id")))
   }
 

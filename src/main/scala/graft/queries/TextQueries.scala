@@ -123,7 +123,9 @@ object TextQueries {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = TextFns.tokens(col("text"))
     val nTok = size(t)
-    val nStop = size(filter(t, w => w.isInCollection(Stopwords)))
+    // native kernel, not filter(t, _.isInCollection(...)): HOF lambdas run
+    // interpreted per token (see CountInSetExpr)
+    val nStop = graft.functions.CountInSetExpr(t, Stopwords)
     val ratio = nStop.cast("double") / nTok // int/int -> identical doubles
     docs(spark, dir)
       .filter(nTok > 0)
@@ -155,7 +157,7 @@ object TextQueries {
     val nTok = size(t).cast("long")
     val nChars = length(col("text")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("long")
-    val nStop = size(filter(t, w => w.isInCollection(Stopwords))).cast("long")
+    val nStop = graft.functions.CountInSetExpr(t, Stopwords).cast("long")
     val alphaRatio = nAlpha.cast("double") / nChars
     val stopRatio = nStop.cast("double") / nTok
     val lenScore = least(nTok.cast("double") / 200.0, lit(1.0))
