@@ -29,6 +29,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional args: bench only these queries (dev iteration on one query)
+    val picked =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,13 +45,20 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // The warmup (cold) pass is itself timed and reported as "cold_total":
+    // the headline "value" stays the steady-state (warm) total, but the
+    // JSON is self-describing about what a cold first pass costs — warm
+    // numbers are not comparable to any cold-start measurement otherwise.
+    var coldTotal = -1.0
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      val c0 = System.nanoTime()
+      picked.foreach { case (_, fn) =>
         try run(fn) catch { case _: Throwable => () } // timed pass re-reports
       }
+      coldTotal = (System.nanoTime() - c0) / 1e9
     }
     var errs = List.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn)
       catch { case e: Throwable =>
@@ -59,11 +70,12 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val coldJson = if (coldTotal >= 0) s""","cold_total":$coldTotal""" else ""
     val errJson =
       if (errs.isEmpty) ""
       else errs.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$coldJson$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -61,9 +61,10 @@ object DedupQueries {
     * verification is O(bucket²) for pairs the exact-hash dedup path already
     * collapses, and one such bucket at 100 TB is the job's straggler. Real
     * dedup pipelines divert these mega-clusters to the exact path; here
-    * they are dropped from pair generation. No synthetic-corpus bucket
-    * comes near the cap (corpus ≤ 5k docs total), so CORRECTNESS output is
-    * unchanged at every test SF.
+    * they are dropped from pair generation. The oracle SQL applies the
+    * IDENTICAL cap (oversized/bounded CTEs in [[dedupMinhashSql]]), so
+    * engine and oracle cannot diverge even if a corpus ever exceeds it;
+    * no synthetic-corpus bucket comes near the cap (corpus ≤ 5k docs).
     */
   val MaxBandBucket = 1024
 
@@ -90,17 +91,27 @@ object DedupQueries {
           array_distinct(graft.functions.Hash60ArrayExpr(col("shingles"), P)).as("hs"))
         .persist())
 
+  /** Memo for the EXPLODED (doc_id, h) pair table. ngram_jaccard references
+    * it 3× (both self-join sides + verify), the prefix twin 4×, minhash 2×;
+    * re-exploding the array table per reference was the round-2 bench
+    * regression (1.39 s → 3.57 s). One persisted copy serves them all.
+    */
+  private val pairsMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
   private val shingleHashesCte: String =
     s"""toks AS (${Oracle.toksCte}),
        |sh AS (SELECT doc_id, list_distinct(${Oracle.ngrams3("t")}) AS shingles FROM toks WHERE len(t) >= 3),
        |hs AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${Oracle.hash60("s")} % $P)) AS hs FROM sh)""".stripMargin
 
-  /** Exploded distinct (doc_id, h) shingle-hash pairs — derived from the
-    * memoized [[shingleHashes]]; the explode is cheap against the cached
-    * array table, so this is deliberately NOT persisted separately.
+  /** Exploded distinct (doc_id, h) shingle-hash pairs — persisted (see
+    * [[pairsMemo]]).
     */
   private def shinglePairs(spark: SparkSession, dir: String): DataFrame =
-    shingleHashes(spark, dir).select(col("doc_id"), explode(col("hs")).as("h"))
+    pairsMemo.getOrElseUpdate((spark, dir),
+      shingleHashes(spark, dir)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .persist())
 
   private val shinglePairsCte: String =
     s"""$shingleHashesCte,
@@ -108,18 +119,23 @@ object DedupQueries {
 
   /** Verified-Jaccard join: candidate pairs → (doc_a, doc_b, jaccard≥τ).
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|) over exact integer counts — the
-    * resulting double is engine-identical.
+    * resulting double is engine-identical to the oracle's exploded-join
+    * formulation.
+    *
+    * Each candidate pair fetches both docs' shingle-hash ARRAYS from the
+    * persisted array table and intersects them in-row — two narrow joins
+    * keyed by doc id, zero re-explosion. (The round-2 form re-joined the
+    * exploded pair table twice plus two sizes joins; that verify chain
+    * alone cost ~4 s of the prefix query's 8.5 s.)
     */
-  private def verifyJaccard(cand: DataFrame, ex: DataFrame, tau: Double): DataFrame = {
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(ex.as("a"), col("da") === col("a.doc_id"))
-      .join(ex.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+  private def verifyJaccard(spark: SparkSession, dir: String, cand: DataFrame,
+      tau: Double): DataFrame = {
+    val hs = shingleHashes(spark, dir)
+    val i = size(array_intersect(col("ha"), col("hb")))
+    val j = i.cast("double") / (size(col("ha")) + size(col("hb")) - i)
+    cand
+      .join(hs.select(col("doc_id").as("da"), col("hs").as("ha")), "da")
+      .join(hs.select(col("doc_id").as("db"), col("hs").as("hb")), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), j.as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
@@ -143,17 +159,19 @@ object DedupQueries {
     }
     val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // bucket-size cap (MaxBandBucket): count per bucket via a window on the
-    // same (band, sig) keys the self-join shuffles on, drop mega-buckets
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
-    val bounded = bands.withColumn("bn", count(lit(1)).over(bw))
-      .filter(col("bn") <= MaxBandBucket).drop("bn")
-    val cand = bounded.as("x").join(bounded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    // Candidate pairs via ONE aggregation over the bands table + the
+    // PairsExpr kernel — not a (band, sig) self-join, which would compute
+    // the minhash-signature pipeline once per join side and shuffle twice.
+    // The MaxBandBucket cap is a free size(ids) filter here (round-2 used
+    // a sort-based count window); buckets of 1 generate nothing and are
+    // dropped up front.
+    val cand = bands.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBandBucket)
+      .select(explode(graft.functions.PairsExpr(col("ids"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
-    verifyJaccard(cand, hs.select(col("doc_id"), explode(col("hs")).as("h")), JaccardTau)
+    verifyJaccard(spark, dir, cand, JaccardTau)
   }
 
   val dedupMinhashSql: String = {
@@ -171,8 +189,12 @@ object DedupQueries {
        |      FROM hs),
        |bands AS (
        |  $bandSelects),
+       |oversized AS (SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBandBucket),
+       |bounded AS (SELECT b.* FROM bands b
+       |            WHERE NOT EXISTS (SELECT 1 FROM oversized o
+       |                              WHERE o.band = b.band AND o.sig = b.sig)),
        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-       |         FROM bands x JOIN bands y
+       |         FROM bounded x JOIN bounded y
        |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
        |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
        |inter AS (SELECT c.da, c.db, count(*) AS i
@@ -246,15 +268,23 @@ object DedupQueries {
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val ex = shinglePairs(spark, dir)
-    // Intersection sizes computed directly from the inverted-index
-    // self-join — one shuffle, no candidate-pair re-join. (At 100 TB,
-    // popular shingles make this join skew-heavy: add positional prefix
-    // filtering — join only on each doc's rarest (1-τ)·n shingles, which
-    // provably preserves all pairs with J ≥ τ — before this stage.)
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // Intersection counts directly from ONE groupBy(h) over the inverted
+    // index + the PairsExpr kernel — not an h self-join, which
+    // scans/shuffles the pair table twice for the same Σ_h df(h)²/2 pair
+    // rows. Here EVERY co-occurring pair is a candidate (perfect recall,
+    // ~all-pairs at this τ), so |A∩B| comes free as the per-pair row count
+    // and the array-verify of [[verifyJaccard]] would only re-ship both
+    // shingle arrays per pair; the sizes needed for the union term are a
+    // per-row map over the cached array table. (At 100 TB, popular
+    // shingles make this fan-out skew-heavy: the prefix twin caps it
+    // losslessly and is the declared scale path.)
+    val sizes = shingleHashes(spark, dir)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val inter = ex.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.PairsExpr(col("ids"))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
     inter
@@ -286,24 +316,36 @@ object DedupQueries {
     * oracle SQL) — but candidate generation no longer touches the
     * high-frequency shingle head, which is what explodes the inverted-index
     * join under skew at 100 TB. Cost: one extra doc-frequency aggregation +
-    * a per-doc rank window over the persisted shingle table.
+    * one hash aggregate that sorts each doc's (df, h) list in-row and keeps
+    * the prefix slice.
     */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = shinglePairs(spark, dir)
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    // Rarest-prefix selection via hash aggregate + per-row array sort/slice
+    // instead of round-2's row_number window: the window forced a sort-based
+    // WindowExec over the whole exploded table PLUS a separate sizes join;
+    // here one groupBy(doc_id) collects (df, h) structs, and the per-doc
+    // sort + prefix slice happen in-row. (doc_id, h) pairs are distinct so
+    // the (df, h) sort key is unique per doc — identical prefix set.
+    val n = size(col("sh"))
+    val prefixLen = (n - ceil(n * lit(NgramJaccardTau)) + 1).cast("int")
     val prefix = ex.join(freq, "h")
-      .withColumn("r", row_number().over(w))
-      .join(sizes, "doc_id")
-      .filter(col("r") <= col("n") - ceil(col("n") * NgramJaccardTau) + 1)
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
+      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+      .select(col("doc_id"), col("s.h").as("h"))
+    // Shared-prefix-shingle pairs via one groupBy(h) + PairsExpr, not a
+    // self-join: a self-join would run the whole prefix-selection pipeline
+    // once per side (observed in the round-3 plan audit as the duplicated
+    // ObjectHashAggregate/Generate branch).
+    val cand = prefix.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.PairsExpr(col("ids"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
-    verifyJaccard(cand, ex, NgramJaccardTau)
+    verifyJaccard(spark, dir, cand, NgramJaccardTau)
   }
 
   val entries: Seq[(String, QueryDef)] = Seq(
