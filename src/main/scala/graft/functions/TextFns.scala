@@ -19,9 +19,13 @@ object TextFns {
     */
   val TokenSplitRegex = "[^\\p{L}]+"
 
-  /** Non-empty letter tokens of a text column. */
-  def tokens(text: Column): Column =
-    filter(split(text, TokenSplitRegex), t => length(t) > lit(0))
+  /** Non-empty letter tokens of a text column. Native single-pass kernel
+    * (TokenizeExpr): the `filter(split(text, regex), ...)` form it replaces
+    * ran the filter lambda interpreted per element and materialized the
+    * empty split artifacts. Same result as
+    * `filter(split(text, TokenSplitRegex), t => length(t) > 0)`.
+    */
+  def tokens(text: Column): Column = TokenizeExpr(text)
 
   /** Sliding word n-grams joined with single spaces; empty array when the
     * document has fewer than `n` tokens. Native codegen'd expression

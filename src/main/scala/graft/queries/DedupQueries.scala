@@ -83,12 +83,14 @@ object DedupQueries {
 
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     shingleMemo.getOrElseUpdate((spark, dir),
+      // ShingleHash60Expr fuses tokenize -> 3-gram -> hash60 % P ->
+      // distinct into one per-row kernel (no intermediate token/gram/
+      // hash arrays; the split-pipeline form it replaces was the dedup
+      // family's dominant per-row cost).
       Tables.docs(spark, dir)
         .select(col("doc_id"),
-          array_distinct(TextFns.wordNgrams(TextFns.tokens(col("text")), 3)).as("shingles"))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"),
-          array_distinct(graft.functions.Hash60ArrayExpr(col("shingles"), P)).as("hs"))
+          graft.functions.ShingleHash60Expr(col("text"), 3, P).as("hs"))
+        .filter(size(col("hs")) > 0)
         .persist())
 
   /** Memo for the EXPLODED (doc_id, h) pair table. ngram_jaccard references
@@ -220,14 +222,13 @@ object DedupQueries {
   val SimhashBits = 32
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // No .distinct() after hashing: array_distinct already dedupes tokens
-    // per doc, so (doc_id, h) duplicates need an intra-doc 60-bit hash
-    // collision (~never) — and whatever duplicates that would produce the
-    // oracle keeps identically. Dropping it removes a full exchange of the
-    // exploded token table before the groupBy.
+    // TokenHash60Expr(distinct = true) fuses tokenize -> distinct-by-token
+    // -> hash60 into one per-row kernel: no token string array, no
+    // Column-level md5 hex round-trip per token (the remaining round-2
+    // cost after the extra exchange was removed).
     val tok = Tables.docs(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(TextFns.tokens(col("text")))).as("w"))
-      .select(col("doc_id"), TextFns.hash60(col("w")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenHash60Expr(col("text"), distinct = true)).as("h"))
     val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
     }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{Hash60ArrayExpr, ShingleHash60Expr, TextFns, TokenHash60Expr}
+
+/** Differential tests: the fused native kernels must agree exactly with
+  * the Column-level formulations they replaced (which in turn are pinned
+  * to the DuckDB oracle by the correctness gate).
+  */
+class TokenKernelsSpec extends SparkTestBase {
+
+  private val P = 2147483647L
+
+  // includes 2-byte (é, ß), 3-byte (中, λ) and 4-byte letter (𝐀 U+1D400,
+  // category Lo) and non-letter (😀) code points
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaChar.map(_.toString), Gen.numChar.map(_.toString),
+    Gen.oneOf(" ", "\n", ",", ".", "'", "-"),
+    Gen.oneOf("é", "ß", "λ", "中", "я", "𝐀", "😀"))).map(_.mkString)
+
+  private def samples: Seq[String] =
+    Gen.listOfN(200, textGen).sample.get ++ Seq(
+      "", " ", "a", "the the the", "a b c d", "𝐀𝐀 𝐀", "one two three four")
+
+  /** The pre-kernel Column pipeline for tokens (interpreted HOF form). */
+  private def hofTokens = filter(
+    split(col("text"), TextFns.TokenSplitRegex), t => length(t) > lit(0))
+
+  private def hofHash60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(encode(c, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+  test("TokenHash60Expr(distinct) == hash60 over array_distinct(split tokens)") {
+    import spark.implicits._
+    val df = samples.toDF("text")
+    val got = df.select(TokenHash60Expr(col("text"), distinct = true).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val want = df
+      .select(transform(array_distinct(hofTokens), t => hofHash60(t)).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(want).zip(samples).foreach { case ((g, w), s) =>
+      assert(g === w, s"input=$s")
+    }
+  }
+
+  test("TokenHash60Expr(all) == hash60 over split tokens") {
+    import spark.implicits._
+    val df = samples.toDF("text")
+    val got = df.select(TokenHash60Expr(col("text"), distinct = false).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val want = df.select(transform(hofTokens, t => hofHash60(t)).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(want).zip(samples).foreach { case ((g, w), s) =>
+      assert(g === w, s"input=$s")
+    }
+  }
+
+  test("ShingleHash60Expr == distinct(hash60(ngram) % P) over the split pipeline") {
+    import spark.implicits._
+    val df = samples.toDF("text")
+    val got = df.select(ShingleHash60Expr(col("text"), 3, P).as("hs"))
+      .collect().map(_.getSeq[Long](0).sorted)
+    val want = df.select(
+        array_distinct(Hash60ArrayExpr(
+          array_distinct(TextFns.wordNgrams(hofTokens, 3)), P)).as("hs"))
+      .collect().map(_.getSeq[Long](0).sorted)
+    got.zip(want).zip(samples).foreach { case ((g, w), s) =>
+      assert(g === w, s"input=$s")
+    }
+  }
+}
