@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Straggler/speculation capability run — the reference reassigns Working
+# tasks after 10 s (src/mr/coordinator.go:12-14,122-128); Spark's analog
+# is speculative execution. Two constraints force the topology below:
+#   * local[*] never starts the speculation thread (cluster scheduler
+#     required), and
+#   * a speculative copy may only launch on a DIFFERENT host than the
+#     running attempt — local-cluster registers every worker as
+#     "localhost", so the copy never schedules there.
+# So: a throwaway standalone master + two workers bound to distinct
+# loopback hostnames (127.0.0.1 / 127.0.0.2), separate executor JVMs,
+# then graft.SpeculationProbe asserts the straggler's copy completes the
+# job far under the straggler's sleep and the result is exactly-once.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+sbt -batch package >/dev/null
+JAR=$(ls -t target/scala-2.13/*.jar | head -1)
+
+export SPARK_LOG_DIR=$(mktemp -d /tmp/spec-logs.XXXXXX)
+PIDS=()
+cleanup() { kill "${PIDS[@]}" 2>/dev/null || true; wait 2>/dev/null || true; }
+trap cleanup EXIT
+
+SPARK_NO_DAEMONIZE=1 /opt/spark/sbin/start-master.sh \
+  -h 127.0.0.1 -p 7177 --webui-port 8091 >"$SPARK_LOG_DIR/master.out" 2>&1 &
+PIDS+=($!)
+sleep 5
+SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=$SPARK_LOG_DIR/w1 /opt/spark/sbin/start-worker.sh \
+  -h 127.0.0.1 -c 2 -m 1g --webui-port 8092 spark://127.0.0.1:7177 \
+  >"$SPARK_LOG_DIR/w1.out" 2>&1 &
+PIDS+=($!)
+SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=$SPARK_LOG_DIR/w2 /opt/spark/sbin/start-worker.sh \
+  -h 127.0.0.2 -c 2 -m 1g --webui-port 8093 spark://127.0.0.1:7177 \
+  >"$SPARK_LOG_DIR/w2.out" 2>&1 &
+PIDS+=($!)
+sleep 6
+
+/opt/spark/bin/spark-submit --master spark://127.0.0.1:7177 \
+  --conf spark.speculation=true \
+  --conf spark.speculation.interval=100ms \
+  --conf spark.speculation.multiplier=2 \
+  --conf spark.speculation.quantile=0.75 \
+  --conf spark.executor.memory=768m \
+  --class graft.SpeculationProbe "$JAR" 2>&1 |
+  grep -E '\[speculation-probe\]|speculatable|Starting task 7\.|Killing attempt'
