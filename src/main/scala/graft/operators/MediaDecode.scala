@@ -43,17 +43,22 @@ object MediaDecode {
 
   /** Append a `media_meta` struct decoded from `payloadCol`. Per-partition
     * batching: the (stub) decoder is instantiated once per partition, not
-    * once per row.
+    * once per row. NULL payloads decode to a NULL struct (the field is
+    * nullable), matching SQL NULL propagation — md5(NULL) IS NULL in the
+    * DuckDB oracle — instead of NPEing the task.
     */
   def withMetadata(df: DataFrame, payloadCol: String): DataFrame = {
-    val schema = df.schema.add(StructField("media_meta", metaSchema, nullable = false))
+    val schema = df.schema.add(StructField("media_meta", metaSchema, nullable = true))
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       // per-partition decoder setup would go here (open codec context once)
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.getAs[Array[Byte]](idx))
-        Row.fromSeq(r.toSeq :+ Row(w, h, f))
+        val payload = r.getAs[Array[Byte]](idx)
+        val meta =
+          if (payload == null) null
+          else { val (w, h, f) = decodeStub(payload); Row(w, h, f) }
+        Row.fromSeq(r.toSeq :+ meta)
       }
     }(enc)
   }

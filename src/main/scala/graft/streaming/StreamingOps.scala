@@ -65,15 +65,24 @@ object StreamingOps {
 
   /** Streaming exact dedup — the ingestion-time twin of the batch
     * `dedup_exact` query: the first-arriving document per sha256(text)
-    * passes, later copies are dropped. State is one hash per distinct
-    * text; at real scale bound it by ingestion-time watermark
-    * (`withWatermark` + `dropDuplicatesWithinWatermark`) so state ages
-    * out — a closed test input needs no horizon.
+    * passes, later copies are dropped. State is BOUNDED: rows carry an
+    * ingestion timestamp with a watermark, and
+    * `dropDuplicatesWithinWatermark` ages a hash out of the state store
+    * once the watermark passes its horizon — the unbounded
+    * `dropDuplicates` form would retain one entry per distinct document
+    * forever, which at 100 TB/day of ingest is a state-store OOM by
+    * design. Duplicates separated by more than the horizon both pass
+    * (re-dedup downstream in batch); a closed test input lands in one
+    * trigger, where this is exact.
     */
+  val DedupHorizon = "10 minutes"
+
   def dedupDocs(docs: DataFrame): DataFrame =
     docs
       .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
-      .dropDuplicates("text_hash")
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", DedupHorizon)
+      .dropDuplicatesWithinWatermark("text_hash")
 
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)

@@ -114,4 +114,15 @@ class QueriesSpec extends SparkTestBase {
       .select("media_meta.width").collect()(0).getInt(0)
     assert(again === row.getInt(0))
   }
+
+  test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
+    import graft.operators.MediaDecode
+    import spark.implicits._
+    val df = Seq((1L, Some("bytes")), (2L, None)).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    val out = MediaDecode.withMetadata(df, "payload")
+      .select(col("doc_id"), col("media_meta")).orderBy("doc_id").collect()
+    assert(out(0).getStruct(1) != null)
+    assert(out(1).isNullAt(1), "null payload must yield null media_meta, not NPE")
+  }
 }
