@@ -11,13 +11,14 @@ import graft.functions.TextFns
   *
   * Scale design: nothing here is O(n²) over the corpus.
   *   - exact: one hash-shuffle.
-  *   - minhash: per-doc signatures are computed with zero shuffle (array
-  *     higher-order functions); only band buckets are joined, so candidate
-  *     generation is proportional to bucket collisions, not n².
+  *   - minhash: per-doc signatures are computed with zero shuffle (native
+  *     minhash_sig kernel); candidate pairs come from one band-bucket
+  *     aggregation (PairsExpr), so generation is proportional to bucket
+  *     collisions, not n².
   *   - simhash: one explode + one grouped aggregation.
-  *   - ngram_jaccard: inverted-index (shared-shingle) join — at 100 TB add
-  *     positional prefix filtering to cap per-shingle fanout; the synthetic
-  *     corpus's shingle frequencies keep the join linear-ish here.
+  *   - ngram_jaccard: inverted-index bucket aggregation — at 100 TB the
+  *     prefix twin caps per-shingle fanout losslessly; the synthetic
+  *     corpus's shingle frequencies keep the exact path linear-ish here.
   *
   * All hashes derive from `TextFns.hash60` (md5-prefix), which DuckDB
   * reproduces exactly, so every stage is oracle-checkable.
