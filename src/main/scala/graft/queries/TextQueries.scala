@@ -40,7 +40,13 @@ object TextQueries {
     * distinct words; per word: doc count + sorted CSV of doc ids.
     */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
-    words(spark, dir).distinct()
+    // per-doc distinct happens IN-ROW (array_distinct over the token
+    // array) — after that, (doc_id, word) pairs are globally distinct by
+    // construction, so the round-2 global .distinct() was a full extra
+    // exchange of the exploded table for nothing.
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("word"))
       .groupBy("word")
       .agg(
         count(lit(1)).as("n_docs"),
