@@ -82,8 +82,25 @@ object DedupQueries {
   private val shingleMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
+  /** Memoize-and-persist with SESSION-SCOPED lifetime: when the owning
+    * SparkContext ends, the entry is evicted so the map never retains
+    * stopped sessions (or their cached blocks) for the JVM lifetime — a
+    * slow leak in a long-running multi-tenant driver otherwise. One
+    * listener per entry; eviction is idempotent.
+    */
+  private def memoize(memo: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      spark: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir), {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          memo.remove((spark, dir))
+      })
+      build.persist()
+    })
+
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    shingleMemo.getOrElseUpdate((spark, dir),
+    memoize(shingleMemo, spark, dir)(
       // ShingleHash60Expr fuses tokenize -> 3-gram -> hash60 % P ->
       // distinct into one per-row kernel (no intermediate token/gram/
       // hash arrays; the split-pipeline form it replaces was the dedup
@@ -91,8 +108,7 @@ object DedupQueries {
       Tables.docs(spark, dir)
         .select(col("doc_id"),
           graft.functions.ShingleHash60Expr(col("text"), 3, P).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .persist())
+        .filter(size(col("hs")) > 0))
 
   /** Memo for the EXPLODED (doc_id, h) pair table. ngram_jaccard references
     * it 3× (both self-join sides + verify), the prefix twin 4×, minhash 2×;
@@ -111,10 +127,9 @@ object DedupQueries {
     * [[pairsMemo]]).
     */
   private def shinglePairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, dir),
+    memoize(pairsMemo, spark, dir)(
       shingleHashes(spark, dir)
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .persist())
+        .select(col("doc_id"), explode(col("hs")).as("h")))
 
   private val shinglePairsCte: String =
     s"""$shingleHashesCte,
