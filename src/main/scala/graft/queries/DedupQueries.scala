@@ -347,11 +347,20 @@ object DedupQueries {
     // the (df, h) sort key is unique per doc — identical prefix set.
     val n = size(col("sh"))
     val prefixLen = (n - ceil(n * lit(NgramJaccardTau)) + 1).cast("int")
+    // (df, h) packed into one long (df·2^31 + h; h < P = 2^31-1, df
+    // clamped at 2^31-1): ascending long order = (df asc, h asc), so the
+    // collected array sorts with a primitive comparator instead of
+    // per-element struct comparisons. Losslessness needs only SOME fixed
+    // total order on shingles, so the clamp (which can only reorder
+    // ultra-common shingles away from strict rarity order) never loses a
+    // pair — rarity order is a candidate-count heuristic, not a
+    // correctness condition.
+    val packed = least(col("df"), lit(2147483647L)) * lit(2147483648L) + col("h")
     val prefix = ex.join(freq, "h")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
-      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
-      .select(col("doc_id"), col("s.h").as("h"))
+      .agg(sort_array(collect_list(packed)).as("sh"))
+      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
+      .select(col("doc_id"), col("p").bitwiseAND(lit(2147483647L)).as("h"))
     // Shared-prefix-shingle pairs via one groupBy(h) + PairsExpr, not a
     // self-join: a self-join would run the whole prefix-selection pipeline
     // once per side (observed in the round-3 plan audit as the duplicated

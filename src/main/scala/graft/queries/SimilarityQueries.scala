@@ -262,14 +262,27 @@ object SimilarityQueries {
     // Assignment (all n corpus vectors): max_by aggregation instead of a
     // row_number window — partial aggregation collapses the n·C
     // broadcast-join rows to n map-side, so only one row per vector
-    // crosses the exchange. Ordering key (cos6, -cent_id) is unique per
-    // (vec_id, cent_id), so the argmax is deterministic and matches the
-    // oracle's (cos6 DESC, cent_id ASC) rank-1 row.
-    val assigned = e.crossJoin(broadcast(cents))
+    // crosses the exchange. The (cos6 DESC, cent_id ASC) order is packed
+    // into ONE long — cos6 is exactly k/1e6 so round(cos6·1e6) recovers k,
+    // and cent_ids are the IvfC smallest vec_ids (far below 2^32) —
+    // because a STRUCT ordering argument forces a SortAggregate while a
+    // fixed-width long keeps the whole assignment in a HashAggregate.
+    // Unique per (vec_id, cent_id) → deterministic argmax, matching the
+    // oracle's rank-1 row.
+    val packedOrder = round(cos6 * lit(1000000d)).cast("long") * lit(4294967296L) +
+      (lit(4294967295L) - col("cent_id"))
+    // Only (vec_id, cent_id, ord) flow into the aggregate: an array-typed
+    // buffer (e.g. first(v)) would force a SortAggregate over all n·C
+    // rows AND ship every vector C times through the cross join; the
+    // all-long buffer keeps a HashAggregate, and (v, nrm) re-attach with
+    // one n-row join afterwards.
+    val assignedIds = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), packedOrder.as("ord"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(cos6, -col("cent_id"))).as("cent_id"),
-        first(col("v")).as("cv"), first(col("nrm")).as("cn"))
-      .select(col("cent_id"), col("vec_id").as("neighbor_id"), col("cv"), col("cn"))
+      .agg(max_by(col("cent_id"), col("ord")).as("cent_id"))
+    val assigned = assignedIds.join(e, "vec_id")
+      .select(col("cent_id"), col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
     // Probe lists (n/QueryMod query vectors): top-Nprobe centroids via a
     // window over the already-filtered query×centroid join — tiny input.
     val centRank = Window.partitionBy(col("vec_id"))
