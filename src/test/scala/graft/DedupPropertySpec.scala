@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PairsExpr
+import graft.queries.DedupQueries
+
+/** Property tests for the dedup candidate-generation machinery beyond the
+  * fixed driver corpus: PairsExpr semantics, and the positional-prefix
+  * filter's losslessness on a RANDOM near-duplicate corpus (the prefix
+  * theorem claims identical results for any input; the oracle gate only
+  * proves it for one).
+  */
+class DedupPropertySpec extends SparkTestBase {
+
+  test("PairsExpr emits exactly the i<j pairs of a sorted id array") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(1L, 5L, 9L), Seq(2L), Seq.empty[Long], Seq(3L, 4L), Seq(1L, 2L, 3L, 4L))
+      .toDF("ids")
+    val got = df.select(PairsExpr(col("ids")).as("ps"))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))))
+    val want = Seq(
+      Seq((1L, 5L), (1L, 9L), (5L, 9L)),
+      Seq.empty,
+      Seq.empty,
+      Seq((3L, 4L)),
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(got.toSeq === want)
+  }
+
+  /** Random corpus of 240 docs: 120 bases + 120 one-token mutations, so
+    * plenty of pairs land on both sides of the τ=0.5 threshold.
+    */
+  private lazy val randomCorpusDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dedup-prop")
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String =
+      Seq.fill(4 + rnd.nextInt(24))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq.tabulate(120) { i =>
+      val t = doc()
+      val w = t.split(" ")
+      w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+      Seq((i * 2L, t), (i * 2L + 1, w.mkString(" ")))
+    }.flatten
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    d.toString
+  }
+
+  test("prefix filtering is lossless: prefix == brute force on a random near-dup corpus") {
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = collectPairs(DedupQueries.ngramJaccard(spark, randomCorpusDir))
+    val prefix = collectPairs(DedupQueries.ngramJaccardPrefix(spark, randomCorpusDir))
+    assert(exact.nonEmpty, "corpus produced no qualifying pairs — test is vacuous")
+    assert(prefix === exact)
+  }
+}
