@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, Fnv1a32Expr, WordNgramsExpr}
+import graft.functions.{ArrayDotProduct, Fnv1a32Expr, PairsExpr, ShingleHash60Expr, TokenHash60Expr, TokenizeExpr, WinnowFpsExpr, WordNgramsExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native Catalyst
   * expressions available as SQL functions in any session, the standard
@@ -42,12 +42,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_ngrams", "word_ngrams(tokens, n) - space-joined sliding n-grams; n must be a literal"),
       (args: Seq[Expression]) => {
         arity("word_ngrams", args, 2)
-        val n = args(1).eval() match {
-          case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"word_ngrams: n must be an integer literal, got $other")
-        }
-        WordNgramsExpr(args(0), n)
+        WordNgramsExpr(args(0), litInt("word_ngrams", args(1)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("tokenize"),
+      info("tokenize", "tokenize(str) - maximal Unicode-letter-run tokens (reference wc tokenizer)"),
+      (args: Seq[Expression]) => { arity("tokenize", args, 1); TokenizeExpr(args.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("token_hash60"),
+      info("token_hash60", "token_hash60(str, distinct) - hash60 per (optionally distinct) token; distinct must be a boolean literal"),
+      (args: Seq[Expression]) => {
+        arity("token_hash60", args, 2)
+        val distinct = args(1).eval() match {
+          case b: Boolean => b
+          case other => throw new IllegalArgumentException(
+            s"token_hash60: distinct must be a boolean literal, got $other")
+        }
+        TokenHash60Expr(args.head, distinct)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash60"),
+      info("shingle_hash60", "shingle_hash60(str, n, mod) - distinct hash60(word n-gram) % mod; n and mod must be literals"),
+      (args: Seq[Expression]) => {
+        arity("shingle_hash60", args, 3)
+        ShingleHash60Expr(args.head, litInt("shingle_hash60", args(1)),
+          litLong("shingle_hash60", args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("id_pairs"),
+      info("id_pairs", "id_pairs(ids) - all (da, db) pairs with da < db of a sorted long array"),
+      (args: Seq[Expression]) => { arity("id_pairs", args, 1); PairsExpr(args.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      info("winnow_fps", "winnow_fps(str, k, w) - winnowing fingerprints (k-gram hash60, window w minima); k and w must be literals"),
+      (args: Seq[Expression]) => {
+        arity("winnow_fps", args, 3)
+        WinnowFpsExpr(args.head, litInt("winnow_fps", args(1)),
+          litInt("winnow_fps", args(2)))
+      }))
+  }
+
+  private def litInt(fn: String, e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+
+  private def litLong(fn: String, e: Expression): Long = e.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a long literal, got $other")
   }
 }

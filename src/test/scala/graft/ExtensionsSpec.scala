@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.functions.Fnv1a32
+
+/** The SparkSessionExtensions installation path: a session created with
+  * `spark.sql.extensions=graft.GraftExtensions` (or, equivalently,
+  * `builder.withExtensions(new GraftExtensions)`) must expose every
+  * native kernel as a SQL function (the SQL/JDBC/notebook surface;
+  * Column-API callers import graft.functions directly).
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("GraftExtensions registers the kernel SQL functions") {
+    val base = spark // materialize the shared context first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // with no default session but a live SparkContext, getOrCreate builds
+    // a NEW session over the same context. spark.sql.extensions is a
+    // STATIC conf (only honored when the context launches), so the test
+    // injects via withExtensions — the same GraftExtensions.apply path the
+    // conf triggers in a production session.
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(s2 ne base, "expected a fresh session with extensions applied")
+      val row = s2.sql(
+        """SELECT fnv1a32('abc') AS f,
+          |       array_dot_product(array(1d, 2d), array(3d, 4d)) AS d,
+          |       word_ngrams(array('a', 'b', 'c'), 2) AS ng,
+          |       tokenize('a-b c!') AS t,
+          |       token_hash60('the the cat', true) AS th,
+          |       shingle_hash60('a b c d', 3, 2147483647) AS sh,
+          |       id_pairs(array(1L, 2L, 3L)) AS ps,
+          |       winnow_fps('abcdefghijklmnop', 8, 4) AS wf
+          |""".stripMargin).collect()(0)
+      assert(row.getInt(0) === Fnv1a32.hash("abc".getBytes("UTF-8")))
+      assert(row.getDouble(1) === 11.0)
+      assert(row.getSeq[String](2) === Seq("a b", "b c"))
+      assert(row.getSeq[String](3) === Seq("a", "b", "c"))
+      assert(row.getSeq[Long](4).length === 2) // distinct {the, cat}
+      assert(row.getSeq[Long](5).length === 2) // grams "a b c", "b c d"
+      assert(row.getSeq[Row](6).map(r => (r.getLong(0), r.getLong(1)))
+        === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(row.getSeq[Long](7).nonEmpty)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
