@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, Fnv1a32Expr, PairsExpr, ShingleHash60Expr, TokenHash60Expr, TokenizeExpr, WinnowFpsExpr, WordNgramsExpr}
+import graft.functions.{ArrayDotProduct, Fnv1a32Expr, PairsExpr, ShingleHash60Expr, SimHash32Expr, TokenHash60Expr, TokenizeExpr, WinnowFpsExpr, WordNgramsExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native Catalyst
   * expressions available as SQL functions in any session, the standard
@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHash60Expr(args.head, litInt("shingle_hash60", args(1)),
           litLong("shingle_hash60", args(2)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(str) - per-row 32-bit SimHash over distinct-token hash60s (null for token-less text)"),
+      (args: Seq[Expression]) => { arity("simhash32", args, 1); SimHash32Expr(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("id_pairs"),
       info("id_pairs", "id_pairs(ids) - all (da, db) pairs with da < db of a sorted long array"),

@@ -134,6 +134,41 @@ object TokenKernels {
     }
   }
 
+  /** 32-bit SimHash over distinct-token hash60s, entirely per-row: bit j
+    * of the fingerprint is the sign of Σ_tokens (±1 by bit j of the token
+    * hash). Returns null for token-less text (mirroring the exploded
+    * formulation, where such docs simply contribute no rows). Equivalent
+    * to explode(token_hash60(text, distinct)) + 32 conditional sums +
+    * sign-fold — but with no exploded token table and NO shuffle before
+    * the final fingerprint grouping.
+    */
+  def simHash32(s: UTF8String): Any = {
+    val bytes = s.getBytes
+    val o = tokenOffsets(bytes)
+    if (o.n == 0) return null
+    val seen = new java.util.HashSet[UTF8String](o.n)
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](32)
+    var t = 0
+    while (t < o.n) {
+      val tok = UTF8String.fromBytes(bytes, o.a(t), o.a(t + 1) - o.a(t))
+      if (seen.add(tok)) {
+        md.update(bytes, o.a(t), o.a(t + 1) - o.a(t))
+        val h = h60(md)
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      t += 2
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) fp |= 1L << j; j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
   private val Space = Array[Byte](' ')
 
   /** Distinct `hash60(gram) % mod` over all word n-grams (tokens joined by
@@ -194,6 +229,30 @@ object TokenizeExpr {
   import org.apache.spark.sql.graft.ColumnBridge
   def apply(text: Column): Column =
     ColumnBridge.column(TokenizeExpr(ColumnBridge.expression(text)))
+}
+
+/** `simhash32(text)` — per-row 32-bit SimHash (null for token-less text). */
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(input: Any): Any =
+    TokenKernels.simHash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.freshName("simhashBoxed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object $v = graft.functions.TokenKernels.simHash32($c);
+       |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $v).longValue(); }
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Expr =
+    copy(child = newChild)
+}
+
+object SimHash32Expr {
+  import org.apache.spark.sql.graft.ColumnBridge
+  def apply(text: Column): Column =
+    ColumnBridge.column(SimHash32Expr(ColumnBridge.expression(text)))
 }
 
 /** `token_hash60(text)` — hash60 per (optionally distinct) token. */

@@ -232,30 +232,24 @@ object DedupQueries {
   /** `dedup_simhash` — 32-bit SimHash fingerprint over distinct token
     * hashes (unit weights): bit j of the fingerprint is the sign of
     * Σ_tokens (±1 by bit j of the token hash). Docs are then grouped by
-    * identical fingerprint (keep min doc_id). One explode + one aggregation
-    * with 32 codegen'd conditional sums — no joins.
+    * identical fingerprint (keep min doc_id).
+    *
+    * The fingerprint is a pure per-document function, so SimHash32Expr
+    * computes it IN-ROW (tokenize → distinct → hash60 → bit sums → sign
+    * fold in one kernel): the only shuffle left is the final tiny
+    * fingerprint grouping. The round-2/3a form exploded ~200 token rows
+    * per doc and re-aggregated them by doc_id — a full exchange of the
+    * token table that carried no information the row didn't already have.
     */
   val SimhashBits = 32
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // TokenHash60Expr(distinct = true) fuses tokenize -> distinct-by-token
-    // -> hash60 into one per-row kernel: no token string array, no
-    // Column-level md5 hex round-trip per token (the remaining round-2
-    // cost after the extra exchange was removed).
-    val tok = Tables.docs(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.TokenHash60Expr(col("text"), distinct = true)).as("h"))
-    val bitSums = (0 until SimhashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
-    }
-    val fingerprint = (0 until SimhashBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fingerprint.as("simhash"))
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.docs(spark, dir)
+      .select(col("doc_id"), graft.functions.SimHash32Expr(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull) // token-less docs: absent in the
+      // exploded/oracle formulation, so drop them here identically
       .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-  }
 
   val dedupSimhashSql: String = {
     val bitSums = (0 until SimhashBits).map { j =>

@@ -33,6 +33,7 @@ class ExtensionsSpec extends SparkTestBase {
           |       tokenize('a-b c!') AS t,
           |       token_hash60('the the cat', true) AS th,
           |       shingle_hash60('a b c d', 3, 2147483647) AS sh,
+          |       simhash32('the cat') AS sh32,
           |       id_pairs(array(1L, 2L, 3L)) AS ps,
           |       winnow_fps('abcdefghijklmnop', 8, 4) AS wf
           |""".stripMargin).collect()(0)
@@ -42,9 +43,10 @@ class ExtensionsSpec extends SparkTestBase {
       assert(row.getSeq[String](3) === Seq("a", "b", "c"))
       assert(row.getSeq[Long](4).length === 2) // distinct {the, cat}
       assert(row.getSeq[Long](5).length === 2) // grams "a b c", "b c d"
-      assert(row.getSeq[Row](6).map(r => (r.getLong(0), r.getLong(1)))
+      assert(!row.isNullAt(6)) // simhash32 of non-empty text
+      assert(row.getSeq[Row](7).map(r => (r.getLong(0), r.getLong(1)))
         === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
-      assert(row.getSeq[Long](7).nonEmpty)
+      assert(row.getSeq[Long](8).nonEmpty)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -56,6 +56,32 @@ class TokenKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("SimHash32Expr == exploded 32-conditional-sum formulation (null for token-less)") {
+    import spark.implicits._
+    val xs = samples // samples is a fresh random draw per CALL — capture once
+    val df = xs.toDF("text")
+    val got = df.select(graft.functions.SimHash32Expr(col("text")).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val want = xs.map { s =>
+      val toks = s.split(TextFns.TokenSplitRegex).filter(_.nonEmpty).distinct
+      if (toks.isEmpty) None
+      else {
+        val hs = toks.map { t =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8"))
+          (0 until 8).foldLeft(0L)((h, j) => (h << 8) | (d(j) & 0xffL)) >>> 4
+        }
+        Some((0 until 32).map { j =>
+          val bitSum = hs.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+          if (bitSum > 0) 1L << j else 0L
+        }.sum)
+      }
+    }
+    got.toSeq.zip(want).zip(xs).foreach { case ((g, w), s) =>
+      assert(g === w, s"input=$s")
+    }
+  }
+
   test("ShingleHash60Expr == distinct(hash60(ngram) % P) over the split pipeline") {
     import spark.implicits._
     val df = samples.toDF("text")
