@@ -151,7 +151,11 @@ object DedupQueries {
     val hs = shingleHashes(spark, dir)
     val i = size(array_intersect(col("ha"), col("hb")))
     val j = i.cast("double") / (size(col("ha")) + size(col("hb")) - i)
-    cand
+    // Pin the verify width: candidate rows are byte-tiny (16 B) but each
+    // fans out to two shingle arrays + an intersect, so AQE — which sizes
+    // post-shuffle stages by BYTES — coalesces the stage to 1-3 tasks and
+    // serializes the CPU (observed: 9.3 s of intersect CPU on 3 tasks).
+    cand.repartition(spark.sparkContext.defaultParallelism, col("da"))
       .join(hs.select(col("doc_id").as("da"), col("hs").as("ha")), "da")
       .join(hs.select(col("doc_id").as("db"), col("hs").as("hb")), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), j.as("jaccard"))
@@ -350,7 +354,11 @@ object DedupQueries {
     // pair — rarity order is a candidate-count heuristic, not a
     // correctness condition.
     val packed = least(col("df"), lit(2147483647L)) * lit(2147483648L) + col("h")
+    // The pinned repartition doubles as the aggregation exchange (the
+    // groupBy reuses the hash partitioning): without it AQE coalesces the
+    // byte-tiny but sort-heavy per-doc collect to ONE task.
     val prefix = ex.join(freq, "h")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(packed)).as("sh"))
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
