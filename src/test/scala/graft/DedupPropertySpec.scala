@@ -64,4 +64,22 @@ class DedupPropertySpec extends SparkTestBase {
     assert(exact.nonEmpty, "corpus produced no qualifying pairs — test is vacuous")
     assert(prefix === exact)
   }
+
+  test("minhash verification is exact: every reported pair is a true J>=0.8 pair " +
+      "with the brute-force jaccard value") {
+    // LSH candidate generation may MISS pairs (probabilistic recall), but
+    // the verify stage makes precision exact: reported pairs must be a
+    // subset of the brute-force J>=0.5 join restricted to J >= JaccardTau,
+    // with bit-identical jaccard values.
+    val exact = DedupQueries.ngramJaccard(spark, randomCorpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mh = DedupQueries.dedupMinhash(spark, randomCorpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(mh.nonEmpty, "minhash found no pairs on a near-dup corpus — test is vacuous")
+    mh.foreach { case (pair, j) =>
+      assert(j >= DedupQueries.JaccardTau, s"$pair below tau: $j")
+      assert(exact.get(pair).contains(j),
+        s"$pair: minhash jaccard $j != brute force ${exact.get(pair)}")
+    }
+  }
 }
