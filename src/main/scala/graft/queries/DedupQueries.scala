@@ -168,12 +168,20 @@ object DedupQueries {
     * banded signatures → bucket self-join → exact-Jaccard verification at
     * τ=0.8. Output: (doc_a, doc_b, jaccard).
     */
+  /** Memo for the per-doc minhash signature table: referenced by both the
+    * oversized-bucket count and the bounded collect (and by repeated query
+    * invocations); one kernel pass over the cached shingle table serves
+    * all of them.
+    */
+  private val sigMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val hs = shingleHashes(spark, dir)
-    val mh = hs
-      .select(col("doc_id"), graft.functions.MinHashSig(col("hs"), AB, P).as("sig"))
-      .select(
-        col("doc_id") +: AB.indices.map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    val mh = memoize(sigMemo, spark, dir)(
+      shingleHashes(spark, dir)
+        .select(col("doc_id"), graft.functions.MinHashSig(col("hs"), AB, P).as("sig"))
+        .select(
+          col("doc_id") +: AB.indices.map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*))
     val bandStructs = (0 until Bands).map { b =>
       val sig = concat_ws("-",
         (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
@@ -181,15 +189,24 @@ object DedupQueries {
     }
     val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // Candidate pairs via ONE aggregation over the bands table + the
-    // PairsExpr kernel — not a (band, sig) self-join, which would compute
-    // the minhash-signature pipeline once per join side and shuffle twice.
-    // The MaxBandBucket cap is a free size(ids) filter here (round-2 used
-    // a sort-based count window); buckets of 1 generate nothing and are
-    // dropped up front.
-    val cand = bands.groupBy(col("band"), col("sig"))
+    // Candidate pairs via ONE bucket aggregation + the PairsExpr kernel —
+    // not a (band, sig) self-join, which would compute the
+    // minhash-signature pipeline once per join side and shuffle twice.
+    // The MaxBandBucket cap runs BEFORE the collect as a count aggregate
+    // + broadcast anti-join (the oversized set is ~empty by construction):
+    // a mega-bucket must never reach collect_list, whose aggregation
+    // buffer materializes the whole bucket — at 100 TB an exact-dup flood
+    // would OOM the aggregator before a post-collect size filter ran.
+    // Cost: the byte-tiny bands subplan is computed twice (kernel per-row
+    // work over the cached shingle table) — bounded memory is worth it.
+    val oversized = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > MaxBandBucket)
+      .select(col("band"), col("sig"))
+    val cand = bands.join(broadcast(oversized), Seq("band", "sig"), "left_anti")
+      .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBandBucket)
+      .filter(size(col("ids")) > 1)
       .select(explode(graft.functions.PairsExpr(col("ids"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()

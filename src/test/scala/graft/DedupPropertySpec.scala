@@ -65,6 +65,33 @@ class DedupPropertySpec extends SparkTestBase {
     assert(prefix === exact)
   }
 
+  test("MaxBandBucket cap: an exact-dup flood generates no pairs, real near-dups survive") {
+    // 1030 byte-identical clones exceed the 1024 bucket cap in every band
+    // -> dropped before pair generation (the exact-hash dedup path owns
+    // mega-clusters); an unrelated near-dup pair must still be found.
+    // This is the first test to actually EXERCISE the capped path — at
+    // the driver SFs no bucket comes near the cap.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("cap-corpus")
+    val clone = "alpha beta gamma delta epsilon zeta eta theta"
+    // 20 shared tokens + 1 differing tail token: 19-shingle sets sharing
+    // 18 -> J = 18/20 = 0.9 >= tau
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val nearA = s"$base apple"
+    val nearB = s"$base orange"
+    val docs = Seq.tabulate(1030)(i => (i.toLong, clone)) ++
+      Seq((5000L, nearA), (5001L, nearB))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val pairs = DedupQueries.dedupMinhash(spark, d.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((5000L, 5001L)),
+      s"expected only the near-dup pair; got ${pairs.size} pairs: ${pairs.take(5)}")
+  }
+
   test("minhash verification is exact: every reported pair is a true J>=0.8 pair " +
       "with the brute-force jaccard value") {
     // LSH candidate generation may MISS pairs (probabilistic recall), but
