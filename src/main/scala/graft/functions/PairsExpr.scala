@@ -2,41 +2,57 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** All ordered pairs (ids[i], ids[j]), i < j, of a sorted long array —
-  * the bucket-pair generation step of LSH candidate mining done per-row.
+  * the bucket-pair generation step of LSH candidate mining, as a LAZY
+  * Catalyst Generator.
   *
   * Replaces a bucket SELF-JOIN (`bucket.as("x").join(bucket.as("y"), keys
   * && x.id < y.id)`): Spark computes each side of a self-join as an
-  * independent subplan, so the whole upstream pipeline (minhash signatures,
-  * prefix selection) ran TWICE, plus a join shuffle. With
-  * `groupBy(bucket).agg(sort_array(collect_list(id)))` + this kernel the
-  * upstream runs once and pair generation is a tight in-row loop.
+  * independent subplan, so the whole upstream pipeline (minhash
+  * signatures, prefix selection) ran TWICE, plus a join shuffle. With
+  * `groupBy(bucket).agg(sort_array(collect_list(id)))` + this generator
+  * the upstream runs once and pairs stream out of `GenerateExec` row by
+  * row — a Generator, NOT an array-returning expression, because the
+  * n·(n-1)/2 pair array of a hot bucket materialized in a single row
+  * would dwarf the O(n) input it came from (the self-join it replaces
+  * streams its output too; this keeps that property).
   *
   * Input ids must be sorted ascending (callers use `sort_array`), so
   * emitted pairs satisfy da < db — identical to the join formulation the
-  * DuckDB oracle uses. Callers bound bucket sizes (MaxBandBucket) BEFORE
-  * this expression; output size is n·(n-1)/2.
+  * DuckDB oracle uses.
   */
-case class PairsExpr(child: Expression) extends UnaryExpression {
+case class PairsExpr(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("da", LongType, nullable = false),
-      StructField("db", LongType, nullable = false))),
-    containsNull = false)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("da", LongType, nullable = false),
+    StructField("db", LongType, nullable = false)))
 
   override def prettyName: String = "id_pairs"
 
-  override def nullSafeEval(input: Any): Any =
-    PairsExpr.compute(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PairsExpr.compute($c)")
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = child.eval(input).asInstanceOf[ArrayData]
+    if (ids == null) Iterator.empty
+    else {
+      val n = ids.numElements()
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = j < n
+        override def next(): InternalRow = {
+          val r = new GenericInternalRow(Array[Any](ids.getLong(i), ids.getLong(j)))
+          j += 1
+          if (j == n) { i += 1; j = i + 1 }
+          r
+        }
+      }
+    }
+  }
 
   override protected def withNewChildInternal(newChild: Expression): PairsExpr =
     copy(child = newChild)
@@ -44,26 +60,11 @@ case class PairsExpr(child: Expression) extends UnaryExpression {
 
 object PairsExpr {
 
-  def compute(ids: ArrayData): ArrayData = {
-    val n = ids.numElements()
-    val out = new Array[AnyRef](n * (n - 1) / 2)
-    var k = 0
-    var i = 0
-    while (i < n) {
-      val a = ids.getLong(i)
-      var j = i + 1
-      while (j < n) {
-        out(k) = new GenericInternalRow(Array[Any](a, ids.getLong(j))): InternalRow
-        k += 1
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-
   import org.apache.spark.sql.graft.ColumnBridge
 
+  /** Generator column: `df.select(PairsExpr(col("ids")))` yields the two
+    * columns (da, db), one row per pair.
+    */
   def apply(ids: Column): Column =
     ColumnBridge.column(PairsExpr(ColumnBridge.expression(ids)))
 }

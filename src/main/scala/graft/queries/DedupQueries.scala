@@ -207,8 +207,7 @@ object DedupQueries {
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(graft.functions.PairsExpr(col("ids"))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
       .distinct()
     verifyJaccard(spark, dir, cand, JaccardTau)
   }
@@ -315,8 +314,8 @@ object DedupQueries {
     val inter = ex.groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(graft.functions.PairsExpr(col("ids"))).as("p"))
-      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
+      .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
     inter
@@ -387,8 +386,7 @@ object DedupQueries {
     val cand = prefix.groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(graft.functions.PairsExpr(col("ids"))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
       .distinct()
     verifyJaccard(spark, dir, cand, NgramJaccardTau)
   }

@@ -13,21 +13,21 @@ import graft.queries.DedupQueries
   */
 class DedupPropertySpec extends SparkTestBase {
 
-  test("PairsExpr emits exactly the i<j pairs of a sorted id array") {
+  test("PairsExpr generates exactly the i<j pairs of a sorted id array") {
     import spark.implicits._
     val df = Seq(
-      Seq(1L, 5L, 9L), Seq(2L), Seq.empty[Long], Seq(3L, 4L), Seq(1L, 2L, 3L, 4L))
-      .toDF("ids")
-    val got = df.select(PairsExpr(col("ids")).as("ps"))
+      (0, Seq(1L, 5L, 9L)), (1, Seq(2L)), (2, Seq.empty[Long]),
+      (3, Seq(3L, 4L)), (4, Seq(1L, 2L, 3L, 4L)))
+      .toDF("k", "ids")
+    val got = df.select(col("k"), PairsExpr(col("ids")))
       .collect()
-      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))))
-    val want = Seq(
-      Seq((1L, 5L), (1L, 9L), (5L, 9L)),
-      Seq.empty,
-      Seq.empty,
-      Seq((3L, 4L)),
-      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
-    assert(got.toSeq === want)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = Set(
+      (0, 1L, 5L), (0, 1L, 9L), (0, 5L, 9L), // single-id and empty inputs: no rows
+      (3, 3L, 4L),
+      (4, 1L, 2L), (4, 1L, 3L), (4, 1L, 4L), (4, 2L, 3L), (4, 2L, 4L), (4, 3L, 4L))
+    assert(got === want)
   }
 
   /** Random corpus of 240 docs: 120 bases + 120 one-token mutations, so

@@ -34,7 +34,6 @@ class ExtensionsSpec extends SparkTestBase {
           |       token_hash60('the the cat', true) AS th,
           |       shingle_hash60('a b c d', 3, 2147483647) AS sh,
           |       simhash32('the cat') AS sh32,
-          |       id_pairs(array(1L, 2L, 3L)) AS ps,
           |       winnow_fps('abcdefghijklmnop', 8, 4) AS wf
           |""".stripMargin).collect()(0)
       assert(row.getInt(0) === Fnv1a32.hash("abc".getBytes("UTF-8")))
@@ -44,9 +43,12 @@ class ExtensionsSpec extends SparkTestBase {
       assert(row.getSeq[Long](4).length === 2) // distinct {the, cat}
       assert(row.getSeq[Long](5).length === 2) // grams "a b c", "b c d"
       assert(!row.isNullAt(6)) // simhash32 of non-empty text
-      assert(row.getSeq[Row](7).map(r => (r.getLong(0), r.getLong(1)))
-        === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
-      assert(row.getSeq[Long](8).nonEmpty)
+      assert(row.getSeq[Long](7).nonEmpty)
+      // id_pairs is a GENERATOR (multi-column output): its SQL form takes
+      // the multi-alias generator syntax
+      val pairs = s2.sql("SELECT id_pairs(array(1L, 2L, 3L)) AS (da, db)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
