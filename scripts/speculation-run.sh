@@ -19,18 +19,27 @@ JAR=$(ls -t target/scala-2.13/*.jar | head -1)
 
 export SPARK_LOG_DIR=$(mktemp -d /tmp/spec-logs.XXXXXX)
 PIDS=()
-cleanup() { kill "${PIDS[@]}" 2>/dev/null || true; wait 2>/dev/null || true; }
+# Kill whole process groups: with SPARK_NO_DAEMONIZE the start-*.sh
+# wrappers spawn the Master/Worker JVMs as children, and killing only the
+# wrapper PID leaves the JVMs running (observed: two leaked workers
+# stealing 4 cores from later benchmarks). setsid gives each its own
+# group; kill -- -PID takes the group down.
+cleanup() {
+  for p in "${PIDS[@]}"; do kill -- "-$p" 2>/dev/null || kill "$p" 2>/dev/null || true; done
+  wait 2>/dev/null || true
+  pkill -f 'org.apache.spark.deploy.(master.Master|worker.Worker).*7177' 2>/dev/null || true
+}
 trap cleanup EXIT
 
-SPARK_NO_DAEMONIZE=1 /opt/spark/sbin/start-master.sh \
+setsid env SPARK_NO_DAEMONIZE=1 /opt/spark/sbin/start-master.sh \
   -h 127.0.0.1 -p 7177 --webui-port 8091 >"$SPARK_LOG_DIR/master.out" 2>&1 &
 PIDS+=($!)
 sleep 5
-SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=$SPARK_LOG_DIR/w1 /opt/spark/sbin/start-worker.sh \
+setsid env SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=$SPARK_LOG_DIR/w1 /opt/spark/sbin/start-worker.sh \
   -h 127.0.0.1 -c 2 -m 1g --webui-port 8092 spark://127.0.0.1:7177 \
   >"$SPARK_LOG_DIR/w1.out" 2>&1 &
 PIDS+=($!)
-SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=$SPARK_LOG_DIR/w2 /opt/spark/sbin/start-worker.sh \
+setsid env SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=$SPARK_LOG_DIR/w2 /opt/spark/sbin/start-worker.sh \
   -h 127.0.0.2 -c 2 -m 1g --webui-port 8093 spark://127.0.0.1:7177 \
   >"$SPARK_LOG_DIR/w2.out" 2>&1 &
 PIDS+=($!)
