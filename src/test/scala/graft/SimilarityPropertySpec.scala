@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.queries.SimilarityQueries
+
+/** Pins the salt-grid fragmentation property similar_pairs/dedup_embed
+  * rely on: fragmenting a block self-join over the S×S grid must emit
+  * every qualifying pair EXACTLY once — identical to the unsalted join —
+  * even when the whole corpus is one hot block (the skew case the grid
+  * exists for).
+  */
+class SimilarityPropertySpec extends SparkTestBase {
+
+  /** 300 vectors, ALL in one label block — the worst-case hot block. */
+  private lazy val hotBlockDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("hot-block")
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300) { i =>
+      // clustered directions so a healthy share of pairs clears CosTau
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 0.6f).toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d.toString
+  }
+
+  test("salt-grid block join == unsalted join on a single hot block (exactly-once pairs)") {
+    val salted = SimilarityQueries.similarPairs(spark, hotBlockDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    // duplicate emission would show up before the comparison does
+    assert(salted.map(_._1).distinct.length === salted.length,
+      "salt grid emitted a pair more than once")
+
+    // unsalted reference: the plain block self-join with the same
+    // cosine expression
+    val e = Tables.embeddings(spark, hotBlockDir)
+      .select(col("vec_id"), col("label"), VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+    val cos = VectorFns.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val plain = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("label").as("lb"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")),
+        col("label") === col("lb") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(cos, 4))
+      .filter(col("sim") >= SimilarityQueries.CosTau)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+
+    assert(plain.nonEmpty, "no qualifying pairs — test is vacuous")
+    assert(salted.toMap === plain.toMap)
+  }
+}
