@@ -19,7 +19,11 @@ import graft.functions.{ArrayDotProduct, Fnv1a32Expr, PairsExpr, ShingleHash60Ex
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(s"graft.functions", name)
+    // ExpressionInfo requires `_FUNC_` in usage (it substitutes the bound
+    // name at DESCRIBE time); call sites pass the readable "name(args)"
+    // form, rewritten here.
+    new ExpressionInfo("graft.functions", null, name,
+      usage.replaceFirst(java.util.regex.Pattern.quote(name), "_FUNC_"), "")
 
   private def arity(name: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n)

@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
 /** All ordered pairs (ids[i], ids[j]), i < j, of a sorted long array —
   * the bucket-pair generation step of LSH candidate mining, as a LAZY
@@ -27,7 +27,17 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * DuckDB oracle uses.
   */
 case class PairsExpr(child: Expression)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with Generator with CodegenFallback
+    with ImplicitCastInputTypes {
+
+  // Typed input contract: the eval below reads long elements straight out
+  // of the ArrayData, so a mistyped SQL call (id_pairs is exposed via
+  // GraftExtensions) must fail at analysis time — an int-backed array would
+  // otherwise ClassCastException at runtime or, worse, read garbage from
+  // UnsafeArrayData. Implicit casts still widen array<int> etc. to
+  // array<bigint>.
+  // (return type inferred: AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("da", LongType, nullable = false),

@@ -42,16 +42,21 @@ object TokenKernels {
       val b0 = bytes(i) & 0xff
       var len = 1
       var cp = b0
-      if (b0 >= 0xf0) {
-        len = 4
-        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
-      } else if (b0 >= 0xe0) {
-        len = 3
-        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
-      } else if (b0 >= 0xc0) {
-        len = 2
-        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+      if (b0 >= 0xc0) {
+        len = if (b0 >= 0xf0) 4 else if (b0 >= 0xe0) 3 else 2
+        // UTF8String does not guarantee well-formed UTF-8 (cast(binary as
+        // string), corrupt input): a lead byte whose continuation bytes run
+        // past the buffer must not be decoded. Treat the truncated tail as a
+        // single non-letter byte (U+FFFD is not a letter) instead of
+        // reading out of bounds.
+        if (i + len > nb) { len = 1; cp = 0xfffd }
+        else if (len == 4)
+          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        else if (len == 3)
+          cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        else
+          cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
       }
       val isLetter =
         if (cp < 0x80) (cp | 0x20) >= 'a' && (cp | 0x20) <= 'z'

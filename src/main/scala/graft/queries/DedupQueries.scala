@@ -79,25 +79,12 @@ object DedupQueries {
     * a new one per call. At cluster scale this is the standard "materialize
     * the shingle table once per dedup job" step.
     */
-  private val shingleMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private val shingleMemo = Memo.table()
 
-  /** Memoize-and-persist with SESSION-SCOPED lifetime: when the owning
-    * SparkContext ends, the entry is evicted so the map never retains
-    * stopped sessions (or their cached blocks) for the JVM lifetime — a
-    * slow leak in a long-running multi-tenant driver otherwise. One
-    * listener per entry; eviction is idempotent.
-    */
-  private def memoize(memo: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      spark: SparkSession, dir: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir), {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          memo.remove((spark, dir))
-      })
-      build.persist()
-    })
+  /** Session-scoped memoize-and-persist — see [[Memo]]. */
+  private def memoize(memo: Memo.Table, spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    Memo.memoize(memo, spark, dir)(build)
 
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     memoize(shingleMemo, spark, dir)(
@@ -115,8 +102,7 @@ object DedupQueries {
     * re-exploding the array table per reference was the round-2 bench
     * regression (1.39 s → 3.57 s). One persisted copy serves them all.
     */
-  private val pairsMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private val pairsMemo = Memo.table()
 
   private val shingleHashesCte: String =
     s"""toks AS (${Oracle.toksCte}),
@@ -134,6 +120,74 @@ object DedupQueries {
   private val shinglePairsCte: String =
     s"""$shingleHashesCte,
        |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs)""".stripMargin
+
+  /** Memo for the shingle document-frequency table (h, df). The prefix
+    * query needs df for rarity ordering and BOTH exact-Jaccard queries need
+    * it for the hot-shingle split below; rebuilding this aggregation per
+    * invocation was the largest per-call cost left in the prefix query
+    * after round 3 (the pair table it aggregates is persisted, the
+    * aggregation itself was not).
+    */
+  private val freqMemo = Memo.table()
+
+  private def shingleFreq(spark: SparkSession, dir: String): DataFrame =
+    memoize(freqMemo, spark, dir)(
+      shinglePairs(spark, dir).groupBy(col("h")).agg(count(lit(1)).as("df")))
+
+  /** Per-shingle posting-list bound for the collect_list+PairsExpr pair
+    * generator: a shingle shared by more than this many documents would
+    * materialize its whole posting list in ONE aggregation buffer (a df=10⁶
+    * shingle at 100 TB is a multi-MB single-buffer row and a straggler
+    * task). Shingles above the bound are diverted to a streaming salted
+    * self-join branch instead — same pairs, exactly once, no per-key
+    * buffer (sort-merge join spills; the salt grid spreads one hot
+    * shingle's O(df²) pair fan-out over SaltCells² tasks). Unlike minhash's
+    * [[MaxBandBucket]] this is NOT a drop: exact-Jaccard recall is
+    * preserved bit-for-bit (the oracle SQL is unchanged), which
+    * DedupPropertySpec pins with a corpus of >MaxShingleBucket clones.
+    */
+  val MaxShingleBucket = 1024
+
+  /** Salt-grid factor for the hot-shingle self-join (same exactly-once
+    * construction as SimilarityQueries.saltedGrid, proven by
+    * SimilarityPropertySpec).
+    */
+  val SaltCells = 4
+
+  /** All co-occurring (da, db) pairs, da < db, of a (doc_id, h) table —
+    * one output row per (h, pair). `freq` must be the (h, df) counts of
+    * `t` or any per-h upper bound of them (a superset "hot" set only moves
+    * more shingles onto the join branch; results are identical).
+    *
+    * Cold shingles (df ≤ [[MaxShingleBucket]]): one groupBy(h) +
+    * collect_list + the lazy [[graft.functions.PairsExpr]] generator — a
+    * single aggregation whose per-key buffer is bounded by the df filter.
+    * Hot shingles: a salted streaming self-join of the (tiny, usually
+    * empty) hot slice — each pair meets in exactly one of SaltCells² cells.
+    * The hot set is broadcast both to the anti-join (cold side) and the
+    * semi-join (hot side), so the persisted input is scanned, not
+    * recomputed, per branch.
+    */
+  private def coocPairs(t: DataFrame, freq: DataFrame): DataFrame = {
+    val hot = freq.filter(col("df") > MaxShingleBucket).select(col("h"))
+    val cold = t.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
+    val th = t.join(broadcast(hot), Seq("h"))
+    val a = th.select(col("h"), col("doc_id").as("da"))
+      .withColumn("si_a", pmod(xxhash64(col("da")), lit(SaltCells)).cast("int"))
+      .withColumn("sj_a", explode(array((0 until SaltCells).map(lit): _*)))
+    val b = th.select(col("h").as("hb"), col("doc_id").as("db"))
+      .withColumn("sj_b", pmod(xxhash64(col("db")), lit(SaltCells)).cast("int"))
+      .withColumn("si_b", explode(array((0 until SaltCells).map(lit): _*)))
+    val hotPairs = a.join(b,
+        col("h") === col("hb") && col("si_a") === col("si_b") &&
+          col("sj_a") === col("sj_b") && col("da") < col("db"))
+      .select(col("da"), col("db"))
+    cold.union(hotPairs)
+  }
 
   /** Verified-Jaccard join: candidate pairs → (doc_a, doc_b, jaccard≥τ).
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|) over exact integer counts — the
@@ -173,8 +227,7 @@ object DedupQueries {
     * invocations); one kernel pass over the cached shingle table serves
     * all of them.
     */
-  private val sigMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private val sigMemo = Memo.table()
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val mh = memoize(sigMemo, spark, dir)(
@@ -311,10 +364,9 @@ object DedupQueries {
     // losslessly and is the declared scale path.)
     val sizes = shingleHashes(spark, dir)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-    val inter = ex.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
+    // hot-shingle split (see coocPairs): df > MaxShingleBucket posting
+    // lists never hit a collect_list buffer
+    val inter = coocPairs(ex, shingleFreq(spark, dir))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
@@ -352,7 +404,7 @@ object DedupQueries {
     */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val ex = shinglePairs(spark, dir)
-    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val freq = shingleFreq(spark, dir) // memoized (h, df) — see freqMemo
     // Rarest-prefix selection via hash aggregate + per-row array sort/slice
     // instead of round-2's row_number window: the window forced a sort-based
     // WindowExec over the whole exploded table PLUS a separate sizes join;
@@ -379,15 +431,18 @@ object DedupQueries {
       .agg(sort_array(collect_list(packed)).as("sh"))
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
       .select(col("doc_id"), col("p").bitwiseAND(lit(2147483647L)).as("h"))
-    // Shared-prefix-shingle pairs via one groupBy(h) + PairsExpr, not a
-    // self-join: a self-join would run the whole prefix-selection pipeline
-    // once per side (observed in the round-3 plan audit as the duplicated
-    // ObjectHashAggregate/Generate branch).
-    val cand = prefix.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
-      .distinct()
+    // Shared-prefix-shingle pairs via one groupBy(h) + PairsExpr for cold
+    // shingles (a self-join would run the whole prefix-selection pipeline
+    // once per side — observed in the round-3 plan audit as the duplicated
+    // ObjectHashAggregate/Generate branch), with the hot-shingle split of
+    // [[coocPairs]] so no collect buffer exceeds MaxShingleBucket. The
+    // corpus-level df is a valid per-h upper bound of the prefix table's
+    // bucket sizes (prefix rows ⊆ ex rows). The hot branches reference the
+    // prefix pipeline again, but only behind an inner join with the
+    // broadcast hot set: when that set is empty (every non-adversarial
+    // corpus) AQE's empty-relation propagation collapses both branches
+    // before their probe side runs, so the pipeline still executes once.
+    val cand = coocPairs(prefix, freq).distinct()
     verifyJaccard(spark, dir, cand, NgramJaccardTau)
   }
 

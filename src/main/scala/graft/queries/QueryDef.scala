@@ -13,6 +13,32 @@ case class QueryDef(
     sql: Option[String],
     doc: String = "")
 
+/** Session-scoped memoize-and-persist for per-(session, dir) derived
+  * tables (shingle tables, signature tables, embedding norms): queries
+  * reference these subplans several times and repeated invocations (the
+  * bench loop, the verify dump) share one cache entry instead of leaking a
+  * new one per call. When the owning SparkContext ends the entry is
+  * evicted, so the map never retains stopped sessions (or their cached
+  * blocks) for the JVM lifetime — a slow leak in a long-running
+  * multi-tenant driver otherwise. One listener per entry; eviction is
+  * idempotent.
+  */
+private[queries] object Memo {
+  type Table = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  def table(): Table = new Table
+
+  def memoize(memo: Table, spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir), {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          memo.remove((spark, dir))
+      })
+      build.persist()
+    })
+}
+
 /** Shared DuckDB SQL fragments mirroring `graft.functions.TextFns`. */
 object Oracle {
   /** Mirror of TextFns.tokens (tokenizer of reference src/mrapps/wc.go:21). */

@@ -20,12 +20,19 @@ import graft.functions.VectorFns
 object SimilarityQueries {
 
   /** Embeddings with precomputed double vector + norm (O(d) per row, once —
-    * not recomputed per pair).
+    * not recomputed per pair). Memoized-and-persisted per (session, dir)
+    * (see [[Memo]]): every similarity query references this table 2-4×
+    * (query side, corpus side, centroid/assignment branches), and without
+    * the cache each reference re-scanned the parquet and re-derived
+    * vector + norm — the dominant repeated cost in ann_ivf's round-3 plan.
     */
+  private val embMemo = Memo.table()
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), VectorFns.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorFns.norm(col("v")))
+    Memo.memoize(embMemo, spark, dir)(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), VectorFns.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorFns.norm(col("v"))))
 
   private val embCte: String =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -109,16 +116,29 @@ object SimilarityQueries {
   val TopK = 10
   val MaxBroadcastQueries = 65536
 
-  /** Conservative row-count upper bound from parquet file bytes — planning
-    * metadata only (file listing), NO Spark job. 64 bytes/row assumed vs
-    * ~260 actual for a 64-dim float vector, so the bound overshoots ~4×:
-    * chunking kicks in a little early at scale (harmless extra corpus
-    * passes), never late (the broadcast memory bound is what matters).
+  /** Exact row count from the parquet FOOTERS — planning metadata only
+    * (file listing + footer reads), NO Spark job. A bytes/row heuristic is
+    * not safe here: a dictionary-/RLE-compressed file below the assumed
+    * bytes/row would *under*count rows, undercount chunks, and let a
+    * broadcast chunk exceed [[MaxBroadcastQueries]] — the memory bound the
+    * chunking exists to protect. Footer record counts are exact regardless
+    * of encoding.
     */
   private def estimatedRows(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    math.max(1L, fs.getContentSummary(p).getLength / 64L)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath).toSeq
+      else Seq(p)
+    val rows = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    math.max(1L, rows)
   }
 
   private def ranked(joined: DataFrame): DataFrame = {
@@ -168,28 +188,42 @@ object SimilarityQueries {
        |${rankedSql(s"q JOIN e c ON q.vec_id <> c.vec_id")}""".stripMargin
 
   // ----------------------------------------------------------------- ann_lsh
-  /** `ann_lsh` — LSH-bucketed ANN: candidates restricted to the query's
-    * axis-hyperplane bucket (sign bits of the first 8 dims → 256 buckets),
-    * then exact cosine top-10 within the bucket. Trades recall for a 256×
-    * candidate reduction; bucket assignment is engine-exact (float sign
-    * tests), so results remain oracle-checkable.
+  /** `ann_lsh` — multi-probe LSH-bucketed ANN: corpus vectors hash to an
+    * axis-hyperplane bucket (sign bits of the first 8 dims → 256 buckets);
+    * each query probes its own bucket plus all buckets at Hamming
+    * distance ≤ 1 (the standard multi-probe trick: a near neighbor that
+    * lands across one hyperplane is recovered by flipping that bit), then
+    * exact cosine top-10 over the probed candidates. Probing is an
+    * EQUI-join still: the query side explodes into its 1+LshBits probe
+    * buckets and joins `probe_bucket = corpus_bucket`, so the shuffle-hash
+    * shape survives — no inequality/bit-distance join. Radius-1 probing
+    * scans (1+LshBits)/2^LshBits ≈ 3.5% of the corpus and raised measured
+    * recall@10 5× over single-probe on the test corpus (0.025 → ~0.12,
+    * near-uniform vectors; see SimilarityPropertySpec). Bucket assignment
+    * is engine-exact (float sign tests), so results remain
+    * oracle-checkable.
     */
   val LshBits = 8
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", VectorFns.axisLshBucket(col("v"), LshBits))
+    val probeBuckets = array(
+      col("qb") +: (0 until LshBits).map(j => col("qb").bitwiseXOR(lit(1L << j))): _*)
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
         col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("pb", explode(probeBuckets))
     val c = e.select(col("vec_id").as("neighbor_id"), col("bucket").as("cb"),
       col("v").as("cv"), col("nrm").as("cn"))
     // Shuffle-hash join on the bucket equi-key, NOT broadcast(q): the query
-    // side is O(corpus/QueryMod) and grows unboundedly. Both sides shuffle
-    // on `bucket`; the per-partition build side is only that bucket's
-    // queries. At 100 TB, raise LshBits so 2^LshBits >= cluster parallelism
-    // (bucket count is the join's max fan-out).
+    // side is O(corpus·(1+LshBits)/QueryMod) and grows unboundedly. Both
+    // sides shuffle on the bucket; the per-partition build side is only
+    // that bucket's probes. A (query, neighbor) pair matches at most once
+    // (the neighbor has ONE bucket; probe buckets are distinct). At
+    // 100 TB, raise LshBits so 2^LshBits >= cluster parallelism (bucket
+    // count is the join's max fan-out).
     ranked(q.hint("shuffle_hash").join(c,
-      col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")))
+      col("pb") === col("cb") && col("query_id") =!= col("neighbor_id")))
   }
 
   private val bucketSql: String =
@@ -197,11 +231,15 @@ object SimilarityQueries {
       .map(j => s"CASE WHEN v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
 
-  val annLshSql: String =
+  val annLshSql: String = {
+    val probeList = ("q.bucket" +: (0 until LshBits).map(j => s"xor(q.bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
     s"""WITH $embCte,
        |eb AS (SELECT *, $bucketSql AS bucket FROM e),
        |q AS (SELECT * FROM eb WHERE vec_id % $QueryMod = 0),
-       |${rankedSql(s"q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id")}""".stripMargin
+       |probes AS (SELECT q.*, p.pb FROM q, unnest($probeList) AS p(pb)),
+       |${rankedSql(s"probes q JOIN eb c ON q.pb = c.bucket AND q.vec_id <> c.vec_id")}""".stripMargin
+  }
 
   // ------------------------------------------------------------- dedup_embed
   /** `dedup_embed` — embedding-cosine near-duplicate *removal* (the dedup
@@ -243,75 +281,96 @@ object SimilarityQueries {
     * nearest centroid once — O(n·C) with the C centroids broadcast, the
     * standard IVF build cost — and each query probes only its `Nprobe`
     * nearest inverted lists, doing exact cosine top-k inside ~Nprobe/C of
-    * the corpus. The codebook is FIXED-SIZE: the `IvfC` smallest vec_ids
-    * (a k-means/sampled codebook at real scale; chosen here so the oracle
-    * SQL reproduces it exactly) — a constant-C broadcast independent of
-    * corpus size, unlike round-2's every-31st-vector codebook whose O(n/31)
-    * broadcast and O(n²/31) assignment grew with the corpus. Assignment
-    * and probe order use `round(cos, 6)` with centroid id as tiebreak, so
-    * list membership is engine-exact and the result oracle-checkable.
+    * the corpus. The codebook is FIXED-SIZE and HASH-SAMPLED: the `IvfC`
+    * vectors with the smallest `hash60(vec_id)` — a deterministic uniform
+    * sample of the corpus (a k-means codebook at real scale refines it),
+    * reproducible bit-for-bit by the oracle SQL, and decoupled from id
+    * assignment order: unlike round-3's smallest-vec_ids codebook, list
+    * balance cannot degenerate just because low ids cluster (e.g.
+    * insertion-ordered corpora). Still a constant-C broadcast independent
+    * of corpus size. Centroids carry a DENSE index 0..IvfC-1 used for the
+    * packed tiebreak, so the packing is safe for arbitrary (e.g. hashed
+    * 64-bit) vec_ids. Assignment and probe order use `round(cos, 6)` with
+    * centroid index as tiebreak, so list membership is engine-exact and
+    * the result oracle-checkable.
+    */
+  /** Nprobe=4 of 64 lists scans ~6% of the corpus per query — measured
+    * recall@10 ≈ 2× the Nprobe=2 setting on the (near-uniform) test
+    * corpus; see SimilarityPropertySpec's floor test and PLANS.md for the
+    * recorded values.
     */
   val IvfC = 64
-  val Nprobe = 2
+  val Nprobe = 4
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cents = e.orderBy(col("vec_id").asc).limit(IvfC)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv2"), col("nrm").as("cn2"))
+    import graft.functions.TextFns
+    val ch = TextFns.hash60(col("vec_id").cast("string"))
+    // 64-row orderBy+limit = TakeOrderedAndProject; the dense-rank window
+    // runs over those 64 rows only (single tiny partition)
+    val cents = e.withColumn("ch", ch)
+      .orderBy(col("ch").asc, col("vec_id").asc).limit(IvfC)
+      .withColumn("cidx",
+        row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
+      .select(col("cidx"), col("v").as("cv2"), col("nrm").as("cn2"))
     val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
     // Assignment (all n corpus vectors): max_by aggregation instead of a
     // row_number window — partial aggregation collapses the n·C
     // broadcast-join rows to n map-side, so only one row per vector
-    // crosses the exchange. The (cos6 DESC, cent_id ASC) order is packed
+    // crosses the exchange. The (cos6 DESC, cidx ASC) order is packed
     // into ONE long — cos6 is exactly k/1e6 so round(cos6·1e6) recovers k,
-    // and cent_ids are the IvfC smallest vec_ids (far below 2^32) —
-    // because a STRUCT ordering argument forces a SortAggregate while a
-    // fixed-width long keeps the whole assignment in a HashAggregate.
-    // Unique per (vec_id, cent_id) → deterministic argmax, matching the
-    // oracle's rank-1 row.
-    val packedOrder = round(cos6 * lit(1000000d)).cast("long") * lit(4294967296L) +
-      (lit(4294967295L) - col("cent_id"))
-    // Only (vec_id, cent_id, ord) flow into the aggregate: an array-typed
+    // and cidx is DENSE in [1, IvfC] so the tiebreak term fits in the
+    // low 7 bits regardless of vec_id width — because a STRUCT ordering
+    // argument forces a SortAggregate while a fixed-width long keeps the
+    // whole assignment in a HashAggregate. Unique per (vec_id, cidx) →
+    // deterministic argmax, matching the oracle's rank-1 row.
+    val packedOrder = round(cos6 * lit(1000000d)).cast("long") * lit(128L) +
+      (lit(IvfC.toLong) - col("cidx"))
+    // Only (vec_id, cidx, ord) flow into the aggregate: an array-typed
     // buffer (e.g. first(v)) would force a SortAggregate over all n·C
     // rows AND ship every vector C times through the cross join; the
     // all-long buffer keeps a HashAggregate, and (v, nrm) re-attach with
-    // one n-row join afterwards.
+    // one join against the persisted emb table afterwards.
     val assignedIds = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), packedOrder.as("ord"))
+      .select(col("vec_id"), col("cidx"), packedOrder.as("ord"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), col("ord")).as("cent_id"))
+      .agg(max_by(col("cidx"), col("ord")).as("cidx"))
     val assigned = assignedIds.join(e, "vec_id")
-      .select(col("cent_id"), col("vec_id").as("neighbor_id"),
+      .select(col("cidx"), col("vec_id").as("neighbor_id"),
         col("v").as("cv"), col("nrm").as("cn"))
     // Probe lists (n/QueryMod query vectors): top-Nprobe centroids via a
     // window over the already-filtered query×centroid join — tiny input.
     val centRank = Window.partitionBy(col("vec_id"))
-      .orderBy(cos6.desc, col("cent_id").asc)
+      .orderBy(cos6.desc, col("cidx").asc)
     val probes = e.filter(col("vec_id") % QueryMod === 0)
       .crossJoin(broadcast(cents))
       .withColumn("cr", row_number().over(centRank))
       .filter(col("cr") <= Nprobe)
-      .select(col("vec_id").as("query_id"), col("cent_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // Shuffle-hash join on cent_id, NOT broadcast(probes): the probe side
+      .select(col("vec_id").as("query_id"), col("cidx"), col("v").as("qv"), col("nrm").as("qn"))
+    // Shuffle-hash join on cidx, NOT broadcast(probes): the probe side
     // is O(corpus·Nprobe/QueryMod) and grows unboundedly; the centroid
     // broadcast above is O(IvfC) — constant — by construction.
     ranked(probes.hint("shuffle_hash").join(assigned,
-      Seq("cent_id")).filter(col("query_id") =!= col("neighbor_id")))
+      Seq("cidx")).filter(col("query_id") =!= col("neighbor_id")))
   }
 
-  val annIvfSql: String =
+  val annIvfSql: String = {
+    val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
     s"""WITH $embCte,
-       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e ORDER BY vec_id LIMIT $IvfC),
-       |tc AS (SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+       |cent AS (SELECT v AS cv, nrm AS cn,
+       |                row_number() OVER (ORDER BY $ch, vec_id) AS cidx
+       |         FROM e QUALIFY cidx <= $IvfC),
+       |tc AS (SELECT e.vec_id, e.v, e.nrm, cent.cidx,
        |              row_number() OVER (PARTITION BY e.vec_id
        |                ORDER BY round(list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
-       |                         cent.cent_id) AS cr
+       |                         cent.cidx) AS cr
        |       FROM e CROSS JOIN cent),
-       |assigned AS (SELECT cent_id, vec_id, v, nrm FROM tc WHERE cr = 1),
-       |probes AS (SELECT vec_id, cent_id, v, nrm FROM tc
+       |assigned AS (SELECT cidx, vec_id, v, nrm FROM tc WHERE cr = 1),
+       |probes AS (SELECT vec_id, cidx, v, nrm FROM tc
        |           WHERE vec_id % $QueryMod = 0 AND cr <= $Nprobe),
        |${rankedSql(
-        "probes q JOIN assigned c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id")}""".stripMargin
+        "probes q JOIN assigned c ON q.cidx = c.cidx AND q.vec_id <> c.vec_id")}""".stripMargin
+  }
 
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),

@@ -92,6 +92,40 @@ class DedupPropertySpec extends SparkTestBase {
       s"expected only the near-dup pair; got ${pairs.size} pairs: ${pairs.take(5)}")
   }
 
+  test("hot-shingle split is exact: >MaxShingleBucket clones yield every pair, " +
+      "both paths, no collect buffer") {
+    // 1030 byte-identical clones share 2 shingles with df = 1030 >
+    // MaxShingleBucket (1024): BOTH their shingles route to the streaming
+    // salted self-join branch (no collect_list buffer ever sees them),
+    // while an unrelated cold near-dup pair exercises the generator
+    // branch. Unlike minhash's lossy band cap, the exact ngram path must
+    // KEEP every clone pair: expected output is all C(1030,2) clone pairs
+    // at jaccard 1.0 plus the near-dup pair — and the prefix twin (whose
+    // per-doc prefix here is the full 2-shingle set, also hot) must match
+    // the brute-force result row-for-row.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("hot-shingle-corpus")
+    val clone = "alpha beta gamma delta" // 2 shingles, both df=1030
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val docs = Seq.tabulate(1030)(i => (i.toLong, clone)) ++
+      Seq((5000L, s"$base apple"), (5001L, s"$base orange")) // J = 18/20
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    assert(1030 > DedupQueries.MaxShingleBucket, "corpus no longer exceeds the cap")
+    val exact = DedupQueries.ngramJaccard(spark, d.toString)
+    val nClones = 1030L * 1029L / 2
+    val byJ = exact.groupBy(col("jaccard")).count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(byJ === Map(1.0 -> nClones, 0.9 -> 1L),
+      s"expected $nClones clone pairs at J=1.0 + one J=0.9 pair, got $byJ")
+    val prefix = DedupQueries.ngramJaccardPrefix(spark, d.toString)
+    assert(exact.exceptAll(prefix).count() === 0L)
+    assert(prefix.exceptAll(exact).count() === 0L)
+  }
+
   test("minhash verification is exact: every reported pair is a true J>=0.8 pair " +
       "with the brute-force jaccard value") {
     // LSH candidate generation may MISS pairs (probabilistic recall), but

@@ -49,6 +49,21 @@ class ExtensionsSpec extends SparkTestBase {
       val pairs = s2.sql("SELECT id_pairs(array(1L, 2L, 3L)) AS (da, db)")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      // id_pairs declares ImplicitCastInputTypes(array<bigint>): int
+      // arrays widen via implicit cast; a non-castable element type fails
+      // at ANALYSIS time instead of a runtime ClassCastException (or a
+      // silent garbage read from an int-backed UnsafeArrayData)
+      val castPairs = s2.sql("SELECT id_pairs(array(1, 2, 3)) AS (da, db)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(castPairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT id_pairs(array('a', 'b')) AS (da, db)").collect()
+      }
+      // DESCRIBE FUNCTION must surface the registered usage string
+      // (ExpressionInfo substitutes the name for _FUNC_)
+      val desc = s2.sql("DESCRIBE FUNCTION id_pairs")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("id_pairs(ids)"), s"usage string lost:\n$desc")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -53,4 +53,36 @@ class SimilarityPropertySpec extends SparkTestBase {
     assert(plain.nonEmpty, "no qualifying pairs — test is vacuous")
     assert(salted.toMap === plain.toMap)
   }
+
+  test("ANN recall@10 vs the exact baseline: floors hold (tuning signal for LshBits/Nprobe)") {
+    // ann_topk is the declared recall=1 baseline; this measures what the
+    // approximate paths actually deliver on the largest test corpus (sf0.1,
+    // 2000 vectors / ~20 queries) and asserts a floor, so a change that
+    // silently craters retrieval quality (not correctness — the oracle
+    // can't see quality) fails here. Measured values are recorded in
+    // PLANS.md; floors sit ~0.7× below measurement to absorb corpus
+    // regeneration noise, not plan changes.
+    val dir = sf("sf0.1")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topSets(SimilarityQueries.annTopk(spark, dir))
+    assert(exact.nonEmpty, "baseline returned nothing — test is vacuous")
+    def recallAt10(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val lsh = recallAt10(topSets(SimilarityQueries.annLsh(spark, dir)))
+    val ivf = recallAt10(topSets(SimilarityQueries.annIvf(spark, dir)))
+    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f")
+    // measured on this corpus: lsh ≈ 0.12 (radius-1 multi-probe, ~3.5%
+    // scanned), ivf ≈ 0.19 (Nprobe=4, ~6% scanned) — the corpus is
+    // near-uniform on the sphere, so recall tracks the scanned fraction;
+    // floors at ~0.7× measurement
+    assert(lsh >= 0.08, f"ann_lsh recall@10 $lsh%.3f below floor (LshBits/multi-probe mistuned?)")
+    assert(ivf >= 0.13, f"ann_ivf recall@10 $ivf%.3f below floor (Nprobe/codebook mistuned?)")
+  }
 }

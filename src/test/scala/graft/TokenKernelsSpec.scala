@@ -82,6 +82,25 @@ class TokenKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("tokenOffsets: truncated UTF-8 tails are non-letters, never out-of-bounds reads") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // UTF8String does not guarantee well-formed UTF-8 (cast(binary as
+    // string), corrupt input): a lead byte whose continuation bytes run
+    // past the buffer must terminate the current token, not throw
+    // ArrayIndexOutOfBoundsException.
+    val cases: Seq[(Array[Byte], Seq[String])] = Seq(
+      (Array[Byte]('a', 0xc3.toByte), Seq("a")), // 2-byte lead, no tail
+      (Array[Byte]('a', 0xe4.toByte, 0xb8.toByte), Seq("a")), // 3-byte, one cont.
+      (Array[Byte]('a', 0xf0.toByte, 0x9d.toByte), Seq("a")), // 4-byte, one cont.
+      (Array[Byte](0xe4.toByte), Seq()), // lone truncated lead
+      (Array[Byte](0xc3.toByte, 0xa9.toByte, 0xc3.toByte), Seq("é"))) // é + trunc
+    cases.foreach { case (bytes, want) =>
+      val toks = graft.functions.TokenKernels.tokenize(UTF8String.fromBytes(bytes))
+      val got = (0 until toks.numElements()).map(i => toks.getUTF8String(i).toString)
+      assert(got === want, s"bytes=${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+  }
+
   test("ShingleHash60Expr == distinct(hash60(ngram) % P) over the split pipeline") {
     import spark.implicits._
     val df = samples.toDF("text")
