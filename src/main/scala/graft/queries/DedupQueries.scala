@@ -134,6 +134,36 @@ object DedupQueries {
     memoize(freqMemo, spark, dir)(
       shinglePairs(spark, dir).groupBy(col("h")).agg(count(lit(1)).as("df")))
 
+  /** Memo for the df-ANNOTATED pair table (doc_id, h, df): the one h-keyed
+    * join of pairs⋈freq happens HERE, once per (session, dir) — after it,
+    * the exact-Jaccard queries' rarity ordering and hot/cold routing are
+    * plain FILTERS on a persisted table instead of per-invocation
+    * broadcast/anti-joins (each of which cost a broadcast exchange + an
+    * AQE stage boundary per call — the dominant per-call overhead at
+    * sf0.1 after round 3). At cluster scale this is the standard
+    * "annotate the inverted index with document frequency" build step of
+    * a prefix-filter dedup job.
+    */
+  private val pairsDfMemo = Memo.table()
+
+  private def shinglePairsDf(spark: SparkSession, dir: String): DataFrame =
+    memoize(pairsDfMemo, spark, dir)(
+      shinglePairs(spark, dir).join(shingleFreq(spark, dir), "h"))
+
+  /** Memo for the per-doc shingle-set size table (doc_id, n) — one long
+    * per document, coalesced to a single cached partition: the Jaccard
+    * union term joins it once per pair side, and with the single-partition
+    * cache each (broadcast) build is a one-task scan instead of a
+    * 32-task pass over the full array table per invocation.
+    */
+  private val sizesMemo = Memo.table()
+
+  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
+    memoize(sizesMemo, spark, dir)(
+      shingleHashes(spark, dir)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+        .coalesce(1))
+
   /** Per-shingle posting-list bound for the collect_list+PairsExpr pair
     * generator: a shingle shared by more than this many documents would
     * materialize its whole posting list in ONE aggregation buffer (a df=10⁶
@@ -154,28 +184,28 @@ object DedupQueries {
     */
   val SaltCells = 4
 
-  /** All co-occurring (da, db) pairs, da < db, of a (doc_id, h) table —
-    * one output row per (h, pair). `freq` must be the (h, df) counts of
-    * `t` or any per-h upper bound of them (a superset "hot" set only moves
+  /** All co-occurring (da, db) pairs, da < db, of a (doc_id, h, df) table
+    * — one output row per (h, pair). `df` must be the per-h row count of
+    * the table or any per-h upper bound of it (an overestimate only moves
     * more shingles onto the join branch; results are identical).
     *
     * Cold shingles (df ≤ [[MaxShingleBucket]]): one groupBy(h) +
     * collect_list + the lazy [[graft.functions.PairsExpr]] generator — a
     * single aggregation whose per-key buffer is bounded by the df filter.
     * Hot shingles: a salted streaming self-join of the (tiny, usually
-    * empty) hot slice — each pair meets in exactly one of SaltCells² cells.
-    * The hot set is broadcast both to the anti-join (cold side) and the
-    * semi-join (hot side), so the persisted input is scanned, not
-    * recomputed, per branch.
+    * empty) hot slice — each pair meets in exactly one of SaltCells²
+    * cells. Routing is a plain column filter (df travels WITH the rows),
+    * so neither branch needs a broadcast of the hot set — per invocation
+    * the only work beyond the aggregation itself is two filter scans of
+    * the (persisted) input.
     */
-  private def coocPairs(t: DataFrame, freq: DataFrame): DataFrame = {
-    val hot = freq.filter(col("df") > MaxShingleBucket).select(col("h"))
-    val cold = t.join(broadcast(hot), Seq("h"), "left_anti")
+  private def coocPairs(t: DataFrame): DataFrame = {
+    val cold = t.filter(col("df") <= MaxShingleBucket)
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
-    val th = t.join(broadcast(hot), Seq("h"))
+    val th = t.filter(col("df") > MaxShingleBucket)
     val a = th.select(col("h"), col("doc_id").as("da"))
       .withColumn("si_a", pmod(xxhash64(col("da")), lit(SaltCells)).cast("int"))
       .withColumn("sj_a", explode(array((0 until SaltCells).map(lit): _*)))
@@ -351,7 +381,7 @@ object DedupQueries {
   val NgramJaccardTau = 0.5
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shinglePairs(spark, dir)
+    val ex = shinglePairsDf(spark, dir)
     // Intersection counts directly from ONE groupBy(h) over the inverted
     // index + the PairsExpr kernel — not an h self-join, which
     // scans/shuffles the pair table twice for the same Σ_h df(h)²/2 pair
@@ -362,11 +392,15 @@ object DedupQueries {
     // per-row map over the cached array table. (At 100 TB, popular
     // shingles make this fan-out skew-heavy: the prefix twin caps it
     // losslessly and is the declared scale path.)
-    val sizes = shingleHashes(spark, dir)
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val sizes = shingleSizes(spark, dir)
     // hot-shingle split (see coocPairs): df > MaxShingleBucket posting
-    // lists never hit a collect_list buffer
-    val inter = coocPairs(ex, shingleFreq(spark, dir))
+    // lists never hit a collect_list buffer. The pinned repartition IS the
+    // aggregation exchange (groupBy reuses the hash partitioning); without
+    // it AQE sizes the post-shuffle stage by BYTES and coalesces the
+    // byte-tiny pair rows to ~3 tasks, serializing the count + sizes-join
+    // + filter CPU that runs in the same stage.
+    val inter = coocPairs(ex)
+      .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
@@ -403,8 +437,7 @@ object DedupQueries {
     * the prefix slice.
     */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shinglePairs(spark, dir)
-    val freq = shingleFreq(spark, dir) // memoized (h, df) — see freqMemo
+    val exf = shinglePairsDf(spark, dir) // persisted (doc_id, h, df)
     // Rarest-prefix selection via hash aggregate + per-row array sort/slice
     // instead of round-2's row_number window: the window forced a sort-based
     // WindowExec over the whole exploded table PLUS a separate sizes join;
@@ -424,25 +457,28 @@ object DedupQueries {
     val packed = least(col("df"), lit(2147483647L)) * lit(2147483648L) + col("h")
     // The pinned repartition doubles as the aggregation exchange (the
     // groupBy reuses the hash partitioning): without it AQE coalesces the
-    // byte-tiny but sort-heavy per-doc collect to ONE task.
-    val prefix = ex.join(freq, "h")
+    // byte-tiny but sort-heavy per-doc collect to ONE task. df rides
+    // INSIDE the packed long, so the prefix rows recover it with a shift
+    // instead of re-joining the frequency table (the clamp only matters
+    // above 2^31-1 ≫ MaxShingleBucket, so hot/cold routing is unaffected).
+    val prefix = exf
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(packed)).as("sh"))
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
-      .select(col("doc_id"), col("p").bitwiseAND(lit(2147483647L)).as("h"))
+      .select(col("doc_id"), col("p").bitwiseAND(lit(2147483647L)).as("h"),
+        shiftrightunsigned(col("p"), 31).as("df"))
     // Shared-prefix-shingle pairs via one groupBy(h) + PairsExpr for cold
     // shingles (a self-join would run the whole prefix-selection pipeline
     // once per side — observed in the round-3 plan audit as the duplicated
     // ObjectHashAggregate/Generate branch), with the hot-shingle split of
     // [[coocPairs]] so no collect buffer exceeds MaxShingleBucket. The
     // corpus-level df is a valid per-h upper bound of the prefix table's
-    // bucket sizes (prefix rows ⊆ ex rows). The hot branches reference the
-    // prefix pipeline again, but only behind an inner join with the
-    // broadcast hot set: when that set is empty (every non-adversarial
-    // corpus) AQE's empty-relation propagation collapses both branches
-    // before their probe side runs, so the pipeline still executes once.
-    val cand = coocPairs(prefix, freq).distinct()
+    // bucket sizes (prefix rows ⊆ ex rows). The hot branches re-reference
+    // the prefix pipeline (filtered to df > bucket bound) — empty for
+    // every non-adversarial corpus, and in the adversarial case
+    // recomputing the filtered slice beats buffering an unbounded list.
+    val cand = coocPairs(prefix).distinct()
     verifyJaccard(spark, dir, cand, NgramJaccardTau)
   }
 

@@ -302,17 +302,30 @@ object SimilarityQueries {
   val IvfC = 64
   val Nprobe = 4
 
+  /** Memo for the IVF codebook — the index-BUILD artifact of IVF search
+    * (build the coarse quantizer once, probe it for every query batch):
+    * IvfC rows, persisted per (session, dir) so the assignment and probe
+    * branches (and repeated invocations) share one TakeOrdered+rank
+    * computation instead of re-deriving the codebook per reference.
+    */
+  private val codebookMemo = Memo.table()
+
+  private def codebook(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(codebookMemo, spark, dir) {
+      import graft.functions.TextFns
+      val ch = TextFns.hash60(col("vec_id").cast("string"))
+      // 64-row orderBy+limit = TakeOrderedAndProject; the dense-rank
+      // window runs over those 64 rows only (single tiny partition)
+      emb(spark, dir).withColumn("ch", ch)
+        .orderBy(col("ch").asc, col("vec_id").asc).limit(IvfC)
+        .withColumn("cidx",
+          row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
+        .select(col("cidx"), col("v").as("cv2"), col("nrm").as("cn2"))
+    }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    import graft.functions.TextFns
-    val ch = TextFns.hash60(col("vec_id").cast("string"))
-    // 64-row orderBy+limit = TakeOrderedAndProject; the dense-rank window
-    // runs over those 64 rows only (single tiny partition)
-    val cents = e.withColumn("ch", ch)
-      .orderBy(col("ch").asc, col("vec_id").asc).limit(IvfC)
-      .withColumn("cidx",
-        row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
-      .select(col("cidx"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val cents = codebook(spark, dir)
     val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
     // Assignment (all n corpus vectors): max_by aggregation instead of a
     // row_number window — partial aggregation collapses the n·C
