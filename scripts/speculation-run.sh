@@ -45,11 +45,31 @@ setsid env SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=$SPARK_LOG_DIR/w2 /opt/spark/sb
 PIDS+=($!)
 sleep 6
 
+PROBE_OUT=$SPARK_LOG_DIR/probe.out
 /opt/spark/bin/spark-submit --master spark://127.0.0.1:7177 \
   --conf spark.speculation=true \
   --conf spark.speculation.interval=100ms \
   --conf spark.speculation.multiplier=2 \
   --conf spark.speculation.quantile=0.75 \
   --conf spark.executor.memory=768m \
-  --class graft.SpeculationProbe "$JAR" 2>&1 |
-  grep -E '\[speculation-probe\]|speculatable|Starting task 7\.|Killing attempt'
+  --class graft.SpeculationProbe "$JAR" >"$PROBE_OUT" 2>&1 || true
+grep -E '\[speculation-probe\]|speculatable|Starting task 7\.|Killing attempt' "$PROBE_OUT" || true
+
+# Record the run as a committed artifact (SPECULATION.json) so the
+# straggler-reassignment capability is evidenced per-round like
+# CORRECTNESS/BENCH, not just as an in-terminal PASS.
+LINE=$(grep -oE '\[speculation-probe\] sum=[0-9]+ elapsed=[0-9.]+s (PASS|FAIL)' "$PROBE_OUT" | tail -1 || true)
+RESULT=${LINE##* }; [ -n "$RESULT" ] || RESULT=FAIL
+SUM=$(echo "$LINE" | grep -oE 'sum=[0-9]+' | cut -d= -f2); SUM=${SUM:-0}
+ELAPSED=$(echo "$LINE" | grep -oE 'elapsed=[0-9.]+' | cut -d= -f2); ELAPSED=${ELAPSED:-0}
+SPEC_EVENTS=$(grep -c 'speculatable' "$PROBE_OUT" || true)
+KILLED=$(grep -c 'Killing attempt' "$PROBE_OUT" || true)
+cat > SPECULATION.json <<EOF
+{"result":"$RESULT","sum":$SUM,"elapsed_sec":$ELAPSED,
+ "speculatable_events":$SPEC_EVENTS,"killed_attempts":$KILLED,
+ "straggler_sleep_sec":120,
+ "topology":"standalone master + 2 workers on 127.0.0.1/127.0.0.2, spark.speculation=true",
+ "run_utc":"$(date -u +%Y-%m-%dT%H:%M:%SZ)"}
+EOF
+echo "[speculation-run] wrote SPECULATION.json: result=$RESULT elapsed=${ELAPSED}s speculatable_events=$SPEC_EVENTS"
+[ "$RESULT" = PASS ]
