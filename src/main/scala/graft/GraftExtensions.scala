@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, Fnv1a32Expr, PairsExpr, ShingleHash60Expr, SimHash32Expr, TokenHash60Expr, TokenizeExpr, WinnowFpsExpr, WordNgramsExpr}
+import graft.functions.{ArrayDotProduct, Fnv1a32Expr, MinHashSig, PairsExpr, ShingleHash60Expr, SimHash32Expr, TokenHash60Expr, TokenizeExpr, WinnowFpsExpr, WordNgramsExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native Catalyst
   * expressions available as SQL functions in any session, the standard
@@ -81,6 +81,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("id_pairs", "id_pairs(ids) - all (da, db) pairs with da < db of a sorted long array"),
       (args: Seq[Expression]) => { arity("id_pairs", args, 1); PairsExpr(args.head) }))
     ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hs, a, b, p) - k minhashes min_h((a_i*h + b_i) % p) of a long array; a, b, p must be literals"),
+      (args: Seq[Expression]) => {
+        arity("minhash_sig", args, 4)
+        val a = litLongArray("minhash_sig", args(1))
+        val b = litLongArray("minhash_sig", args(2))
+        if (a.length != b.length)
+          throw new IllegalArgumentException(
+            s"minhash_sig: a and b must have equal length, got ${a.length}/${b.length}")
+        MinHashSig(args.head, a, b, litLong("minhash_sig", args(3)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fps"),
       info("winnow_fps", "winnow_fps(str, k, w) - winnowing fingerprints (k-gram hash60, window w minima); k and w must be literals"),
       (args: Seq[Expression]) => {
@@ -94,6 +106,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case i: Int => i
     case other => throw new IllegalArgumentException(
       s"$fn: expected an integer literal, got $other")
+  }
+
+  private def litLongArray(fn: String, e: Expression): Seq[Long] = e.eval() match {
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      (0 until a.numElements()).map(i => a.get(i, e.dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType) match {
+        case i2: Int => i2.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"$fn: expected integer array literal elements, got $other")
+      })
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an array literal, got $other")
   }
 
   private def litLong(fn: String, e: Expression): Long = e.eval() match {

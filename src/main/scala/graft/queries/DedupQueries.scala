@@ -15,10 +15,13 @@ import graft.functions.TextFns
   *     minhash_sig kernel); candidate pairs come from one band-bucket
   *     aggregation (PairsExpr), so generation is proportional to bucket
   *     collisions, not n².
-  *   - simhash: one explode + one grouped aggregation.
-  *   - ngram_jaccard: inverted-index bucket aggregation — at 100 TB the
-  *     prefix twin caps per-shingle fanout losslessly; the synthetic
-  *     corpus's shingle frequencies keep the exact path linear-ish here.
+  *   - simhash: per-row fingerprint kernel + one tiny grouped aggregation.
+  *   - ngram_jaccard: inverted-index bucket aggregation with a hot-shingle
+  *     split — posting lists over [[MaxShingleBucket]] stream through a
+  *     salted self-join instead of a collect buffer, so a df=10⁶ shingle
+  *     at 100 TB is spread work, not a straggler OOM; the prefix twin
+  *     additionally caps per-shingle fanout losslessly and is the
+  *     declared scale path.
   *
   * All hashes derive from `TextFns.hash60` (md5-prefix), which DuckDB
   * reproduces exactly, so every stage is oracle-checkable.
@@ -230,8 +233,15 @@ object DedupQueries {
     * exploded pair table twice plus two sizes joins; that verify chain
     * alone cost ~4 s of the prefix query's 8.5 s.)
     */
+  /** `dedupe=true` folds the candidate de-duplication into the SAME
+    * exchange that pins the verify width: the repartition hash-clusters by
+    * (da, db), the dropDuplicates aggregation reuses that partitioning,
+    * and the (broadcast) array joins + intersect run in the same wide
+    * stage — one exchange where a separate `.distinct()` before the
+    * verify cost two.
+    */
   private def verifyJaccard(spark: SparkSession, dir: String, cand: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, dedupe: Boolean = false): DataFrame = {
     val hs = shingleHashes(spark, dir)
     val i = size(array_intersect(col("ha"), col("hb")))
     val j = i.cast("double") / (size(col("ha")) + size(col("hb")) - i)
@@ -239,7 +249,10 @@ object DedupQueries {
     // fans out to two shingle arrays + an intersect, so AQE — which sizes
     // post-shuffle stages by BYTES — coalesces the stage to 1-3 tasks and
     // serializes the CPU (observed: 9.3 s of intersect CPU on 3 tasks).
-    cand.repartition(spark.sparkContext.defaultParallelism, col("da"))
+    val wide = cand.repartition(
+      spark.sparkContext.defaultParallelism, col("da"), col("db"))
+    val deduped = if (dedupe) wide.dropDuplicates("da", "db") else wide
+    deduped
       .join(hs.select(col("doc_id").as("da"), col("hs").as("ha")), "da")
       .join(hs.select(col("doc_id").as("db"), col("hs").as("hb")), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), j.as("jaccard"))
@@ -259,40 +272,52 @@ object DedupQueries {
     */
   private val sigMemo = Memo.table()
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val mh = memoize(sigMemo, spark, dir)(
-      shingleHashes(spark, dir)
-        .select(col("doc_id"), graft.functions.MinHashSig(col("hs"), AB, P).as("sig"))
-        .select(
-          col("doc_id") +: AB.indices.map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*))
-    val bandStructs = (0 until Bands).map { b =>
-      val sig = concat_ws("-",
-        (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
-      struct(lit(b).as("band"), sig.as("sig"))
+  /** Memo for the cap-BOUNDED banded-signature table — the LSH index-build
+    * artifact (band, sig, doc_id) with oversized buckets already removed:
+    * built once per (session, dir), so the per-invocation plan is one
+    * bucket aggregation + verify over a cached table, with no per-call
+    * oversized-count aggregate or anti-join exchange.
+    */
+  private val bandsMemo = Memo.table()
+
+  private def boundedBands(spark: SparkSession, dir: String): DataFrame =
+    memoize(bandsMemo, spark, dir) {
+      val mh = memoize(sigMemo, spark, dir)(
+        shingleHashes(spark, dir)
+          .select(col("doc_id"), graft.functions.MinHashSig(col("hs"), AB, P).as("sig"))
+          .select(
+            col("doc_id") +: AB.indices.map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*))
+      val bandStructs = (0 until Bands).map { b =>
+        val sig = concat_ws("-",
+          (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }
+      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // The MaxBandBucket cap runs BEFORE any collect, as a count
+      // aggregate + broadcast anti-join (the oversized set is ~empty by
+      // construction): a mega-bucket must never reach collect_list, whose
+      // aggregation buffer materializes the whole bucket — at 100 TB an
+      // exact-dup flood would OOM the aggregator before a post-collect
+      // size filter ran.
+      val oversized = bands.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > MaxBandBucket)
+        .select(col("band"), col("sig"))
+      bands.join(broadcast(oversized), Seq("band", "sig"), "left_anti")
     }
-    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // Candidate pairs via ONE bucket aggregation + the PairsExpr kernel —
     // not a (band, sig) self-join, which would compute the
     // minhash-signature pipeline once per join side and shuffle twice.
-    // The MaxBandBucket cap runs BEFORE the collect as a count aggregate
-    // + broadcast anti-join (the oversized set is ~empty by construction):
-    // a mega-bucket must never reach collect_list, whose aggregation
-    // buffer materializes the whole bucket — at 100 TB an exact-dup flood
-    // would OOM the aggregator before a post-collect size filter ran.
-    // Cost: the byte-tiny bands subplan is computed twice (kernel per-row
-    // work over the cached shingle table) — bounded memory is worth it.
-    val oversized = bands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > MaxBandBucket)
-      .select(col("band"), col("sig"))
-    val cand = bands.join(broadcast(oversized), Seq("band", "sig"), "left_anti")
+    // Candidate de-dup folds into the verify exchange (dedupe = true).
+    val cand = boundedBands(spark, dir)
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
-      .distinct()
-    verifyJaccard(spark, dir, cand, JaccardTau)
+    verifyJaccard(spark, dir, cand, JaccardTau, dedupe = true)
   }
 
   val dedupMinhashSql: String = {
@@ -432,9 +457,10 @@ object DedupQueries {
     * shingle, so the result is IDENTICAL to the brute-force join (same
     * oracle SQL) — but candidate generation no longer touches the
     * high-frequency shingle head, which is what explodes the inverted-index
-    * join under skew at 100 TB. Cost: one extra doc-frequency aggregation +
-    * one hash aggregate that sorts each doc's (df, h) list in-row and keeps
-    * the prefix slice.
+    * join under skew at 100 TB. Cost: one hash aggregate that sorts each
+    * doc's (df, h) list in-row and keeps the prefix slice (df arrives
+    * pre-joined on the memoized [[shinglePairsDf]] table and rides inside
+    * the packed long).
     */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val exf = shinglePairsDf(spark, dir) // persisted (doc_id, h, df)
@@ -478,8 +504,8 @@ object DedupQueries {
     // the prefix pipeline (filtered to df > bucket bound) — empty for
     // every non-adversarial corpus, and in the adversarial case
     // recomputing the filtered slice beats buffering an unbounded list.
-    val cand = coocPairs(prefix).distinct()
-    verifyJaccard(spark, dir, cand, NgramJaccardTau)
+    // Candidate de-dup folds into the verify exchange (dedupe = true).
+    verifyJaccard(spark, dir, coocPairs(prefix), NgramJaccardTau, dedupe = true)
   }
 
   val entries: Seq[(String, QueryDef)] = Seq(

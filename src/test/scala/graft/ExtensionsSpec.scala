@@ -49,6 +49,13 @@ class ExtensionsSpec extends SparkTestBase {
       val pairs = s2.sql("SELECT id_pairs(array(1L, 2L, 3L)) AS (da, db)")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      // minhash_sig: per-permutation minimum of (a_i*h + b_i) % p
+      val mh = s2.sql(
+        "SELECT minhash_sig(array(3L, 10L), array(5, 7), array(1, 0), 97) AS s")
+        .collect()(0).getSeq[Long](0)
+      // perm 0: min((3*5+1)%97, (10*5+1)%97) = min(16, 51) = 16
+      // perm 1: min((3*7+0)%97, (10*7+0)%97) = min(21, 70) = 21
+      assert(mh === Seq(16L, 21L))
       // id_pairs declares ImplicitCastInputTypes(array<bigint>): int
       // arrays widen via implicit cast; a non-castable element type fails
       // at ANALYSIS time instead of a runtime ClassCastException (or a
