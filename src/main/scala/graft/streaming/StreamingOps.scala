@@ -84,6 +84,25 @@ object StreamingOps {
       .withWatermark("ingest_ts", DedupHorizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming NEAR-dup dedup — the ingestion-time twin of the batch
+    * `dedup_simhash` query: the first-arriving document per 32-bit SimHash
+    * fingerprint passes, later near-identical copies (same fingerprint)
+    * are dropped. The fingerprint is the per-row native `simhash32` kernel
+    * — tokenize → distinct → hash → bit-sign fold in ONE expression, so
+    * the only stateful operator is the dedup itself (no shuffle before
+    * it), demonstrating the engine's Catalyst kernels compose with
+    * Structured Streaming unchanged. Token-less documents (null
+    * fingerprint) are dropped, mirroring the batch query's filter. State
+    * is bounded by the same watermark construction as [[dedupDocs]].
+    */
+  def dedupNearDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("simhash", graft.functions.SimHash32Expr(col("text")))
+      .filter(col("simhash").isNotNull)
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", DedupHorizon)
+      .dropDuplicatesWithinWatermark("simhash")
+
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -45,6 +45,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSet === batch.toSet) // same distinct-text set as batch
   }
 
+  test("streaming dedupNearDocs keeps one doc per simhash fingerprint, matching batch dedup_simhash") {
+    val stream = StreamingOps.dedupNearDocs(StreamingOps.docStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_near_docs")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("dedup_near_docs").select("simhash")
+      .collect().map(_.getLong(0))
+    assert(got.length === got.distinct.length) // one survivor per fingerprint
+    // same fingerprint set as the batch query (the surviving doc_id may
+    // differ: batch keeps min doc_id, the stream keeps first-arriving)
+    val batch = graft.queries.DedupQueries.dedupSimhash(spark, dir)
+      .select("simhash").collect().map(_.getLong(0))
+    assert(got.toSet === batch.toSet)
+  }
+
   test("streaming sessionize equals batch sessionize") {
     val stream = StreamingOps.sessionize(spark, StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
