@@ -275,6 +275,43 @@ object SimilarityQueries {
        |  WHERE b.label = a.label AND b.vec_id < a.vec_id
        |    AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $CosTau)""".stripMargin
 
+  // --------------------------------------------------------- dedup_embed_lsh
+  /** `dedup_embed_lsh` — the 100 TB form of [[dedupEmbed]] made concrete:
+    * candidate blocks are (label, LSH bucket) instead of bare label, so a
+    * billion-vector label can never produce a quadratic block — the
+    * per-block pair count divides by ~2^LshBits. The trade is recall < 1
+    * vs the exact block scan (a near-dup pair split across a hyperplane
+    * survives dedup); QueriesSpec pins the containment invariant
+    * (lsh survivors ⊇ exact survivors). Same salt-grid fragmentation and
+    * deterministic cosine as dedup_embed, so the result remains
+    * oracle-checkable bit-for-bit.
+    */
+  def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("bucket", VectorFns.axisLshBucket(col("v"), LshBits))
+    val a = saltedGrid(
+      e.select(col("label"), col("bucket"), col("vec_id"), col("v").as("va"), col("nrm").as("na")),
+      "vec_id", "sa_i", "sa_j")
+    val b = saltedGrid(
+      e.select(col("label").as("lb"), col("bucket").as("cb"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb")),
+      "b_id", "sb_j", "sb_i")
+    val dups = a.join(b, col("label") === col("lb") && col("bucket") === col("cb") &&
+        saltedJoinCond && col("b_id") < col("vec_id") &&
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4) >= CosTau)
+      .select(col("vec_id")).distinct()
+    e.join(dups, Seq("vec_id"), "left_anti").select(col("label"), col("vec_id"))
+  }
+
+  val dedupEmbedLshSql: String =
+    s"""WITH $embCte,
+       |eb AS (SELECT *, $bucketSql AS bucket FROM e)
+       |SELECT label, vec_id FROM eb a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM eb b
+       |  WHERE b.label = a.label AND b.bucket = a.bucket AND b.vec_id < a.vec_id
+       |    AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $CosTau)""".stripMargin
+
   // ----------------------------------------------------------------- ann_ivf
   /** `ann_ivf` — IVF-bucketed ANN, the second scale path beside `ann_lsh`:
     * a deterministic coarse quantizer assigns each corpus vector to its
@@ -388,6 +425,7 @@ object SimilarityQueries {
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
+    "dedup_embed_lsh" -> QueryDef(dedupEmbedLsh, Some(dedupEmbedLshSql)),
     "ann_topk" -> QueryDef(annTopk, Some(annTopkSql)),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)))

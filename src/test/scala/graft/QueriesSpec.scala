@@ -98,6 +98,18 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_embed_lsh survivors contain the exact dedup_embed survivors") {
+    // bucketing only REMOVES candidate pairs (same label, different
+    // bucket), so the LSH variant can only drop fewer vectors: survivors
+    // must be a superset of the exact block scan's survivors.
+    val exact = graft.queries.SimilarityQueries.dedupEmbed(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = graft.queries.SimilarityQueries.dedupEmbedLsh(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(lsh))
+    assert(lsh.nonEmpty)
+  }
+
   test("multimodal decode plumbing: binary payload -> typed metadata struct") {
     import graft.operators.MediaDecode
     val df = Tables(spark, dir, "documents")
