@@ -153,11 +153,13 @@ object DedupQueries {
     memoize(pairsDfMemo, spark, dir)(
       shinglePairs(spark, dir).join(shingleFreq(spark, dir), "h"))
 
-  /** Memo for the per-doc shingle-set size table (doc_id, n) — one long
-    * per document, coalesced to a single cached partition: the Jaccard
-    * union term joins it once per pair side, and with the single-partition
-    * cache each (broadcast) build is a one-task scan instead of a
-    * 32-task pass over the full array table per invocation.
+  /** Memo for the per-doc shingle-set size table (doc_id, n) — 16 bytes
+    * per document. The Jaccard union term joins it once per pair side;
+    * caching the narrow projection keeps each (broadcast) build a scan of
+    * a few tiny partitions instead of a full-width pass over the array
+    * table per invocation. The coalesce width SCALES with the cluster
+    * (parallelism/8, floor 1): a fixed coalesce(1) would be a one-task
+    * build and a single multi-GB cached partition at 10⁹ documents.
     */
   private val sizesMemo = Memo.table()
 
@@ -165,7 +167,7 @@ object DedupQueries {
     memoize(sizesMemo, spark, dir)(
       shingleHashes(spark, dir)
         .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-        .coalesce(1))
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8)))
 
   /** Per-shingle posting-list bound for the collect_list+PairsExpr pair
     * generator: a shingle shared by more than this many documents would
