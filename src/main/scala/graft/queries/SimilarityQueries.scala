@@ -124,7 +124,17 @@ object SimilarityQueries {
     * chunking exists to protect. Footer record counts are exact regardless
     * of encoding.
     */
-  private def estimatedRows(spark: SparkSession, dir: String): Long = {
+  /** Footer-count cache: at 100 TB the embeddings table is ~10⁵ files and
+    * a footer pass costs driver minutes — do it once per (session, dir),
+    * not per query construction.
+    */
+  private val rowsMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+
+  private def estimatedRows(spark: SparkSession, dir: String): Long =
+    rowsMemo.getOrElseUpdate((spark, dir), countRows(spark, dir))
+
+  private def countRows(spark: SparkSession, dir: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(conf)
