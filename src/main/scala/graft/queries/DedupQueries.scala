@@ -100,8 +100,8 @@ object DedupQueries {
           graft.functions.ShingleHash60Expr(col("text"), 3, P).as("hs"))
         .filter(size(col("hs")) > 0))
 
-  /** Memo for the EXPLODED (doc_id, h) pair table. ngram_jaccard references
-    * it 3× (both self-join sides + verify), the prefix twin 4×, minhash 2×;
+  /** Memo for the EXPLODED (doc_id, h) pair table — the base of the
+    * df-annotated table, the frequency table, and the sizes table below;
     * re-exploding the array table per reference was the round-2 bench
     * regression (1.39 s → 3.57 s). One persisted copy serves them all.
     */
@@ -234,8 +234,8 @@ object DedupQueries {
     * keyed by doc id, zero re-explosion. (The round-2 form re-joined the
     * exploded pair table twice plus two sizes joins; that verify chain
     * alone cost ~4 s of the prefix query's 8.5 s.)
-    */
-  /** `dedupe=true` folds the candidate de-duplication into the SAME
+    *
+    * `dedupe=true` folds the candidate de-duplication into the SAME
     * exchange that pins the verify width: the repartition hash-clusters by
     * (da, db), the dropDuplicates aggregation reuses that partitioning,
     * and the (broadcast) array joins + intersect run in the same wide
