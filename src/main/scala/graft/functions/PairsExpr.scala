@@ -7,24 +7,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, Generic
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
-/** All ordered pairs (ids[i], ids[j]), i < j, of a sorted long array —
-  * the bucket-pair generation step of LSH candidate mining, as a LAZY
-  * Catalyst Generator.
+/** All unordered pairs {ids[i], ids[j]}, i < j, of a long array, emitted
+  * as (da, db) = (min, max) — the bucket-pair generation step of LSH
+  * candidate mining, as a LAZY Catalyst Generator.
   *
   * Replaces a bucket SELF-JOIN (`bucket.as("x").join(bucket.as("y"), keys
   * && x.id < y.id)`): Spark computes each side of a self-join as an
   * independent subplan, so the whole upstream pipeline (minhash
   * signatures, prefix selection) ran TWICE, plus a join shuffle. With
-  * `groupBy(bucket).agg(sort_array(collect_list(id)))` + this generator
-  * the upstream runs once and pairs stream out of `GenerateExec` row by
-  * row — a Generator, NOT an array-returning expression, because the
-  * n·(n-1)/2 pair array of a hot bucket materialized in a single row
-  * would dwarf the O(n) input it came from (the self-join it replaces
-  * streams its output too; this keeps that property).
+  * `groupBy(bucket).agg(collect_list(id))` + this generator the upstream
+  * runs once and pairs stream out of `GenerateExec` row by row — a
+  * Generator, NOT an array-returning expression, because the n·(n-1)/2
+  * pair array of a hot bucket materialized in a single row would dwarf
+  * the O(n) input it came from (the self-join it replaces streams its
+  * output too; this keeps that property).
   *
-  * Input ids must be sorted ascending (callers use `sort_array`), so
-  * emitted pairs satisfy da < db — identical to the join formulation the
-  * DuckDB oracle uses.
+  * Each emitted pair satisfies da < db by per-pair min/max, so input
+  * order is IRRELEVANT — callers need no `sort_array`, and a SQL user
+  * feeding `id_pairs` an unsorted array cannot get inverted pairs.
+  * (Elements are assumed distinct, as bucket members are; an equal pair
+  * would emit da = db, which every caller's da < db contract filters
+  * downstream via grouping/distinct semantics.)
   */
 case class PairsExpr(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback
@@ -55,7 +58,11 @@ case class PairsExpr(child: Expression)
         private var j = 1
         override def hasNext: Boolean = j < n
         override def next(): InternalRow = {
-          val r = new GenericInternalRow(Array[Any](ids.getLong(i), ids.getLong(j)))
+          val x = ids.getLong(i)
+          val y = ids.getLong(j)
+          val r =
+            if (x <= y) new GenericInternalRow(Array[Any](x, y))
+            else new GenericInternalRow(Array[Any](y, x))
           j += 1
           if (j == n) { i += 1; j = i + 1 }
           r

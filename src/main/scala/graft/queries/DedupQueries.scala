@@ -207,7 +207,7 @@ object DedupQueries {
   private def coocPairs(t: DataFrame): DataFrame = {
     val cold = t.filter(col("df") <= MaxShingleBucket)
       .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(collect_list(col("doc_id")).as("ids")) // PairsExpr orders per pair
       .filter(size(col("ids")) > 1)
       .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
     val th = t.filter(col("df") > MaxShingleBucket)
@@ -316,7 +316,7 @@ object DedupQueries {
     // Candidate de-dup folds into the verify exchange (dedupe = true).
     val cand = boundedBands(spark, dir)
       .groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(collect_list(col("doc_id")).as("ids")) // PairsExpr orders per pair
       .filter(size(col("ids")) > 1)
       .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
     verifyJaccard(spark, dir, cand, JaccardTau, dedupe = true)

@@ -13,11 +13,12 @@ import graft.queries.DedupQueries
   */
 class DedupPropertySpec extends SparkTestBase {
 
-  test("PairsExpr generates exactly the i<j pairs of a sorted id array") {
+  test("PairsExpr generates exactly the da<db pairs, regardless of input order") {
     import spark.implicits._
     val df = Seq(
       (0, Seq(1L, 5L, 9L)), (1, Seq(2L)), (2, Seq.empty[Long]),
-      (3, Seq(3L, 4L)), (4, Seq(1L, 2L, 3L, 4L)))
+      (3, Seq(4L, 3L)), // UNSORTED input: min/max per pair, never (4,3)
+      (4, Seq(3L, 1L, 4L, 2L)))
       .toDF("k", "ids")
     val got = df.select(col("k"), PairsExpr(col("ids")))
       .collect()
