@@ -78,7 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("simhash32", args, 1); SimHash32Expr(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("id_pairs"),
-      info("id_pairs", "id_pairs(ids) - all (da, db) pairs with da < db of a long array (any order)"),
+      info("id_pairs", "id_pairs(ids) - all (da, db) pairs with da < db strictly of a long array (any order; equal elements emit no pair)"),
       (args: Seq[Expression]) => { arity("id_pairs", args, 1); PairsExpr(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -17,7 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * oracle's `list_min(list_transform(hs, h -> (h*a+b)%p))`.
   */
 case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  // Typed input contract, mirroring PairsExpr: the eval reads long elements
+  // straight out of the ArrayData, so a mistyped SQL call (minhash_sig is
+  // exposed via GraftExtensions) must fail at analysis time — an int-backed
+  // UnsafeArrayData would otherwise silently read garbage. Implicit casts
+  // still widen array<int> etc. to array<bigint>.
+  // (return type inferred: AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"

@@ -22,12 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   * the O(n) input it came from (the self-join it replaces streams its
   * output too; this keeps that property).
   *
-  * Each emitted pair satisfies da < db by per-pair min/max, so input
-  * order is IRRELEVANT — callers need no `sort_array`, and a SQL user
-  * feeding `id_pairs` an unsorted array cannot get inverted pairs.
-  * (Elements are assumed distinct, as bucket members are; an equal pair
-  * would emit da = db, which every caller's da < db contract filters
-  * downstream via grouping/distinct semantics.)
+  * Each emitted pair satisfies da < db STRICTLY: per-pair min/max makes
+  * input order irrelevant (callers need no `sort_array`, and a SQL user
+  * feeding `id_pairs` an unsorted array cannot get inverted pairs), and
+  * equal elements emit NO pair — duplicate ids in the input (which bucket
+  * members never have, but a SQL caller might) cannot produce a da = db
+  * self-pair that downstream jaccard/cosine would score 1.0.
   */
 case class PairsExpr(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback
@@ -56,15 +56,19 @@ case class PairsExpr(child: Expression)
       new Iterator[InternalRow] {
         private var i = 0
         private var j = 1
+        private def bump(): Unit = { j += 1; if (j == n) { i += 1; j = i + 1 } }
+        // skip (i, j) positions holding equal values — no self-pairs
+        private def skipEqual(): Unit =
+          while (j < n && ids.getLong(i) == ids.getLong(j)) bump()
+        skipEqual()
         override def hasNext: Boolean = j < n
         override def next(): InternalRow = {
           val x = ids.getLong(i)
           val y = ids.getLong(j)
           val r =
-            if (x <= y) new GenericInternalRow(Array[Any](x, y))
+            if (x < y) new GenericInternalRow(Array[Any](x, y))
             else new GenericInternalRow(Array[Any](y, x))
-          j += 1
-          if (j == n) { i += 1; j = i + 1 }
+          bump(); skipEqual()
           r
         }
       }

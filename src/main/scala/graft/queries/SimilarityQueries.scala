@@ -132,17 +132,39 @@ object SimilarityQueries {
     new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
 
   private def estimatedRows(spark: SparkSession, dir: String): Long =
-    rowsMemo.getOrElseUpdate((spark, dir), countRows(spark, dir))
+    rowsMemo.getOrElseUpdate((spark, dir), {
+      // Same application-end eviction as Memo.memoize: without it the map
+      // retains stopped SparkSession objects for the JVM lifetime — a slow
+      // leak in a long-running multi-tenant driver.
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          rowsMemo.remove((spark, dir))
+      })
+      countRows(spark, dir)
+    })
 
   private def countRows(spark: SparkSession, dir: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath).toSeq
-      else Seq(p)
+    // Recursive listing: a partitioned/bucketed embeddings table nests its
+    // part files under key=value subdirectories — a top-level-only listing
+    // would count 0 rows and silently defeat the MaxBroadcastQueries memory
+    // bound the exact count exists to protect. Skip _metadata/_SUCCESS AND
+    // dot-prefixed hidden files (neither is parquet data).
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += s.getPath
+        }
+        require(buf.nonEmpty, s"countRows: no parquet data files under $p")
+        buf.toSeq
+      } else Seq(p)
     val rows = files.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))

@@ -18,7 +18,9 @@ class DedupPropertySpec extends SparkTestBase {
     val df = Seq(
       (0, Seq(1L, 5L, 9L)), (1, Seq(2L)), (2, Seq.empty[Long]),
       (3, Seq(4L, 3L)), // UNSORTED input: min/max per pair, never (4,3)
-      (4, Seq(3L, 1L, 4L, 2L)))
+      (4, Seq(3L, 1L, 4L, 2L)),
+      (5, Seq(7L, 7L, 8L)), // duplicates: NO (7,7) self-pair
+      (6, Seq(9L, 9L))) // all-equal: no rows at all
       .toDF("k", "ids")
     val got = df.select(col("k"), PairsExpr(col("ids")))
       .collect()
@@ -27,7 +29,8 @@ class DedupPropertySpec extends SparkTestBase {
     val want = Set(
       (0, 1L, 5L), (0, 1L, 9L), (0, 5L, 9L), // single-id and empty inputs: no rows
       (3, 3L, 4L),
-      (4, 1L, 2L), (4, 1L, 3L), (4, 1L, 4L), (4, 2L, 3L), (4, 2L, 4L), (4, 3L, 4L))
+      (4, 1L, 2L), (4, 1L, 3L), (4, 1L, 4L), (4, 2L, 3L), (4, 2L, 4L), (4, 3L, 4L),
+      (5, 7L, 8L))
     assert(got === want)
   }
 

@@ -66,6 +66,16 @@ class ExtensionsSpec extends SparkTestBase {
       intercept[org.apache.spark.sql.AnalysisException] {
         s2.sql("SELECT id_pairs(array('a', 'b')) AS (da, db)").collect()
       }
+      // minhash_sig declares the same contract: an INT hash array widens
+      // via implicit cast (same values as the bigint form above), a
+      // non-castable element type fails analysis
+      val mhInt = s2.sql(
+        "SELECT minhash_sig(array(3, 10), array(5, 7), array(1, 0), 97) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(mhInt === Seq(16L, 21L))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT minhash_sig(array('a'), array(5), array(1), 97) AS s").collect()
+      }
       // DESCRIBE FUNCTION must surface the registered usage string
       // (ExpressionInfo substitutes the name for _FUNC_)
       val desc = s2.sql("DESCRIBE FUNCTION id_pairs")
