@@ -265,6 +265,90 @@ object TextQueries {
        |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin
   }
 
+  // ----------------------------------------------------------- tfidf_topterms
+  /** `tfidf_topterms` — top 5 terms per document by tf·idf (the classic
+    * keyword/feature-extraction pass of a text pipeline). The idf is the
+    * BM25-style RATIONAL form idf = (N - df + 0.5) / (df + 0.5), not
+    * log((N+1)/(df+1)): division and multiplication are exactly-rounded
+    * IEEE-754 primitives, so the score doubles are bit-identical across
+    * engines, whereas `ln` is correctly-rounded in neither libm and would
+    * make the oracle hash flaky at rank boundaries. Ordering (score desc,
+    * term asc) is a total order per document.
+    *
+    * Scale shape: tf and df are both map-side-partial hash aggregations;
+    * the tf⋈df join shuffles on `term` (the same key df just aggregated
+    * on, so the exchange is reused); N arrives as a broadcast 1-row
+    * aggregate (no driver action); the final window partitions by doc_id
+    * — per-doc state is the doc's distinct terms, bounded by doc length.
+    */
+  val TfidfK = 5
+
+  def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = words(spark, dir)
+      .groupBy(col("doc_id"), col("word").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    // (doc_id, term) rows are distinct post-aggregation, so df = the term's
+    // row count in tf — no separate countDistinct pass over the pair table.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_total"))
+    val score = col("tf").cast("double") *
+      (((col("n_total") - col("df")).cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  val tfidfToptermsSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_total FROM documents),
+       |s AS (SELECT doc_id, term, tf, df,
+       |             CAST(tf AS DOUBLE) * ((CAST(n_total - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS score
+       |      FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, score,
+       |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+       |FROM s QUALIFY rank <= $TfidfK""".stripMargin
+
+  // -------------------------------------------------------------- data_split
+  /** `data_split` — deterministic train/val/test assignment by content-
+    * independent id hash: bucket = hash60(doc_id) mod 100, buckets
+    * [0,80) → train, [80,90) → val, [90,100) → test. Hash-based splits are
+    * the standard reproducible alternative to random sampling in training
+    * pipelines — stable under reruns, appends, and repartitioning (a new
+    * document never moves an old one between splits). Scan-local: zero
+    * shuffles at any scale.
+    */
+  val SplitBuckets = 100
+  val TrainUpto = 80
+  val ValUpto = 90
+
+  def dataSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextFns.hash60(col("doc_id").cast("string")), lit(SplitBuckets.toLong))
+    docs(spark, dir).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < TrainUpto, lit("train"))
+        .when(bucket < ValUpto, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  val dataSplitSql: String = {
+    val bucket = s"${Oracle.hash60("CAST(doc_id AS VARCHAR)")} % $SplitBuckets"
+    s"""SELECT doc_id, $bucket AS bucket,
+       |       CASE WHEN $bucket < $TrainUpto THEN 'train'
+       |            WHEN $bucket < $ValUpto THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
     "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
@@ -276,5 +360,7 @@ object TextQueries {
     "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
     "token_count" -> QueryDef(tokenCount, Some(tokenCountSql)),
     "doc_fingerprint" -> QueryDef(docFingerprint, Some(docFingerprintSql)),
-    "doc_winnow" -> QueryDef(docWinnow, Some(docWinnowSql)))
+    "doc_winnow" -> QueryDef(docWinnow, Some(docWinnowSql)),
+    "tfidf_topterms" -> QueryDef(tfidfTopterms, Some(tfidfToptermsSql)),
+    "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)))
 }
