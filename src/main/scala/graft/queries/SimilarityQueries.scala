@@ -392,9 +392,16 @@ object SimilarityQueries {
         .select(col("cidx"), col("v").as("cv2"), col("nrm").as("cn2"))
     }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = codebook(spark, dir)
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(emb(spark, dir), codebook(spark, dir))
+
+  /** The IVF search stage, shared by [[annIvf]] and [[annIvfKmeans]]:
+    * assignment of all corpus vectors to their nearest centroid (packed
+    * max_by hash aggregate), Nprobe probe lists per query, shuffle-hash
+    * probe join, exact top-k ranking. `cents` must be a (cidx, cv2, cn2)
+    * codebook with cidx DENSE in [1, IvfC].
+    */
+  private def ivfSearch(e: DataFrame, cents: DataFrame): DataFrame = {
     val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
     // Assignment (all n corpus vectors): max_by aggregation instead of a
     // row_number window — partial aggregation collapses the n·C
@@ -436,22 +443,150 @@ object SimilarityQueries {
       Seq("cidx")).filter(col("query_id") =!= col("neighbor_id")))
   }
 
+  /** The IVF search stage as oracle SQL — tc/assigned/probes/rank over a
+    * codebook CTE named `$cent` with columns (cidx, cv, cn). Shared by the
+    * hash-sampled and k-means oracles so the search semantics cannot
+    * drift between the two.
+    */
+  private def ivfSearchSqlTail(cent: String): String =
+    s"""tc AS (SELECT e.vec_id, e.v, e.nrm, c.cidx,
+       |              row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
+       |                         c.cidx) AS cr
+       |       FROM e CROSS JOIN $cent c),
+       |assigned AS (SELECT cidx, vec_id, v, nrm FROM tc WHERE cr = 1),
+       |probes AS (SELECT vec_id, cidx, v, nrm FROM tc
+       |           WHERE vec_id % $QueryMod = 0 AND cr <= $Nprobe),
+       |${rankedSql(
+        "probes q JOIN assigned c ON q.cidx = c.cidx AND q.vec_id <> c.vec_id")}""".stripMargin
+
   val annIvfSql: String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
     s"""WITH $embCte,
        |cent AS (SELECT v AS cv, nrm AS cn,
        |                row_number() OVER (ORDER BY $ch, vec_id) AS cidx
        |         FROM e QUALIFY cidx <= $IvfC),
-       |tc AS (SELECT e.vec_id, e.v, e.nrm, cent.cidx,
-       |              row_number() OVER (PARTITION BY e.vec_id
-       |                ORDER BY round(list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
-       |                         cent.cidx) AS cr
-       |       FROM e CROSS JOIN cent),
-       |assigned AS (SELECT cidx, vec_id, v, nrm FROM tc WHERE cr = 1),
-       |probes AS (SELECT vec_id, cidx, v, nrm FROM tc
-       |           WHERE vec_id % $QueryMod = 0 AND cr <= $Nprobe),
-       |${rankedSql(
-        "probes q JOIN assigned c ON q.cidx = c.cidx AND q.vec_id <> c.vec_id")}""".stripMargin
+       |${ivfSearchSqlTail("cent")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------- ann_ivf_kmeans
+  /** `ann_ivf_kmeans` — IVF search over a k-means-REFINED codebook: the
+    * hash-sampled codebook of [[annIvf]] is the Lloyd INIT, then
+    * [[KmIters]] unrolled Lloyd iterations reassign every corpus vector to
+    * its nearest centroid and recompute each centroid as its members' mean.
+    * This is the production IVF quantizer (list balance adapts to the data
+    * distribution instead of being a uniform sample), and the refinement is
+    * the answer to "list balance at 100 TB depends on a real coarse
+    * quantizer".
+    *
+    * Cross-engine determinism of the centroid arithmetic: float summation
+    * is NOT associative, and Spark's partial aggregation adds in partition
+    * order — a naive avg(v[i]) would hash-mismatch the oracle in the last
+    * ULP. So member vectors are QUANTIZED once to integers
+    * (q_i = floor(v_i·2^20 + 0.5), exact and engine-identical), centroid
+    * sums are exact BIGINT arithmetic (associative — any addition order
+    * gives the same long), and each centroid component is one
+    * exactly-rounded IEEE division s_i / (2^20·cnt). Every derived double
+    * is therefore bit-identical across engines, like the integer-ratio
+    * scores elsewhere in this engine.
+    *
+    * Scale shape per iteration: assignment is the same broadcast-codebook
+    * crossJoin + packed-long max_by HashAggregate as the search stage
+    * (n·C rows collapse map-side); the centroid update is ONE hash
+    * aggregation with KmDim+1 long buffers (map-side partial, no per-key
+    * array buffer). Empty clusters keep their previous centroid. The
+    * refined codebook is memoized per (session, dir) — the iterations are
+    * an index-BUILD cost, not a per-query cost, exactly like a real IVF
+    * index build.
+    */
+  val KmIters = 2
+  val KmDim = 64
+  val QScale = 1048576L // 2^20: |q_i| < 2^40-ish => 64-dim sums never overflow
+
+  private val kmCodebookMemo = Memo.table()
+
+  /** (vec_id, v, nrm, qv) — emb plus the quantized integer vector. */
+  private def quantized(e: DataFrame): DataFrame =
+    e.withColumn("qv", transform(col("v"), x => floor(x * QScale + lit(0.5))))
+
+  /** One Lloyd step: cents (cidx, cv, cn) -> refined (cidx, cv, cn). */
+  private def lloydStep(eq: DataFrame, cents: DataFrame): DataFrame = {
+    val cos6 = round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6)
+    // same packed (cos6 desc, cidx asc) max_by trick as the search stage:
+    // keeps the whole n·C assignment in a HashAggregate
+    val ord = round(cos6 * lit(1000000d)).cast("long") * lit(128L) +
+      (lit(IvfC.toLong) - col("cidx"))
+    val assigned = eq.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cidx"), ord.as("ord"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cidx"), col("ord")).as("cidx"))
+    val sums = assigned.join(eq.select(col("vec_id"), col("qv")), "vec_id")
+      .groupBy(col("cidx"))
+      .agg(count(lit(1)).as("cnt"),
+        (1 to KmDim).map(i => sum(element_at(col("qv"), i)).as(s"s$i")): _*)
+    val meanCv = array((1 to KmDim).map(i =>
+      col(s"s$i").cast("double") / (lit(QScale) * col("cnt")).cast("double")): _*)
+    cents.select(col("cidx"), col("cv"))
+      .join(broadcast(sums), Seq("cidx"), "left")
+      .select(col("cidx"),
+        when(col("cnt").isNull, col("cv")).otherwise(meanCv).as("cv"))
+      .withColumn("cn", VectorFns.norm(col("cv")))
+  }
+
+  private def kmeansCodebook(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(kmCodebookMemo, spark, dir) {
+      val eq = quantized(emb(spark, dir))
+      // Lloyd INIT = the same hash-sampled selection as [[codebook]], but
+      // with centroids in the QUANTIZED domain (cv = qv / 2^20) so
+      // iteration 0's centroids are already integer-derived like every
+      // later one (joining the existing codebook back by vector value
+      // would fan out under duplicate vectors).
+      val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
+      val init = eq.withColumn("ch", ch)
+        .orderBy(col("ch").asc, col("vec_id").asc).limit(IvfC)
+        .withColumn("cidx",
+          row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
+        .select(col("cidx"),
+          transform(col("qv"), q => q.cast("double") / lit(QScale.toDouble)).as("cv"))
+        .withColumn("cn", VectorFns.norm(col("cv")))
+      val refined = (1 to KmIters).foldLeft(init)((c, _) => lloydStep(eq, c))
+      refined.select(col("cidx"), col("cv").as("cv2"), col("cn").as("cn2"))
+    }
+
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(emb(spark, dir), kmeansCodebook(spark, dir))
+
+  val annIvfKmeansSql: String = {
+    val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
+    val qvList =
+      s"[CAST(floor(v[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
+    val sumCols = (1 to KmDim).map(i => s"sum(qv[$i]) AS s$i").mkString(", ")
+    def meanList(s: String) = (1 to KmDim)
+      .map(i => s"CAST($s.s$i AS DOUBLE) / CAST($QScale * $s.cnt AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    def step(n: Int): String = {
+      val prev = s"cent${n - 1}"
+      s"""t$n AS (SELECT eq.vec_id, c.cidx,
+         |              row_number() OVER (PARTITION BY eq.vec_id
+         |                ORDER BY round(list_dot_product(eq.v, c.cv) / (eq.nrm * c.cn), 6) DESC,
+         |                         c.cidx) AS cr
+         |       FROM eq CROSS JOIN $prev c),
+         |s$n AS (SELECT t$n.cidx, count(*) AS cnt, $sumCols
+         |        FROM t$n JOIN eq ON eq.vec_id = t$n.vec_id AND t$n.cr = 1
+         |        GROUP BY t$n.cidx),
+         |m$n AS (SELECT p.cidx,
+         |               CASE WHEN s.cnt IS NULL THEN p.cv ELSE ${meanList("s")} END AS cv
+         |        FROM $prev p LEFT JOIN s$n s ON s.cidx = p.cidx),
+         |cent$n AS (SELECT cidx, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM m$n)""".stripMargin
+    }
+    s"""WITH $embCte,
+       |eq AS (SELECT vec_id, v, nrm, $qvList AS qv FROM e),
+       |c0 AS (SELECT qv, row_number() OVER (ORDER BY $ch, vec_id) AS cidx
+       |       FROM eq QUALIFY cidx <= $IvfC),
+       |cq AS (SELECT cidx, list_transform(qv, q -> CAST(q AS DOUBLE) / $QScale) AS cv FROM c0),
+       |cent0 AS (SELECT cidx, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cq),
+       |${(1 to KmIters).map(step).mkString(",\n")},
+       |${ivfSearchSqlTail(s"cent$KmIters")}""".stripMargin
   }
 
   val entries: Seq[(String, QueryDef)] = Seq(
@@ -460,5 +595,6 @@ object SimilarityQueries {
     "dedup_embed_lsh" -> QueryDef(dedupEmbedLsh, Some(dedupEmbedLshSql)),
     "ann_topk" -> QueryDef(annTopk, Some(annTopkSql)),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
-    "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)))
+    "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
+    "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)))
 }
