@@ -130,6 +130,43 @@ class DedupPropertySpec extends SparkTestBase {
     assert(prefix.exceptAll(exact).count() === 0L)
   }
 
+  test("dedup_cluster closes transitive chains: A~B, B~C, A!~B~C still one cluster") {
+    // The reason clustering exists: pairwise dedup links A-B and B-C but
+    // never A-C when J(A,C) < tau. Construction: base of 52 distinct
+    // tokens (50 shingles); A drops the last 6 tokens, C drops the first
+    // 6. J(A,B) = J(B,C) = 44/50 = 0.88 >= 0.8, but
+    // J(A,C) = (50-12)/50 = 0.76 < 0.8 — a genuine chain. All three must
+    // land in cluster min(id); an unrelated singleton must keep its own
+    // id as a singleton cluster.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("chain-corpus")
+    val toks = Vector("ape", "bat", "cat", "dog", "eel", "fox", "gnu", "hen",
+      "ibis", "jay", "kite", "lark", "mole", "newt", "owl", "pig", "quail",
+      "rat", "seal", "toad", "urchin", "vole", "wren", "yak", "zebu",
+      "ant", "bee", "crab", "dove", "emu", "ferret", "goat", "hare",
+      "imp", "jackal", "koala", "lemur", "mink", "numbat", "okapi",
+      "panda", "quokka", "raven", "stoat", "tapir", "uakari", "viper",
+      "wombat", "xerus", "yabby", "zorse", "addax")
+    assert(toks.length === 52 && toks.distinct.length === 52)
+    val b = toks.mkString(" ")
+    val a = toks.dropRight(6).mkString(" ")
+    val c = toks.drop(6).mkString(" ")
+    val docs = Seq((10L, a), (11L, b), (12L, c), (99L, "completely unrelated words here"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    // preflight: the chain shape must actually hold at the minhash level,
+    // or the clustering assertion is vacuous
+    val pairs = DedupQueries.dedupMinhash(spark, d.toString)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (11L, 12L)),
+      s"corpus didn't produce the A-B, B-C chain (LSH bands missed a pair?): $pairs")
+    val labels = DedupQueries.dedupCluster(spark, d.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
   test("minhash verification is exact: every reported pair is a true J>=0.8 pair " +
       "with the brute-force jaccard value") {
     // LSH candidate generation may MISS pairs (probabilistic recall), but

@@ -127,6 +127,84 @@ class QueriesSpec extends SparkTestBase {
     assert(again === row.getInt(0))
   }
 
+  test("tfidf_topterms: ranks are 1..k, scores non-increasing, df consistent") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.tfidfTopterms(spark, dir)
+      .select("doc_id", "term", "tf", "df", "score", "rank").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (d, rs) =>
+      assert(rs.length <= TextQueries.TfidfK, s"doc $d has ${rs.length} terms")
+      val byRank = rs.sortBy(_.getLong(5))
+      assert(byRank.map(_.getLong(5)).toSeq === (1L to rs.length), s"doc $d ranks not dense")
+      val scores = byRank.map(_.getDouble(4)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $d scores not non-increasing")
+    }
+    // df is a per-term global: every occurrence of a term reports one value
+    rows.groupBy(_.getString(1)).foreach { case (t, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length === 1, s"term $t has inconsistent df")
+    }
+  }
+
+  test("data_split: buckets in range, split matches bucket, assignment is id-stable") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.dataSplit(spark, dir)
+      .select("doc_id", "bucket", "split").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val b = r.getLong(1)
+      assert(b >= 0 && b < TextQueries.SplitBuckets)
+      val want = if (b < TextQueries.TrainUpto) "train"
+        else if (b < TextQueries.ValUpto) "val" else "test"
+      assert(r.getString(2) === want, s"doc ${r.getLong(0)} split/bucket disagree")
+    }
+    assert(rows.map(_.getString(2)).toSet === Set("train", "val", "test"))
+    // id-stability (the property hash splits exist for): recomputing
+    // yields the identical assignment
+    val again = TextQueries.dataSplit(spark, dir)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) === r.getString(2)))
+  }
+
+  test("dedup_cluster: pair endpoints share clusters; one canonical min per cluster") {
+    import graft.queries.DedupQueries
+    val out = DedupQueries.dedupCluster(spark, dir)
+      .select("doc_id", "cluster_id", "is_canonical").collect()
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every verified near-dup pair is intra-cluster
+    val pairs = DedupQueries.dedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs — test is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(label(a) === label(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are min-ids: never above the member, and each cluster's
+    // canonical row is exactly its minimum member
+    out.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+    out.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      assert(rs.map(_.getLong(0)).min === c, s"cluster $c labeled above its min member")
+      val canon = rs.filter(_.getBoolean(2))
+      assert(canon.length === 1 && canon.head.getLong(0) === c,
+        s"cluster $c canonical flag wrong")
+    }
+  }
+
+  test("ann_ivf_kmeans pairs carry brute-force similarities; TopK capped") {
+    val brute = graft.queries.SimilarityQueries.annTopk(spark, dir)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val km = graft.queries.SimilarityQueries.annIvfKmeans(spark, dir)
+      .select("query_id", "neighbor_id", "sim").collect()
+    km.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      brute.get(k).foreach(s => assert(s === r.getDouble(2), s"pair $k"))
+    }
+    assert(km.nonEmpty)
+    km.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= graft.queries.SimilarityQueries.TopK, s"query $q over TopK")
+    }
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._

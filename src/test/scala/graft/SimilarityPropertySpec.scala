@@ -77,12 +77,18 @@ class SimilarityPropertySpec extends SparkTestBase {
     }
     val lsh = recallAt10(topSets(SimilarityQueries.annLsh(spark, dir)))
     val ivf = recallAt10(topSets(SimilarityQueries.annIvf(spark, dir)))
-    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f")
+    val ivfKm = recallAt10(topSets(SimilarityQueries.annIvfKmeans(spark, dir)))
+    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_kmeans=$ivfKm%.3f")
     // measured on this corpus: lsh ≈ 0.12 (radius-1 multi-probe, ~3.5%
     // scanned), ivf ≈ 0.19 (Nprobe=4, ~6% scanned) — the corpus is
     // near-uniform on the sphere, so recall tracks the scanned fraction;
     // floors at ~0.7× measurement
     assert(lsh >= 0.08, f"ann_lsh recall@10 $lsh%.3f below floor (LshBits/multi-probe mistuned?)")
     assert(ivf >= 0.13, f"ann_ivf recall@10 $ivf%.3f below floor (Nprobe/codebook mistuned?)")
+    // Lloyd refinement adapts list balance to the data; on a near-uniform
+    // corpus it should at minimum not LOSE retrieval quality vs the
+    // sampled codebook's floor.
+    assert(ivfKm >= 0.13,
+      f"ann_ivf_kmeans recall@10 $ivfKm%.3f below floor (Lloyd refinement regressed retrieval)")
   }
 }
