@@ -548,6 +548,47 @@ object DedupQueries {
        |JOIN sz sb ON sb.doc_id = i.db
        |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $NgramJaccardTau""".stripMargin
 
+  // -------------------------------------------------------- ngram_containment
+  /** `ngram_containment` — near-SUBSET detection: pairs where the smaller
+    * document's shingle set is almost contained in the other's,
+    * containment = |A∩B| / min(|A|,|B|) ≥ 0.9. Jaccard misses these (a
+    * 50-shingle quote inside a 5000-shingle page has J ≈ 0.01 but
+    * containment 1.0); real pipelines run both — Jaccard for near-twins,
+    * containment for quotes/boilerplate/subset dups. Same inverted-index
+    * + hot-shingle-split candidate generation and the same sizes table as
+    * [[ngramJaccard]], so the scale story is identical; only the verify
+    * formula differs.
+    */
+  val ContainmentTau = 0.9
+
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shinglePairsDf(spark, dir)
+    val sizes = shingleSizes(spark, dir)
+    val inter = coocPairs(ex)
+      .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    val c = col("inter").cast("double") / least(col("na"), col("nb"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), c.as("containment"))
+      .filter(col("containment") >= ContainmentTau)
+  }
+
+  val ngramContainmentSql: String =
+    s"""WITH $shinglePairsCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |       CAST(i.i AS DOUBLE) / least(sa.n, sb.n) AS containment
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.da
+       |JOIN sz sb ON sb.doc_id = i.db
+       |WHERE CAST(i.i AS DOUBLE) / least(sa.n, sb.n) >= $ContainmentTau""".stripMargin
+
   // ----------------------------------------------------- ngram_jaccard_prefix
   /** `ngram_jaccard_prefix` — the same exact n-gram Jaccard join with
     * positional prefix filtering: each document joins only on its
@@ -612,6 +653,7 @@ object DedupQueries {
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
+    "ngram_containment" -> QueryDef(ngramContainment, Some(ngramContainmentSql)),
     // same oracle as ngram_jaccard: prefix filtering is lossless, and the
     // hash-match against the brute-force SQL proves it per round
     "ngram_jaccard_prefix" -> QueryDef(ngramJaccardPrefix, Some(ngramJaccardSql)),

@@ -189,6 +189,22 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("ngram_containment dominates jaccard: every J>=0.9 pair appears, values >= J") {
+    import graft.queries.DedupQueries
+    // containment = i/min(na,nb) >= i/(na+nb-i) = jaccard, so the
+    // containment output at tau=0.9 must contain every jaccard>=0.9 pair
+    val cont = DedupQueries.ngramContainment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val highJ = DedupQueries.ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= DedupQueries.ContainmentTau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(highJ.nonEmpty, "no J>=0.9 pairs — test is vacuous")
+    highJ.foreach { case (pair, j) =>
+      assert(cont.contains(pair), s"$pair has J=$j but is missing from containment")
+      assert(cont(pair) >= j, s"$pair containment ${cont(pair)} < jaccard $j")
+    }
+  }
+
   test("ann_ivf_kmeans pairs carry brute-force similarities; TopK capped") {
     val brute = graft.queries.SimilarityQueries.annTopk(spark, dir)
       .select("query_id", "neighbor_id", "sim").collect()
