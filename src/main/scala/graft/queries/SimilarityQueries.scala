@@ -589,6 +589,42 @@ object SimilarityQueries {
        |${ivfSearchSqlTail(s"cent$KmIters")}""".stripMargin
   }
 
+  // --------------------------------------------------------- label_centroids
+  /** `label_centroids` — per-label mean embedding (class centroids): the
+    * semantic-aggregation primitive behind label-balanced sampling,
+    * centroid-distance outlier filtering, and per-class drift monitoring.
+    * Same engine-exact arithmetic as the k-means codebook: components are
+    * quantized to integers once, summed with associative BIGINT
+    * arithmetic, and divided by one exactly-rounded IEEE division — so the
+    * centroid doubles hash-match the oracle regardless of partial-
+    * aggregation order. Output is EXPLODED to (label, dim, value) scalar
+    * rows (oracle compare is scalar-typed), one row per label×dimension.
+    *
+    * Shape: posexplode to (label, dim, q) then ONE partial-final hash
+    * aggregation on (label, dim) — n·d rows collapse map-side; the result
+    * is |labels|·d rows. The n_vectors count rides the same aggregation.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    quantized(emb(spark, dir))
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("q")).as("s"))
+      .select(col("label"), col("dim"), col("n_vectors"),
+        (col("s").cast("double") / (lit(QScale) * col("n_vectors")).cast("double"))
+          .as("value"))
+
+  val labelCentroidsSql: String = {
+    val qvList =
+      s"[CAST(floor(v[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
+    s"""WITH $embCte,
+       |eq AS (SELECT label, $qvList AS qv FROM e),
+       |x AS (SELECT label, CAST(d.i AS BIGINT) AS dim, qv[d.i] AS q
+       |      FROM eq CROSS JOIN generate_series(1, $KmDim) AS d(i))
+       |SELECT label, dim, count(*) AS n_vectors,
+       |       CAST(sum(q) AS DOUBLE) / CAST($QScale * count(*) AS DOUBLE) AS value
+       |FROM x GROUP BY label, dim""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
@@ -596,5 +632,6 @@ object SimilarityQueries {
     "ann_topk" -> QueryDef(annTopk, Some(annTopkSql)),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
-    "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)))
+    "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)),
+    "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)))
 }

@@ -317,6 +317,41 @@ object TextQueries {
        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
        |FROM s QUALIFY rank <= $TfidfK""".stripMargin
 
+  // -------------------------------------------------------- repetition_score
+  /** `repetition_score` — within-document repetition signals (the
+    * Gopher/C4-style quality filters that catch boilerplate and degenerate
+    * generations): `distinct_ratio` = distinct tokens / tokens (low =
+    * repetitive) and `top_token_frac` = the most frequent token's share
+    * (high = one token dominates). Both are exact integer ratios, so the
+    * doubles are engine-identical.
+    *
+    * Shape: the per-doc (term, tf) table is one partial-final hash
+    * aggregation; the per-doc rollup (max tf, Σtf, count) is a second.
+    * Both shuffle on doc_id-prefixed keys — no window, no explode beyond
+    * tokenization. Scan-local except the two aggregations at any scale.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = words(spark, dir)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_tf").cast("double") / col("n_tokens")).as("top_token_frac"))
+  }
+
+  val repetitionScoreSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
+       |SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_distinct,
+       |       CAST(count(*) AS DOUBLE) / sum(tf) AS distinct_ratio,
+       |       CAST(max(tf) AS DOUBLE) / sum(tf) AS top_token_frac
+       |FROM tf GROUP BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- data_split
   /** `data_split` — deterministic train/val/test assignment by content-
     * independent id hash: bucket = hash60(doc_id) mod 100, buckets
@@ -362,5 +397,6 @@ object TextQueries {
     "doc_fingerprint" -> QueryDef(docFingerprint, Some(docFingerprintSql)),
     "doc_winnow" -> QueryDef(docWinnow, Some(docWinnowSql)),
     "tfidf_topterms" -> QueryDef(tfidfTopterms, Some(tfidfToptermsSql)),
+    "repetition_score" -> QueryDef(repetitionScore, Some(repetitionScoreSql)),
     "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)))
 }

@@ -205,6 +205,43 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("repetition_score: ratios in (0,1], top fraction bounded by distinct ratio floor") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.repetitionScore(spark, dir)
+      .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio", "top_token_frac").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, dr, tf) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(d >= 1 && d <= n)
+      assert(dr > 0 && dr <= 1.0)
+      assert(tf > 0 && tf <= 1.0)
+      // the most frequent token covers at least the average share 1/n_distinct
+      assert(tf >= 1.0 / d - 1e-12, s"doc ${r.getLong(0)}: top_frac $tf < 1/$d")
+    }
+  }
+
+  test("label_centroids: dense dims per label, exact mean of quantized components") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.labelCentroids(spark, dir)
+      .select("label", "dim", "n_vectors", "value").collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to SimilarityQueries.KmDim),
+        s"label $l dims not dense")
+      assert(rs.map(_.getLong(2)).distinct.length === 1, s"label $l n_vectors inconsistent")
+    }
+    // exact cross-check of one component against a driver-side quantized mean
+    val embRows = Tables.embeddings(spark, dir)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val l0 = embRows.head._1
+    val vs = embRows.filter(_._1 == l0).map(_._2)
+    val qsum = vs.map(v => math.floor(v.head.toDouble * SimilarityQueries.QScale + 0.5).toLong).sum
+    val want = qsum.toDouble / (SimilarityQueries.QScale * vs.length).toDouble
+    val got = rows.find(r => r.getInt(0) == l0 && r.getLong(1) == 1L).get.getDouble(3)
+    assert(got === want, s"label $l0 dim 1 centroid $got != driver-exact $want")
+  }
+
   test("ann_ivf_kmeans pairs carry brute-force similarities; TopK capped") {
     val brute = graft.queries.SimilarityQueries.annTopk(spark, dir)
       .select("query_id", "neighbor_id", "sim").collect()
