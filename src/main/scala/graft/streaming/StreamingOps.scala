@@ -103,6 +103,25 @@ object StreamingOps {
       .withWatermark("ingest_ts", DedupHorizon)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming wordcount — the reference's flagship query (Q1,
+    * src/mrapps/wc.go:19-40) as a continuous ingestion-time query: tokens
+    * come from the same native `tokenize` kernel the batch path uses
+    * (Catalyst kernels compose with streaming unchanged), counts aggregate
+    * per ingest-time window under a watermark so the aggregation state
+    * ages out — the unbounded global `groupBy(word)` form would hold one
+    * state row per distinct word forever. Per-window counts sum to the
+    * batch wordcount over the same closed input (exactly equal when the
+    * input lands in one window, the StreamingSpec construction).
+    */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", DedupHorizon)
+      .groupBy(window(col("ingest_ts"), "1 minute"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"))
+
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -80,4 +80,24 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === expected)
   }
+
+  test("streaming wordCounts equals batch wordcount on a closed input") {
+    val stream = StreamingOps.wordCounts(StreamingOps.docStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("word_counts")
+      .outputMode("complete") // append would wait for watermark-finalized windows
+
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // summed across ingest windows (a closed single-trigger input lands in
+    // one or two windows at a minute boundary)
+    val got = spark.table("word_counts")
+      .groupBy("word").sum("cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.queries.TextQueries.wordcount(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
 }
