@@ -393,7 +393,17 @@ object SimilarityQueries {
     }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(emb(spark, dir), codebook(spark, dir))
+    ivfSearch(spark, dir, codebook(spark, dir), ivfListsMemo)
+
+  /** Memos for the assigned inverted LISTS, one per codebook variant —
+    * the other half of the IVF index-build artifact (the codebook memo is
+    * the quantizer; this is the corpus partitioned by it). A real IVF
+    * index stores exactly this table; recomputing the n·C assignment on
+    * every probe batch would make "index" a misnomer. Keyed (session,
+    * dir) like every memo; a codebook change invalidates with the session.
+    */
+  private val ivfListsMemo = Memo.table()
+  private val kmListsMemo = Memo.table()
 
   /** The IVF search stage, shared by [[annIvf]] and [[annIvfKmeans]]:
     * assignment of all corpus vectors to their nearest centroid (packed
@@ -401,7 +411,9 @@ object SimilarityQueries {
     * probe join, exact top-k ranking. `cents` must be a (cidx, cv2, cn2)
     * codebook with cidx DENSE in [1, IvfC].
     */
-  private def ivfSearch(e: DataFrame, cents: DataFrame): DataFrame = {
+  private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
+      listsMemo: Memo.Table): DataFrame = {
+    val e = emb(spark, dir)
     val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
     // Assignment (all n corpus vectors): max_by aggregation instead of a
     // row_number window — partial aggregation collapses the n·C
@@ -420,13 +432,15 @@ object SimilarityQueries {
     // rows AND ship every vector C times through the cross join; the
     // all-long buffer keeps a HashAggregate, and (v, nrm) re-attach with
     // one join against the persisted emb table afterwards.
-    val assignedIds = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cidx"), packedOrder.as("ord"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cidx"), col("ord")).as("cidx"))
-    val assigned = assignedIds.join(e, "vec_id")
-      .select(col("cidx"), col("vec_id").as("neighbor_id"),
-        col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = Memo.memoize(listsMemo, spark, dir) {
+      val assignedIds = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cidx"), packedOrder.as("ord"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cidx"), col("ord")).as("cidx"))
+      assignedIds.join(e, "vec_id")
+        .select(col("cidx"), col("vec_id").as("neighbor_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+    }
     // Probe lists (n/QueryMod query vectors): top-Nprobe centroids via a
     // window over the already-filtered query×centroid join — tiny input.
     val centRank = Window.partitionBy(col("vec_id"))
@@ -554,7 +568,7 @@ object SimilarityQueries {
     }
 
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(emb(spark, dir), kmeansCodebook(spark, dir))
+    ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo)
 
   val annIvfKmeansSql: String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")

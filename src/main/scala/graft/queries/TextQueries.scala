@@ -283,11 +283,23 @@ object TextQueries {
     */
   val TfidfK = 5
 
+  /** Memo for the per-doc term-frequency table (doc_id, term, tf) — the
+    * shared base of [[tfidfTopterms]] and [[repetitionScore]] (and the
+    * textbook first artifact of any term-statistics pipeline): one
+    * explode + hash aggregation over the corpus per (session, dir)
+    * instead of one per query invocation.
+    */
+  private val tfMemo = Memo.table()
+
+  private def termFreq(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(tfMemo, spark, dir)(
+      words(spark, dir)
+        .groupBy(col("doc_id"), col("word").as("term"))
+        .agg(count(lit(1)).as("tf")))
+
   def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = words(spark, dir)
-      .groupBy(col("doc_id"), col("word").as("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(spark, dir)
     // (doc_id, term) rows are distinct post-aggregation, so df = the term's
     // row count in tf — no separate countDistinct pass over the pair table.
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -330,18 +342,14 @@ object TextQueries {
     * Both shuffle on doc_id-prefixed keys — no window, no explode beyond
     * tokenization. Scan-local except the two aggregations at any scale.
     */
-  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
-    val tf = words(spark, dir)
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("doc_id"))
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    termFreq(spark, dir).groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("tf")).as("top_tf"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
         (col("top_tf").cast("double") / col("n_tokens")).as("top_token_frac"))
-  }
 
   val repetitionScoreSql: String =
     s"""WITH toks AS (${Oracle.toksCte}),
