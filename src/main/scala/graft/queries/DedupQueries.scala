@@ -504,31 +504,41 @@ object DedupQueries {
     */
   val NgramJaccardTau = 0.5
 
+  /** Memo for the pairwise-OVERLAP table (da, db, inter = |A∩B|) over the
+    * full inverted index — the candidate-pair artifact every exact
+    * similarity formula reads ([[ngramJaccard]]'s union ratio,
+    * [[ngramContainment]]'s min ratio; a containment-direction or
+    * overlap-coefficient variant would read it too). The Σ_h df(h)²/2
+    * pair fan-out + count aggregation is the dominant cost of this family
+    * — building it once per (session, dir) is the standard "materialize
+    * the candidate pairs with overlap counts" step of a dedup job.
+    * Intersection counts come from ONE groupBy(h) over the inverted index
+    * + the PairsExpr kernel — not an h self-join, which scans/shuffles
+    * the pair table twice for the same rows. The hot-shingle split (see
+    * [[coocPairs]]) keeps df > MaxShingleBucket posting lists out of any
+    * collect buffer; the pinned repartition IS the aggregation exchange
+    * (groupBy reuses the hash partitioning) — without it AQE sizes the
+    * post-shuffle stage by BYTES and coalesces the byte-tiny pair rows to
+    * ~3 tasks, serializing the CPU that runs in that stage. (At 100 TB,
+    * popular shingles make the fan-out skew-heavy: the prefix twin caps
+    * it losslessly and is the declared scale path.)
+    */
+  private val interMemo = Memo.table()
+
+  private def interCounts(spark: SparkSession, dir: String): DataFrame =
+    memoize(interMemo, spark, dir)(
+      coocPairs(shinglePairsDf(spark, dir))
+        .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("inter")))
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shinglePairsDf(spark, dir)
-    // Intersection counts directly from ONE groupBy(h) over the inverted
-    // index + the PairsExpr kernel — not an h self-join, which
-    // scans/shuffles the pair table twice for the same Σ_h df(h)²/2 pair
-    // rows. Here EVERY co-occurring pair is a candidate (perfect recall,
-    // ~all-pairs at this τ), so |A∩B| comes free as the per-pair row count
-    // and the array-verify of [[verifyJaccard]] would only re-ship both
-    // shingle arrays per pair; the sizes needed for the union term are a
-    // per-row map over the cached array table. (At 100 TB, popular
-    // shingles make this fan-out skew-heavy: the prefix twin caps it
-    // losslessly and is the declared scale path.)
+    // |A∩B| from the memoized overlap table; the union term's sizes are a
+    // per-row map over the cached array table (the array-verify of
+    // [[verifyJaccard]] would only re-ship both shingle arrays per pair).
     val sizes = shingleSizes(spark, dir)
-    // hot-shingle split (see coocPairs): df > MaxShingleBucket posting
-    // lists never hit a collect_list buffer. The pinned repartition IS the
-    // aggregation exchange (groupBy reuses the hash partitioning); without
-    // it AQE sizes the post-shuffle stage by BYTES and coalesces the
-    // byte-tiny pair rows to ~3 tasks, serializing the count + sizes-join
-    // + filter CPU that runs in the same stage.
-    val inter = coocPairs(ex)
-      .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    inter
+    interCounts(spark, dir)
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), j.as("jaccard"))
@@ -562,14 +572,9 @@ object DedupQueries {
   val ContainmentTau = 0.9
 
   def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shinglePairsDf(spark, dir)
     val sizes = shingleSizes(spark, dir)
-    val inter = coocPairs(ex)
-      .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"))
     val c = col("inter").cast("double") / least(col("na"), col("nb"))
-    inter
+    interCounts(spark, dir)
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), c.as("containment"))
