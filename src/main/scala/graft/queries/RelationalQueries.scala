@@ -181,11 +181,139 @@ object RelationalQueries {
       |       count(*) AS n_events
       |FROM x GROUP BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- asof_join
+  /** `asof_join` — for every event, the most recent order of the same
+    * customer at or before the event time (the point-in-time / as-of join:
+    * feature lookup "state of X as of t", a primitive Spark has no native
+    * operator for).
+    *
+    * Implemented as the SCALABLE form: tag and union both tables on a
+    * common integer-nanos time axis, shuffle ONCE on the key, sort by
+    * (t, tag, orderkey) within each key partition, and carry the latest
+    * order forward with `last(col, ignoreNulls)` over a running ROWS frame.
+    * This is O(n log n) with a single exchange — there is no range-join
+    * explosion and no per-event probe, so it survives a 100 TB event table
+    * where the naive `ON k = k AND o.t <= e.t` inequality join (the oracle
+    * formulation below, fine at oracle scale) degenerates to a
+    * nested-loop/banded join. Orders sort BEFORE events at an equal
+    * timestamp (tag 0 < 1) so `o.t <= e.t` equality is included; ties among
+    * same-instant orders resolve to the max o_orderkey — mirrored exactly by
+    * the oracle's ORDER BY ... DESC tiebreak. Events with no prior order
+    * keep NULL order columns (left-join semantics).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ (naive wall clock); events.ts is raw
+    // naive epoch nanos. Putting both on one integer axis goes through an
+    // NTZ→LTZ cast, which reads the SESSION timezone — pin it to UTC so the
+    // epoch arithmetic is the identity wall-clock mapping the oracle's
+    // naive `o_orderdate <= ts` comparison uses, on any machine TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+        col("event_id"),
+        lit(null).cast("long").as("okey"), lit(null).cast("double").as("oprice"))
+    val od = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("k"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("t"),
+        lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("okey"), col("o_totalprice").as("oprice"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("tag").asc, col("okey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("oprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("asof_orderkey"), col("asof_totalprice"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT e.event_id, e.user_id,
+      |       o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+      |FROM events e LEFT JOIN orders o
+      |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY e.event_id
+      |  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""".stripMargin
+
+  // -------------------------------------------------------------- props_stats
+  /** `props_stats` — aggregate over a field parsed out of the JSON `props`
+    * payload (semi-structured column handling: the "typed metadata in a
+    * string column" shape every event pipeline has). The JSON path
+    * extraction runs inside codegen (`get_json_object`), the aggregate is a
+    * plain partial-final hash agg — scan-local until the final 5-row
+    * exchange, so it scales like any other single-pass aggregation.
+    */
+  def propsStats(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables(spark, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+  }
+
+  val propsStatsSql: String = {
+    val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    s"""SELECT event_type, count(*) AS n,
+       |       CAST(sum($k) AS BIGINT) AS sum_k,
+       |       min($k) AS min_k, max($k) AS max_k,
+       |       CAST(count(DISTINCT $k) AS BIGINT) AS n_distinct_k
+       |FROM events GROUP BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------- value_quantiles
+  /** `value_quantiles` — EXACT p50/p90/p99 of `value` per event type by
+    * rank selection: the quantile is the element at row_number
+    * ceil(q·n) under a total (value, event_id) order, so the result is a
+    * real data value picked deterministically — no interpolation, hence
+    * bit-identical across engines (`percentile_cont`'s interpolated
+    * arithmetic differs between engines and would never hash-match).
+    * ceil(q·n) is computed in BIGINT ((n·q100 + 99) div 100) — exact at any
+    * n. One shuffle on event_type, one sort for the rank window; the
+    * unordered count window shares the same exchange. At 100 TB with a
+    * low-cardinality group key this is the sort-based exact form; when
+    * approximation is acceptable, `approx_percentile` (t-digest) drops the
+    * per-group sort entirely.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    def pick(p: Int) =
+      max(when(col("rk") === expr(s"(n * $p + 99) div 100"), col("value")))
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+  }
+
+  val valueQuantilesSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rk,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       max(CASE WHEN rk = (n*50+99)//100 THEN value END) AS p50,
+      |       max(CASE WHEN rk = (n*90+99)//100 THEN value END) AS p90,
+      |       max(CASE WHEN rk = (n*99+99)//100 THEN value END) AS p99
+      |FROM r GROUP BY event_type""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
     "histogram" -> QueryDef(histogram, Some(histogramSql)),
     "join_enrich" -> QueryDef(joinEnrich, Some(joinEnrichSql)),
     "window_rank" -> QueryDef(windowRank, Some(windowRankSql)),
-    "sessionize" -> QueryDef(sessionize, Some(sessionizeSql)))
+    "sessionize" -> QueryDef(sessionize, Some(sessionizeSql)),
+    "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
+    "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
+    "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

@@ -258,6 +258,58 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("asof_join: one row per event; picks the latest (date, orderkey) at-or-before ts") {
+    val events = Tables(spark, dir, "events")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("t"),
+        col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val got = graft.queries.RelationalQueries.asofJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.size === events.length, "exactly one output row per event")
+    events.foreach { case (eid, uid, ts) =>
+      val want = orders.getOrElse(uid, Array.empty[(Long, Long, Long, Double)])
+        .filter(_._2 <= ts)
+        .sortBy(o => (o._2, o._3)).lastOption.map(_._3)
+      assert(got(eid) === want, s"event $eid user $uid")
+    }
+  }
+
+  test("props_stats: JSON-extracted sums match a driver-side parse; groups cover all events") {
+    val raw = Tables(spark, dir, "events").select("event_type", "props").collect()
+      .map(r => (r.getString(0), """"k":\s*(-?\d+)""".r
+        .findFirstMatchIn(r.getString(1)).get.group(1).toLong))
+    val expect = raw.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).min, xs.map(_._2).max)
+    }
+    val got = graft.queries.RelationalQueries.propsStats(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expect)
+  }
+
+  test("value_quantiles: exact rank-selected elements of each group, monotone") {
+    val vals = Tables(spark, dir, "events").select("event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = graft.queries.RelationalQueries.valueQuantiles(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val sorted = vals(t).sortBy(x => (x._2, x._3)).map(_._2)
+      assert(n === sorted.length.toLong)
+      def pick(p: Int) = sorted(((n * p + 99) / 100).toInt - 1)
+      assert(r.getDouble(2) === pick(50), s"$t p50")
+      assert(r.getDouble(3) === pick(90), s"$t p90")
+      assert(r.getDouble(4) === pick(99), s"$t p99")
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
