@@ -360,6 +360,88 @@ object TextQueries {
        |       CAST(max(tf) AS DOUBLE) / sum(tf) AS top_token_frac
        |FROM tf GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ bm25_topdocs
+  /** `bm25_topdocs` — BM25-ranked top-10 documents for a fixed keyword
+    * query (the retrieval twin of `tfidf_topterms`: that one extracts a
+    * doc's best terms, this one finds a query's best docs — together the
+    * index/search pair of a text pipeline). Reuses the memoized per-doc
+    * term-frequency table; document length and the corpus stats derive
+    * from it with partial-final aggregations.
+    *
+    * Engine-exactness: idf is the rational BM25 form (N−df+0.5)/(df+0.5)
+    * (no `ln` — see tfidf_topterms), the length norm uses only
+    * exactly-rounded IEEE ops over exact-integer inputs, and the per-doc
+    * sum over query terms is a FIXED-ORDER chain of coalesces (one pivot
+    * column per term, folded left in declared term order) — never a
+    * float `sum()` whose partial-aggregation order could flip the hash.
+    *
+    * Scale shape: the tf table filters to the query terms FIRST (a scan
+    * over the memoized tf — at 100 TB, the term-keyed inverted index
+    * makes this a pruned lookup), so everything downstream is
+    * O(docs-containing-query-terms); df is 3 rows broadcast; dl joins on
+    * doc_id; the final top-10 is a TakeOrdered, not a full sort.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "merge")
+  val Bm25TopDocs = 10
+
+  def bm25Topdocs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val qtf = tf.filter(col("term").isin(Bm25Terms: _*))
+    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs(spark, dir).agg(count(lit(1)).as("n_total"))
+      .crossJoin(tf.agg(sum(col("tf")).as("sum_dl")))
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_total").cast("double")
+    val idf = ((col("n_total") - col("df")).cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val scoreT = idf * ((tfD * lit(Bm25K1 + 1)) /
+      (tfD + (lit(Bm25K1) * (lit(1 - Bm25B) + (lit(Bm25B) * (dlD / avgdl))))))
+    val pivots = Bm25Terms.map(t =>
+      max(when(col("term") === t, col("score_t"))).as(s"s_$t"))
+    val total = Bm25Terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    qtf.join(qdf, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("score_t", scoreT)
+      .groupBy(col("doc_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopDocs)
+  }
+
+  val bm25TopdocsSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val pivots = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN term = '$t' THEN score_t END) AS s$i"
+    }.mkString(",\n|            ")
+    val total = Bm25Terms.indices.map(i => s"coalesce(s$i, 0.0)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n_total,
+       |                 (SELECT sum(tf) FROM tf) AS sum_dl),
+       |qtf AS (SELECT * FROM tf WHERE term IN ($terms)),
+       |qdf AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+       |s AS (SELECT doc_id, term,
+       |        (((CAST(n_total - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |         * ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1}) /
+       |            (CAST(tf AS DOUBLE) + (${Bm25K1} * (${1 - Bm25B} +
+       |             (${Bm25B} * (CAST(dl AS DOUBLE) /
+       |              (CAST(sum_dl AS DOUBLE) / CAST(n_total AS DOUBLE))))))))) AS score_t
+       |      FROM qtf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |p AS (SELECT doc_id,
+       |            $pivots
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, $total AS score
+       |FROM p ORDER BY score DESC, doc_id LIMIT $Bm25TopDocs""".stripMargin
+  }
+
   // -------------------------------------------------------------- data_split
   /** `data_split` — deterministic train/val/test assignment by content-
     * independent id hash: bucket = hash60(doc_id) mod 100, buckets
@@ -406,5 +488,6 @@ object TextQueries {
     "doc_winnow" -> QueryDef(docWinnow, Some(docWinnowSql)),
     "tfidf_topterms" -> QueryDef(tfidfTopterms, Some(tfidfToptermsSql)),
     "repetition_score" -> QueryDef(repetitionScore, Some(repetitionScoreSql)),
+    "bm25_topdocs" -> QueryDef(bm25Topdocs, Some(bm25TopdocsSql)),
     "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)))
 }

@@ -310,6 +310,30 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("bm25_topdocs: matches a driver-side BM25 over the same tokenizer") {
+    import graft.queries.TextQueries._
+    val toks = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).toSeq).toMap
+    val nTotal = toks.size.toLong
+    val tf = toks.map { case (d, ws) => d -> ws.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong } }
+    val dl = tf.map { case (d, m) => d -> m.values.sum }
+    val avgdl = dl.values.sum.toDouble / nTotal.toDouble
+    val df = Bm25Terms.map(t => t -> tf.count(_._2.contains(t)).toLong).toMap
+    val expect = tf.keys.map { d =>
+      val total = Bm25Terms.map { t =>
+        tf(d).get(t).fold(0.0) { f =>
+          val idf = ((nTotal - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5)
+          idf * ((f.toDouble * (Bm25K1 + 1)) /
+            (f.toDouble + (Bm25K1 * ((1 - Bm25B) + (Bm25B * (dl(d).toDouble / avgdl))))))
+        }
+      }.reduceLeft(_ + _)
+      d -> total
+    }.filter(_._2 > 0).toSeq.sortBy { case (d, s) => (-s, d) }.take(Bm25TopDocs)
+    val got = bm25Topdocs(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === expect)
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
