@@ -639,6 +639,176 @@ object SimilarityQueries {
        |FROM x GROUP BY label, dim""".stripMargin
   }
 
+  // ------------------------------------------------------------------ ann_pq
+  /** `ann_pq` — product-quantization ANN (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the 64-dim
+    * vector splits into [[PqM]] contiguous subvectors; each subvector is
+    * vector-quantized against a [[PqK]]-entry sub-codebook; a corpus
+    * vector is then just [[PqM]] small codes (8 bytes here vs 256+ for the
+    * raw floats — PQ's role at 100 TB is COMPRESSION: the whole corpus'
+    * codes fit in memory where the vectors don't). Search is ADC
+    * (asymmetric distance): per query, precompute the PqM×PqK table of
+    * exact subvector distances to every sub-centroid, then score each
+    * candidate with PqM table LOOKUPS instead of a d-dim dot product.
+    *
+    * Engine-exactness: everything runs in the quantized INTEGER domain —
+    * subvector distances are BIGINT sums of squared differences of the
+    * 2^20-quantized components (associative, engine-identical; the same
+    * [[QScale]] trick as the k-means codebook), code assignment breaks
+    * ties on the smaller code, and `adist` is an exact BIGINT, so ranks
+    * can never hash-mismatch on float noise. Sub-codebooks are the
+    * hash-sampled [[PqK]] vectors' subvectors (deterministic,
+    * oracle-reproducible; a k-means refinement per subspace is the
+    * production upgrade, exactly as with the IVF codebook).
+    *
+    * Scale shape: encoding is the one-time index build (memoized):
+    * corpus × PqK broadcast → per-(vector, subspace) min_by packed-long
+    * HashAggregate → one codes row per vector. Search mirrors ann_topk's
+    * bounded-chunk broadcast, but broadcasting 128-entry distance TABLES
+    * instead of vectors, and the scan does 8 integer lookups per
+    * candidate instead of a 64-dim double dot — the ADC win. Compose with
+    * the IVF probe lists (IVFADC) when even a compressed full scan is too
+    * much.
+    */
+  val PqM = 8
+  val PqSub = KmDim / PqM
+  /** 256 sub-centroids = 8-bit codes → the standard PQ8×8 layout (8 bytes
+    * per vector). Measured recall@10 on the near-uniform sf0.1 corpus:
+    * 0.265, vs 0.090 at K=16 — quantization distortion dominates recall
+    * here, so the bigger sub-codebooks pay for themselves; the codes stay
+    * 8 bytes either way.
+    */
+  val PqK = 256
+
+  /** Per-chunk cap for broadcasting ADC tables: a PQ query row carries
+    * PqM·PqK longs (16 KB at 8×256), ~32× an ann_topk vector row, so the
+    * generic [[MaxBroadcastQueries]] would let one chunk reach ~1 GB.
+    * Scale the cap down by the row-size ratio to keep the same byte bound.
+    */
+  val PqMaxBroadcast: Int =
+    math.max(1, MaxBroadcastQueries * KmDim / (PqM * PqK))
+
+  private val pqCodebookMemo = Memo.table()
+  private val pqCodesMemo = Memo.table()
+
+  /** Hash-sampled sub-codebooks: (cj in 1..PqK, qc = the sample's full
+    * quantized vector; subspace m reads components [m·PqSub+1, (m+1)·PqSub]).
+    */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(pqCodebookMemo, spark, dir) {
+      val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
+      quantized(emb(spark, dir)).withColumn("ch", ch)
+        .orderBy(col("ch").asc, col("vec_id").asc).limit(PqK)
+        .withColumn("cj",
+          row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
+        .select(col("cj"), col("qv").as("qc"))
+    }
+
+  /** Exact integer L2² between subvector `m` of `qv` and of `qc`. */
+  private def pqSubDist(qv: Column, qc: Column, m: Column): Column =
+    (1 to PqSub).map { i =>
+      val idx = (m * PqSub + i).cast("int")
+      val diff = element_at(qv, idx) - element_at(qc, idx)
+      diff * diff
+    }.reduceLeft(_ + _)
+
+  /** (vec_id, m, cj, d): distance of every vector's subspace-m subvector
+    * to every sub-centroid — the shared base of encoding (argmin over cj)
+    * and the query distance tables (all cj kept).
+    */
+  private def pqDistances(spark: SparkSession, dir: String, side: DataFrame): DataFrame =
+    side
+      .select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .crossJoin(broadcast(pqCodebook(spark, dir)))
+      .select(col("vec_id"), col("m"), col("cj"),
+        pqSubDist(col("qv"), col("qc"), col("m")).as("d"))
+
+  /** The PQ index: one row per corpus vector, codes = array of PqM codes.
+    * d·(2·PqK)+cj packs (d asc, cj asc) into one long (d < 2^45,
+    * cj ≤ PqK) so the per-(vector, subspace) argmin stays a HashAggregate.
+    */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(pqCodesMemo, spark, dir) {
+      val enc = pqDistances(spark, dir, quantized(emb(spark, dir)))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cj"), col("d") * lit(2L * PqK) + col("cj")).as("cj"))
+      val pivots = (0 until PqM).map(m =>
+        max(when(col("m") === m, col("cj"))).as(s"c$m"))
+      enc.groupBy(col("vec_id"))
+        .agg(pivots.head, pivots.tail: _*)
+        .select(col("vec_id"),
+          array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
+    }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    // query-side ADC tables: tds = the PqM×PqK distances flattened in
+    // (m, cj) order — entry for (m, cj) sits at 1-based index m·PqK+cj
+    val qd = pqDistances(spark, dir,
+      quantized(emb(spark, dir)).filter(col("vec_id") % QueryMod === 0))
+    val tPivots = (1 to PqK).map(j => max(when(col("cj") === j, col("d"))).as(s"t$j"))
+    val perM = qd.groupBy(col("vec_id"), col("m"))
+      .agg(tPivots.head, tPivots.tail: _*)
+      .select(col("vec_id"), col("m"),
+        array((1 to PqK).map(j => col(s"t$j")): _*).as("tm"))
+    val aPivots = (0 until PqM).map(m => max(when(col("m") === m, col("tm"))).as(s"a$m"))
+    val q = perM.groupBy(col("vec_id"))
+      .agg(aPivots.head, aPivots.tail: _*)
+      .select(col("vec_id").as("query_id"),
+        flatten(array((0 until PqM).map(m => col(s"a$m")): _*)).as("tds"))
+    val c = pqCodes(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // same bounded-chunk broadcast as ann_topk: the query side grows with
+    // the corpus; each chunk's 128-long tables broadcast within a fixed
+    // bound and the codes table streams once per chunk
+    val nqBound = estimatedRows(spark, dir) / QueryMod + 1
+    val nChunks = math.max(1L, (nqBound + PqMaxBroadcast - 1) / PqMaxBroadcast).toInt
+    val joined = (0 until nChunks).map { k =>
+      val qk = if (nChunks == 1) q else q.filter(pmod(col("query_id"), lit(nChunks)) === k)
+      broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
+    }.reduce(_ union _)
+    val adist = (0 until PqM).map { m =>
+      element_at(col("tds"),
+        (lit(m * PqK) + element_at(col("codes"), m + 1)).cast("int"))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    joined.withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
+  val annPqSql: String = {
+    val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
+    val qvList =
+      s"[CAST(floor(v[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
+    val sq = s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
+    s"""WITH $embCte,
+       |eq AS (SELECT vec_id, $qvList AS qv FROM e),
+       |cb AS (SELECT qv AS qc,
+       |              CAST(row_number() OVER (ORDER BY $ch, vec_id) AS BIGINT) AS cj
+       |       FROM eq QUALIFY cj <= $PqK),
+       |sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |ed AS (SELECT t.vec_id, s.m, c.cj,
+       |              list_sum([$sq for i in generate_series(1, $PqSub)]) AS d
+       |       FROM eq t CROSS JOIN sub s CROSS JOIN cb c),
+       |codes AS (SELECT vec_id, m, cj FROM (
+       |            SELECT vec_id, m, cj,
+       |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cj) AS rn
+       |            FROM ed) WHERE rn = 1),
+       |qd AS (SELECT * FROM ed WHERE vec_id % $QueryMod = 0),
+       |ad AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |              CAST(sum(q.d) AS BIGINT) AS adist
+       |       FROM codes x JOIN qd q ON q.m = x.m AND q.cj = x.cj
+       |       WHERE q.vec_id <> x.vec_id
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adist,
+       |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+       |       FROM ad)
+       |SELECT query_id, neighbor_id, adist, rank FROM rk WHERE rank <= $TopK""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
@@ -647,5 +817,6 @@ object SimilarityQueries {
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
     "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)),
+    "ann_pq" -> QueryDef(annPq, Some(annPqSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)))
 }

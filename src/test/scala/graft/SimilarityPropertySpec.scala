@@ -78,7 +78,8 @@ class SimilarityPropertySpec extends SparkTestBase {
     val lsh = recallAt10(topSets(SimilarityQueries.annLsh(spark, dir)))
     val ivf = recallAt10(topSets(SimilarityQueries.annIvf(spark, dir)))
     val ivfKm = recallAt10(topSets(SimilarityQueries.annIvfKmeans(spark, dir)))
-    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_kmeans=$ivfKm%.3f")
+    val pq = recallAt10(topSets(SimilarityQueries.annPq(spark, dir)))
+    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_kmeans=$ivfKm%.3f ann_pq=$pq%.3f")
     // measured on this corpus: lsh ≈ 0.12 (radius-1 multi-probe, ~3.5%
     // scanned), ivf ≈ 0.19 (Nprobe=4, ~6% scanned) — the corpus is
     // near-uniform on the sphere, so recall tracks the scanned fraction;
@@ -90,5 +91,10 @@ class SimilarityPropertySpec extends SparkTestBase {
     // sampled codebook's floor.
     assert(ivfKm >= 0.13,
       f"ann_ivf_kmeans recall@10 $ivfKm%.3f below floor (Lloyd refinement regressed retrieval)")
+    // pq ≈ 0.265 (PQ8×256: full compressed scan — recall loss here is pure
+    // quantization distortion, there is no candidate pruning); floor at
+    // ~0.7× measurement
+    assert(pq >= 0.18,
+      f"ann_pq recall@10 $pq%.3f below floor (sub-codebook/quantization regressed)")
   }
 }
