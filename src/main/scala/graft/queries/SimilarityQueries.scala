@@ -743,19 +743,21 @@ object SimilarityQueries {
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     // query-side ADC tables: tds = the PqM×PqK distances flattened in
-    // (m, cj) order — entry for (m, cj) sits at 1-based index m·PqK+cj
+    // (m, cj) order — entry for (m, cj) sits at 1-based index m·PqK+cj.
+    // Assembled by sorting collected (key, d) structs in-row, NOT by a
+    // PqK-wide conditional pivot: 256 aggregate buffers of `max(when(...))`
+    // fall out of whole-stage codegen and evaluate 256 interpreted
+    // predicates per input row (~1.5 s/invocation measured); a
+    // collect_list appends one struct per row and the sort/projection
+    // touches each group once.
     val qd = pqDistances(spark, dir,
       quantized(emb(spark, dir)).filter(col("vec_id") % QueryMod === 0))
-    val tPivots = (1 to PqK).map(j => max(when(col("cj") === j, col("d"))).as(s"t$j"))
-    val perM = qd.groupBy(col("vec_id"), col("m"))
-      .agg(tPivots.head, tPivots.tail: _*)
-      .select(col("vec_id"), col("m"),
-        array((1 to PqK).map(j => col(s"t$j")): _*).as("tm"))
-    val aPivots = (0 until PqM).map(m => max(when(col("m") === m, col("tm"))).as(s"a$m"))
-    val q = perM.groupBy(col("vec_id"))
-      .agg(aPivots.head, aPivots.tail: _*)
+    val q = qd
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(
+        (col("m") * PqK + col("cj")).as("key"), col("d")))).as("kd"))
       .select(col("vec_id").as("query_id"),
-        flatten(array((0 until PqM).map(m => col(s"a$m")): _*)).as("tds"))
+        transform(col("kd"), x => x.getField("d")).as("tds"))
     val c = pqCodes(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // same bounded-chunk broadcast as ann_topk: the query side grows with

@@ -122,6 +122,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"))
 
+  /** Streaming form of `props_stats`: running per-type aggregates over
+    * the JSON-extracted `k` field — `get_json_object` runs per-row inside
+    * the stream exactly as in the batch plan (scalar expressions compose
+    * with streaming unchanged). State is one row per event_type — bounded
+    * by key cardinality, no watermark needed. The batch query's
+    * `countDistinct` column is omitted: exact distinct aggregation is
+    * unsupported over unbounded streams (its state is the value set);
+    * `approx_count_distinct`'s HLL sketch is the streaming substitute.
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -81,6 +81,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming propsStats equals batch props_stats on a closed input") {
+    val stream = StreamingOps.propsStats(StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("props_stats_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("props_stats_stream")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expected = graft.queries.RelationalQueries.propsStats(spark, dir)
+      .select("event_type", "n", "sum_k", "min_k", "max_k")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected)
+  }
+
   test("streaming wordCounts equals batch wordcount on a closed input") {
     val stream = StreamingOps.wordCounts(StreamingOps.docStream(spark, dir))
     val q = stream.writeStream
