@@ -411,28 +411,30 @@ object SimilarityQueries {
     * probe join, exact top-k ranking. `cents` must be a (cidx, cv2, cn2)
     * codebook with cidx DENSE in [1, IvfC].
     */
-  private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
-      listsMemo: Memo.Table): DataFrame = {
-    val e = emb(spark, dir)
-    val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
-    // Assignment (all n corpus vectors): max_by aggregation instead of a
-    // row_number window — partial aggregation collapses the n·C
-    // broadcast-join rows to n map-side, so only one row per vector
-    // crosses the exchange. The (cos6 DESC, cidx ASC) order is packed
-    // into ONE long — cos6 is exactly k/1e6 so round(cos6·1e6) recovers k,
-    // and cidx is DENSE in [1, IvfC] so the tiebreak term fits in the
-    // low 7 bits regardless of vec_id width — because a STRUCT ordering
-    // argument forces a SortAggregate while a fixed-width long keeps the
-    // whole assignment in a HashAggregate. Unique per (vec_id, cidx) →
-    // deterministic argmax, matching the oracle's rank-1 row.
-    val packedOrder = round(cos6 * lit(1000000d)).cast("long") * lit(128L) +
-      (lit(IvfC.toLong) - col("cidx"))
-    // Only (vec_id, cidx, ord) flow into the aggregate: an array-typed
-    // buffer (e.g. first(v)) would force a SortAggregate over all n·C
-    // rows AND ship every vector C times through the cross join; the
-    // all-long buffer keeps a HashAggregate, and (v, nrm) re-attach with
-    // one join against the persisted emb table afterwards.
-    val assigned = Memo.memoize(listsMemo, spark, dir) {
+  /** Corpus → centroid assignment, memoized: the inverted LISTS half of
+    * the IVF index. max_by aggregation instead of a row_number window —
+    * partial aggregation collapses the n·C broadcast-join rows to n
+    * map-side, so only one row per vector crosses the exchange. The
+    * (cos6 DESC, cidx ASC) order is packed into ONE long — cos6 is
+    * exactly k/1e6 so round(cos6·1e6) recovers k, and cidx is DENSE in
+    * [1, IvfC] so the tiebreak term fits in the low 7 bits regardless of
+    * vec_id width — because a STRUCT ordering argument forces a
+    * SortAggregate while a fixed-width long keeps the whole assignment in
+    * a HashAggregate. Unique per (vec_id, cidx) → deterministic argmax,
+    * matching the oracle's rank-1 row. Only (vec_id, cidx, ord) flow into
+    * the aggregate: an array-typed buffer (e.g. first(v)) would force a
+    * SortAggregate over all n·C rows AND ship every vector C times
+    * through the cross join; the all-long buffer keeps a HashAggregate,
+    * and (v, nrm) re-attach with one join against the persisted emb table
+    * afterwards.
+    */
+  private def ivfAssigned(spark: SparkSession, dir: String, cents: DataFrame,
+      listsMemo: Memo.Table): DataFrame =
+    Memo.memoize(listsMemo, spark, dir) {
+      val e = emb(spark, dir)
+      val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
+      val packedOrder = round(cos6 * lit(1000000d)).cast("long") * lit(128L) +
+        (lit(IvfC.toLong) - col("cidx"))
       val assignedIds = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cidx"), packedOrder.as("ord"))
         .groupBy(col("vec_id"))
@@ -441,21 +443,31 @@ object SimilarityQueries {
         .select(col("cidx"), col("vec_id").as("neighbor_id"),
           col("v").as("cv"), col("nrm").as("cn"))
     }
-    // Probe lists (n/QueryMod query vectors): top-Nprobe centroids via a
-    // window over the already-filtered query×centroid join — tiny input.
+
+  /** Probe lists (n/QueryMod query vectors): each query's top-Nprobe
+    * centroids via a window over the already-filtered query×centroid
+    * join — tiny input.
+    */
+  private def ivfProbes(spark: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+    val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
     val centRank = Window.partitionBy(col("vec_id"))
       .orderBy(cos6.desc, col("cidx").asc)
-    val probes = e.filter(col("vec_id") % QueryMod === 0)
+    emb(spark, dir).filter(col("vec_id") % QueryMod === 0)
       .crossJoin(broadcast(cents))
       .withColumn("cr", row_number().over(centRank))
       .filter(col("cr") <= Nprobe)
       .select(col("vec_id").as("query_id"), col("cidx"), col("v").as("qv"), col("nrm").as("qn"))
+  }
+
+  private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
+      listsMemo: Memo.Table): DataFrame =
     // Shuffle-hash join on cidx, NOT broadcast(probes): the probe side
     // is O(corpus·Nprobe/QueryMod) and grows unboundedly; the centroid
-    // broadcast above is O(IvfC) — constant — by construction.
-    ranked(probes.hint("shuffle_hash").join(assigned,
-      Seq("cidx")).filter(col("query_id") =!= col("neighbor_id")))
-  }
+    // broadcast inside the helpers is O(IvfC) — constant — by
+    // construction.
+    ranked(ivfProbes(spark, dir, cents).hint("shuffle_hash")
+      .join(ivfAssigned(spark, dir, cents, listsMemo), Seq("cidx"))
+      .filter(col("query_id") =!= col("neighbor_id")))
 
   /** The IVF search stage as oracle SQL — tc/assigned/probes/rank over a
     * codebook CTE named `$cent` with columns (cidx, cv, cn). Shared by the
@@ -741,34 +753,29 @@ object SimilarityQueries {
           array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
     }
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    // query-side ADC tables: tds = the PqM×PqK distances flattened in
-    // (m, cj) order — entry for (m, cj) sits at 1-based index m·PqK+cj.
-    // Assembled by sorting collected (key, d) structs in-row, NOT by a
-    // PqK-wide conditional pivot: 256 aggregate buffers of `max(when(...))`
-    // fall out of whole-stage codegen and evaluate 256 interpreted
-    // predicates per input row (~1.5 s/invocation measured); a
-    // collect_list appends one struct per row and the sort/projection
-    // touches each group once.
-    val qd = pqDistances(spark, dir,
+  /** Query-side ADC tables (query_id, tds): tds = the PqM×PqK distances
+    * flattened in (m, cj) order — entry for (m, cj) sits at 1-based index
+    * m·PqK+cj. Assembled by sorting collected (key, d) structs in-row,
+    * NOT by a PqK-wide conditional pivot: 256 aggregate buffers of
+    * `max(when(...))` fall out of whole-stage codegen and evaluate 256
+    * interpreted predicates per input row (~1.5 s/invocation measured); a
+    * collect_list appends one struct per row and the sort/projection
+    * touches each group once.
+    */
+  private def pqQueryTables(spark: SparkSession, dir: String): DataFrame =
+    pqDistances(spark, dir,
       quantized(emb(spark, dir)).filter(col("vec_id") % QueryMod === 0))
-    val q = qd
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(
         (col("m") * PqK + col("cj")).as("key"), col("d")))).as("kd"))
       .select(col("vec_id").as("query_id"),
         transform(col("kd"), x => x.getField("d")).as("tds"))
-    val c = pqCodes(spark, dir)
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
-    // same bounded-chunk broadcast as ann_topk: the query side grows with
-    // the corpus; each chunk's 128-long tables broadcast within a fixed
-    // bound and the codes table streams once per chunk
-    val nqBound = estimatedRows(spark, dir) / QueryMod + 1
-    val nChunks = math.max(1L, (nqBound + PqMaxBroadcast - 1) / PqMaxBroadcast).toInt
-    val joined = (0 until nChunks).map { k =>
-      val qk = if (nChunks == 1) q else q.filter(pmod(col("query_id"), lit(nChunks)) === k)
-      broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
-    }.reduce(_ union _)
+
+  /** ADC scoring tail shared by [[annPq]] and [[annIvfPq]]: `joined` must
+    * carry (query_id, tds, neighbor_id, codes); adist = PqM table lookups
+    * summed as exact BIGINT, rank per query by (adist, neighbor_id).
+    */
+  private def pqRank(joined: DataFrame): DataFrame = {
     val adist = (0 until PqM).map { m =>
       element_at(col("tds"),
         (lit(m * PqK) + element_at(col("codes"), m + 1)).cast("int"))
@@ -781,12 +788,31 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
-  val annPqSql: String = {
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val q = pqQueryTables(spark, dir)
+    val c = pqCodes(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // same bounded-chunk broadcast as ann_topk: the query side grows with
+    // the corpus; each chunk's tables broadcast within a fixed byte
+    // bound and the codes table streams once per chunk
+    val nqBound = estimatedRows(spark, dir) / QueryMod + 1
+    val nChunks = math.max(1L, (nqBound + PqMaxBroadcast - 1) / PqMaxBroadcast).toInt
+    val joined = (0 until nChunks).map { k =>
+      val qk = if (nChunks == 1) q else q.filter(pmod(col("query_id"), lit(nChunks)) === k)
+      broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
+    }.reduce(_ union _)
+    pqRank(joined)
+  }
+
+  /** The PQ CTE chain (e/eq/cb/sub/ed/codes/qd) shared by the full-scan
+    * and IVFADC oracles, so encode/table semantics cannot drift.
+    */
+  private val pqSqlCtes: String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
     val qvList =
       s"[CAST(floor(v[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
     val sq = s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
-    s"""WITH $embCte,
+    s"""$embCte,
        |eq AS (SELECT vec_id, $qvList AS qv FROM e),
        |cb AS (SELECT qv AS qc,
        |              CAST(row_number() OVER (ORDER BY $ch, vec_id) AS BIGINT) AS cj
@@ -799,16 +825,83 @@ object SimilarityQueries {
        |            SELECT vec_id, m, cj,
        |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cj) AS rn
        |            FROM ed) WHERE rn = 1),
-       |qd AS (SELECT * FROM ed WHERE vec_id % $QueryMod = 0),
+       |qd AS (SELECT * FROM ed WHERE vec_id % $QueryMod = 0)""".stripMargin
+  }
+
+  private val pqSqlRank: String =
+    s"""rk AS (SELECT query_id, neighbor_id, adist,
+       |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+       |       FROM ad)
+       |SELECT query_id, neighbor_id, adist, rank FROM rk WHERE rank <= $TopK""".stripMargin
+
+  val annPqSql: String =
+    s"""WITH $pqSqlCtes,
        |ad AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
        |              CAST(sum(q.d) AS BIGINT) AS adist
        |       FROM codes x JOIN qd q ON q.m = x.m AND q.cj = x.cj
        |       WHERE q.vec_id <> x.vec_id
        |       GROUP BY 1, 2),
-       |rk AS (SELECT query_id, neighbor_id, adist,
-       |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank
-       |       FROM ad)
-       |SELECT query_id, neighbor_id, adist, rank FROM rk WHERE rank <= $TopK""".stripMargin
+       |$pqSqlRank""".stripMargin
+
+  // --------------------------------------------------------------- ann_ivfpq
+  /** `ann_ivfpq` — IVFADC (Jégou et al. 2011, §IV): the composition of the
+    * two ANN index halves this engine already builds. IVF prunes WHICH
+    * candidates to score (each query reads only its Nprobe inverted
+    * lists, ~Nprobe/IvfC of the corpus); PQ compresses HOW each candidate
+    * is scored (8 integer table lookups against an 8-byte code instead of
+    * a 64-dim double dot). This is the standard billion-scale ANN layout:
+    * at 100 TB the raw vectors never enter the search path at all — the
+    * probe join touches the (cidx, neighbor_id, codes) index, whose codes
+    * are ~30× smaller than the vectors they stand for.
+    *
+    * Both index halves are the SAME memoized artifacts the component
+    * queries build — the lists from ann_ivf's assignment, the codes and
+    * query tables from ann_pq — so the composition adds one join at index
+    * build and nothing per query. A candidate sits in exactly one list
+    * and probe lists are distinct, so no (query, candidate) pair is
+    * scored twice. Same exact-BIGINT adist as ann_pq; same shuffle-hash
+    * probe join on cidx as ann_ivf (probe side grows with the corpus —
+    * never broadcast).
+    */
+  private val ivfPqMemo = Memo.table()
+
+  private def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(ivfPqMemo, spark, dir) {
+      ivfAssigned(spark, dir, codebook(spark, dir), ivfListsMemo)
+        .select(col("cidx"), col("neighbor_id"))
+        .join(pqCodes(spark, dir).withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"))
+    }
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val p = ivfProbes(spark, dir, codebook(spark, dir))
+      .select(col("query_id"), col("cidx"))
+      .join(pqQueryTables(spark, dir), Seq("query_id"))
+    pqRank(p.hint("shuffle_hash").join(ivfPqIndex(spark, dir), Seq("cidx"))
+      .filter(col("query_id") =!= col("neighbor_id")))
+  }
+
+  val annIvfPqSql: String = {
+    val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
+    s"""WITH $pqSqlCtes,
+       |cent AS (SELECT v AS cv, nrm AS cn,
+       |                row_number() OVER (ORDER BY $ch, vec_id) AS cidx
+       |         FROM e QUALIFY cidx <= $IvfC),
+       |tc AS (SELECT e.vec_id, c.cidx,
+       |              row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
+       |                         c.cidx) AS cr
+       |       FROM e CROSS JOIN cent c),
+       |assigned AS (SELECT cidx, vec_id FROM tc WHERE cr = 1),
+       |probes AS (SELECT vec_id, cidx FROM tc
+       |           WHERE vec_id % $QueryMod = 0 AND cr <= $Nprobe),
+       |ad AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |              CAST(sum(q.d) AS BIGINT) AS adist
+       |       FROM probes p JOIN assigned a ON a.cidx = p.cidx AND a.vec_id <> p.vec_id
+       |       JOIN codes x ON x.vec_id = a.vec_id
+       |       JOIN qd q ON q.vec_id = p.vec_id AND q.m = x.m AND q.cj = x.cj
+       |       GROUP BY 1, 2),
+       |$pqSqlRank""".stripMargin
   }
 
   val entries: Seq[(String, QueryDef)] = Seq(
@@ -820,5 +913,6 @@ object SimilarityQueries {
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
     "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)),
     "ann_pq" -> QueryDef(annPq, Some(annPqSql)),
+    "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)))
 }
