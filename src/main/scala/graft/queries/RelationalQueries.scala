@@ -306,6 +306,71 @@ object RelationalQueries {
       |       max(CASE WHEN rk = (n*99+99)//100 THEN value END) AS p99
       |FROM r GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- rollup_agg
+  /** `rollup_agg` — the multi-level aggregate family (ROLLUP/CUBE/GROUPING
+    * SETS): lineitem pricing totals at (returnflag, linestatus), per
+    * returnflag, and grand-total levels in ONE pass. `grouping_id`
+    * disambiguates a NULL grouping value from a rolled-up level (the
+    * standard SQL mechanism, identical bit semantics in Spark and
+    * DuckDB). Catalyst plans rollup as a single Expand + hash aggregate —
+    * each input row fans out to its 3 grouping sets map-side and partial
+    * aggregation collapses them before the one exchange, so the scale
+    * shape is the same as `group_agg` at 3× the aggregate state (still
+    * bounded by key cardinality, not row count).
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        (intSum(col("l_extendedprice"), 2) / 100.0).as("sum_base_price"))
+      // rolled-up levels emit NULL grouping values; surface them as an
+      // 'ALL' sentinel (gid already disambiguates) so the output is
+      // null-free — the oracle harness compares sorted row multisets and
+      // NULL has no portable sort position across engines/drivers
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("cnt"), col("sum_qty"), col("sum_base_price"))
+
+  val rollupAggSql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |       count(*) AS cnt,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |       ${sqlIntSum("l_extendedprice", 2)} / 100.0 AS sum_base_price
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ------------------------------------------------------------------ set_ops
+  /** `set_ops` — the set-operation family (INTERSECT/EXCEPT, absent from
+    * the reference per SURVEY §2.3, free from Catalyst): which event
+    * users are also order customers, and which are event-only. Both set
+    * ops plan as a distinct aggregation + one hash-partitioned
+    * left-semi/anti join on the id — a single shuffle each at any scale;
+    * the tagged union just concatenates partitions.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val eu = Tables(spark, dir, "events").select(col("user_id").as("id")).distinct()
+    val oc = Tables(spark, dir, "orders").select(col("o_custkey").as("id")).distinct()
+    eu.intersect(oc).withColumn("tag", lit("both"))
+      .unionByName(eu.except(oc).withColumn("tag", lit("events_only")))
+      .select(col("tag"), col("id"))
+  }
+
+  val setOpsSql: String =
+    """SELECT 'both' AS tag, id FROM
+      |  (SELECT DISTINCT user_id AS id FROM events
+      |   INTERSECT
+      |   SELECT DISTINCT o_custkey AS id FROM orders)
+      |UNION ALL
+      |SELECT 'events_only' AS tag, id FROM
+      |  (SELECT DISTINCT user_id AS id FROM events
+      |   EXCEPT
+      |   SELECT DISTINCT o_custkey AS id FROM orders)""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -314,6 +379,8 @@ object RelationalQueries {
     "window_rank" -> QueryDef(windowRank, Some(windowRankSql)),
     "sessionize" -> QueryDef(sessionize, Some(sessionizeSql)),
     "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
+    "rollup_agg" -> QueryDef(rollupAgg, Some(rollupAggSql)),
+    "set_ops" -> QueryDef(setOps, Some(setOpsSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

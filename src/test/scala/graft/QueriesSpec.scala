@@ -334,6 +334,37 @@ class QueriesSpec extends SparkTestBase {
     assert(got.toSeq === expect)
   }
 
+  test("rollup_agg: levels nest consistently and gid encodes the rollup level") {
+    val rows = graft.queries.RelationalQueries.rollupAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val leaf = rows.filter(_._3 == 0L)
+    val mid = rows.filter(_._3 == 1L)
+    val top = rows.filter(_._3 == 3L)
+    assert(top.length === 1 && top.head._1 === "ALL" && top.head._2 === "ALL")
+    assert(mid.forall(r => r._1 != "ALL" && r._2 == "ALL"))
+    assert(leaf.forall(r => r._1 != "ALL" && r._2 != "ALL"))
+    // each level's counts and sums aggregate exactly to the next level up
+    assert(leaf.map(_._4).sum === top.head._4)
+    assert(leaf.map(_._5).sum === top.head._5)
+    mid.foreach { m =>
+      assert(leaf.filter(_._1 == m._1).map(_._4).sum === m._4, s"flag ${m._1}")
+    }
+  }
+
+  test("set_ops: tags partition the distinct event users against order customers") {
+    val eu = Tables(spark, dir, "events").select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val oc = Tables(spark, dir, "orders").select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = graft.queries.RelationalQueries.setOps(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val both = got.filter(_._1 == "both").map(_._2).toSet
+    val only = got.filter(_._1 == "events_only").map(_._2).toSet
+    assert(got.length === both.size + only.size, "no duplicate rows")
+    assert(both === (eu intersect oc))
+    assert(only === (eu diff oc))
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._

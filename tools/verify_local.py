@@ -52,10 +52,13 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(exp_cols):
             failures.append((name, f"schema: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"))
             continue
-        # reorder spark columns into oracle column order
+        # reorder spark columns into oracle column order; sort with a
+        # None-safe key (NULLs first) — Python can't compare None to str
+        def skey(row):
+            return tuple((v is not None, v) for v in row)
         perm = [got_cols.index(c) for c in exp_cols]
-        got_r = sorted(tuple(r[i] for i in perm) for r in got)
-        exp_r = sorted(tuple(r) for r in exp)
+        got_r = sorted((tuple(r[i] for i in perm) for r in got), key=skey)
+        exp_r = sorted((tuple(r) for r in exp), key=skey)
         if len(got_r) != len(exp_r):
             failures.append((name, f"rowcount: spark={len(got_r)} oracle={len(exp_r)}"))
             continue
