@@ -344,6 +344,40 @@ object RelationalQueries {
        |       ${sqlIntSum("l_extendedprice", 2)} / 100.0 AS sum_base_price
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // -------------------------------------------------------------- pivot_daily
+  /** `pivot_daily` — the PIVOT operator family: one row per day, one
+    * count column per event type. The pivot values are DECLARED (the
+    * 5 event types), not discovered: `pivot(col)` without values runs a
+    * distinct job at planning time — at 100 TB that is a full extra scan
+    * before the query even plans, and an unbounded column explosion if
+    * the key is dirty. With declared values Catalyst compiles the pivot
+    * to one partial-final hash aggregate with 5 conditional counts — the
+    * same single-exchange shape as `histogram`, just transposed.
+    */
+  val PivotTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val day = date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd")
+    val pivoted = Tables(spark, dir, "events")
+      .select(day.as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    // absent (day, type) combinations pivot to NULL; surface as 0 like
+    // the oracle's conditional sums (and keep the output null-free)
+    pivoted.select(col("day") +: PivotTypes.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  val pivotDailySql: String = {
+    val cols = PivotTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n|       ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |       $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------ set_ops
   /** `set_ops` — the set-operation family (INTERSECT/EXCEPT, absent from
     * the reference per SURVEY §2.3, free from Catalyst): which event
@@ -381,6 +415,7 @@ object RelationalQueries {
     "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
     "rollup_agg" -> QueryDef(rollupAgg, Some(rollupAggSql)),
     "set_ops" -> QueryDef(setOps, Some(setOpsSql)),
+    "pivot_daily" -> QueryDef(pivotDaily, Some(pivotDailySql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

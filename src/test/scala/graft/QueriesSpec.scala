@@ -365,6 +365,22 @@ class QueriesSpec extends SparkTestBase {
     assert(only === (eu diff oc))
   }
 
+  test("pivot_daily transposes histogram exactly: per-day row sums and cells agree") {
+    import graft.queries.RelationalQueries
+    val hist = RelationalQueries.histogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val piv = RelationalQueries.pivotDaily(spark, dir).collect()
+    assert(piv.nonEmpty)
+    piv.foreach { r =>
+      val day = r.getString(0)
+      RelationalQueries.PivotTypes.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getLong(i + 1) === hist.getOrElse((day, t), 0L), s"($day, $t)")
+      }
+    }
+    assert(piv.map(r => (1 to RelationalQueries.PivotTypes.size).map(r.getLong).sum).sum
+      === hist.values.sum)
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
