@@ -405,6 +405,36 @@ object RelationalQueries {
       |   EXCEPT
       |   SELECT DISTINCT o_custkey AS id FROM orders)""".stripMargin
 
+  // ------------------------------------------------------------- approx_stats
+  /** `approx_stats` — the APPROXIMATE twins of `distinct_count` and
+    * `value_quantiles`, as one query: HLL distinct counts
+    * (`approx_count_distinct`, ~2% rsd) and quantile-sketch percentiles
+    * (`percentile_approx` at accuracy 10000). These are the 100 TB scale
+    * path the exact queries document pointing at: the HLL sketch replaces
+    * the two-stage partial-distinct shuffle with constant per-group
+    * state, and the quantile sketch drops the per-group sort entirely —
+    * both merge associatively map-side, so the plan is ONE partial-final
+    * hash aggregate at any scale.
+    *
+    * No DuckDB oracle is declared: sketch results are
+    * implementation-defined and cannot hash-match across engines (the
+    * driver records the weaker rows-only check). The engine-side
+    * ERROR-BOUND contract is pinned by a test instead: approx_users
+    * within 5% of the exact distinct count, each percentile within the
+    * group's exact neighborhood (QueriesSpec).
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("event_type"), col("approx_users"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"),
+        element_at(col("ps"), 3).as("p99"))
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -416,6 +446,7 @@ object RelationalQueries {
     "rollup_agg" -> QueryDef(rollupAgg, Some(rollupAggSql)),
     "set_ops" -> QueryDef(setOps, Some(setOpsSql)),
     "pivot_daily" -> QueryDef(pivotDaily, Some(pivotDailySql)),
+    "approx_stats" -> QueryDef(approxStats, None),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

@@ -18,8 +18,14 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
-  test("every query has an oracle") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  test("every query has an oracle, except the declared sketch queries") {
+    // approx_stats is sketch-based (HLL + quantile summaries): results are
+    // implementation-defined, so no cross-engine oracle CAN exist — its
+    // error-bound contract is pinned by its own test below instead. Every
+    // other query must carry an exact DuckDB oracle; this list is the
+    // explicit opt-out so an accidentally-omitted oracle still fails.
+    val sketchOnly = Set("approx_stats")
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- sketchOnly)
   }
 
   test("entry flagship returns rows") {
@@ -379,6 +385,35 @@ class QueriesSpec extends SparkTestBase {
     }
     assert(piv.map(r => (1 to RelationalQueries.PivotTypes.size).map(r.getLong).sum).sum
       === hist.values.sum)
+  }
+
+  test("approx_stats: sketch results sit inside error bounds of the exact twins") {
+    import graft.queries.RelationalQueries
+    val exactUsers = RelationalQueries.distinctCount(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactQ = RelationalQueries.valueQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val vals = Tables(spark, dir, "events").select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = RelationalQueries.approxStats(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet === exactUsers.keySet)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val rel = math.abs(r.getLong(1) - exactUsers(t)).toDouble / exactUsers(t)
+      assert(rel <= 0.05, s"$t approx_users off by ${rel * 100}%% (HLL rsd ~2%%)")
+      val sorted = vals(t).map(_._2).sorted
+      val (e50, e90, e99) = exactQ(t)
+      // accuracy=10000 bounds rank error by n/10000 (< 1 rank here) —
+      // allow the immediate neighborhood of the exact element
+      def near(approx: Double, exact: Double): Boolean = {
+        val i = sorted.indexWhere(_ >= exact)
+        val lo = sorted(math.max(0, i - 2)); val hi = sorted(math.min(sorted.length - 1, i + 2))
+        approx >= lo && approx <= hi
+      }
+      assert(near(r.getDouble(2), e50), s"$t p50 ${r.getDouble(2)} vs $e50")
+      assert(near(r.getDouble(3), e90), s"$t p90 ${r.getDouble(3)} vs $e90")
+      assert(near(r.getDouble(4), e99), s"$t p99 ${r.getDouble(4)} vs $e99")
+    }
   }
 
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
