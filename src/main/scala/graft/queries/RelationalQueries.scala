@@ -405,6 +405,39 @@ object RelationalQueries {
       |   EXCEPT
       |   SELECT DISTINCT o_custkey AS id FROM orders)""".stripMargin
 
+  // ----------------------------------------------------------- rolling_counts
+  /** `rolling_counts` — per-day event counts with a 7-day trailing window
+    * (the rolling-aggregate / RANGE-frame family; the engine's other
+    * windows use ROWS frames or plain rankings). Day is an exact integer
+    * day number (ts div 86400·10⁹ — no timestamp arithmetic), so the
+    * RANGE frame [day−6, day] is integer range logic, identical in both
+    * engines, and skips missing days correctly — a ROWS frame would
+    * silently span gaps.
+    *
+    * Shape: one partial-final hash agg on (type, day) collapses the
+    * stream to |types|·|days| rows BEFORE the window; the RANGE window
+    * then shuffles only that tiny aggregate on event_type. At 100 TB the
+    * pre-aggregation is what makes the window affordable — never window
+    * over the raw stream.
+    */
+  def rollingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n7", sum(col("n")).over(w))
+  }
+
+  val rollingCountsSql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day_idx, n,
+      |       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
+      |                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+      |FROM d""".stripMargin
+
   // ------------------------------------------------------------- approx_stats
   /** `approx_stats` — the APPROXIMATE twins of `distinct_count` and
     * `value_quantiles`, as one query: HLL distinct counts
@@ -447,6 +480,7 @@ object RelationalQueries {
     "set_ops" -> QueryDef(setOps, Some(setOpsSql)),
     "pivot_daily" -> QueryDef(pivotDaily, Some(pivotDailySql)),
     "approx_stats" -> QueryDef(approxStats, None),
+    "rolling_counts" -> QueryDef(rollingCounts, Some(rollingCountsSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

@@ -387,6 +387,19 @@ class QueriesSpec extends SparkTestBase {
       === hist.values.sum)
   }
 
+  test("rolling_counts: n7 equals the driver-side trailing 7-day sum, gaps respected") {
+    val rows = graft.queries.RelationalQueries.rollingCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1)
+    rows.foreach { case (t, day, _, n7) =>
+      val want = byType(t).filter(r => r._2 >= day - 6 && r._2 <= day).map(_._3).sum
+      assert(n7 === want, s"($t, day $day)")
+    }
+    // per-day n values sum to the event count (no day lost to windowing)
+    assert(rows.map(_._3).sum === Tables(spark, dir, "events").count())
+  }
+
   test("approx_stats: sketch results sit inside error bounds of the exact twins") {
     import graft.queries.RelationalQueries
     val exactUsers = RelationalQueries.distinctCount(spark, dir).collect()
