@@ -97,10 +97,11 @@ class SimilarityPropertySpec extends SparkTestBase {
     // ~0.7× measurement
     assert(pq >= 0.18,
       f"ann_pq recall@10 $pq%.3f below floor (sub-codebook/quantization regressed)")
-    // ivfpq ≈ 0.140: bounded above by ann_ivf's 0.19 (same Nprobe
-    // candidate pruning), degraded by PQ scoring distortion — the
-    // expected IVFADC trade; floor at ~0.7× measurement
-    assert(ivfPq >= 0.09,
+    // ivfpq ≈ 0.160 with the Lloyd-refined coarse quantizer (0.140
+    // hash-sampled): bounded above by the kmeans-IVF 0.24 candidate
+    // pruning, degraded by PQ scoring distortion — the expected IVFADC
+    // trade; floor at ~0.7× measurement
+    assert(ivfPq >= 0.11,
       f"ann_ivfpq recall@10 $ivfPq%.3f below floor (probe/quantization composition regressed)")
   }
 }
