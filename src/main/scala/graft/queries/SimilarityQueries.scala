@@ -696,9 +696,10 @@ object SimilarityQueries {
   val PqSub = KmDim / PqM
   /** 256 sub-centroids = 8-bit codes → the standard PQ8×8 layout (8 bytes
     * per vector). Measured recall@10 on the near-uniform sf0.1 corpus:
-    * 0.265, vs 0.090 at K=16 — quantization distortion dominates recall
-    * here, so the bigger sub-codebooks pay for themselves; the codes stay
-    * 8 bytes either way.
+    * 0.380 with Lloyd-refined sub-codebooks (0.265 hash-sampled, 0.090
+    * at K=16) — quantization distortion dominates recall here, so
+    * training the sub-codebooks pays for itself; the codes stay 8 bytes
+    * either way.
     */
   val PqK = 256
 
@@ -713,18 +714,77 @@ object SimilarityQueries {
   private val pqCodebookMemo = Memo.table()
   private val pqCodesMemo = Memo.table()
 
-  /** Hash-sampled sub-codebooks: (cj in 1..PqK, qc = the sample's full
-    * quantized vector; subspace m reads components [m·PqSub+1, (m+1)·PqSub]).
+  /** Lloyd iterations for the PQ sub-codebooks (the trained-quantizer
+    * upgrade PQ gets, mirroring the IVF k-means codebook — a production
+    * PQ always trains per-subspace centroids; the hash-sampled init alone
+    * leaves recall on the table).
+    */
+  val PqIters = 1
+
+  /** Hash-sampled INIT then [[PqIters]] Lloyd steps per subspace,
+    * entirely in the integer domain: each refined centroid component is
+    * re-quantized to the nearest integer (floor(s/cnt + 0.5) — one
+    * exactly-rounded IEEE division, so it is engine-identical), which
+    * keeps every downstream distance/adist/rank an exact BIGINT while
+    * costing ≤0.5 q-units (2⁻²¹ in vector units) of centroid precision —
+    * immaterial next to the quantization cell size. Layout: (cj in
+    * 1..PqK, qc = full 64-long vector; subspace m reads components
+    * [m·PqSub+1, (m+1)·PqSub]) — the refined sub-centroids reassemble
+    * into this same layout so encoding/query-table code is codebook-
+    * agnostic. Empty clusters keep their previous centroid. All of this
+    * is memoized index-BUILD cost.
     */
   private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
     Memo.memoize(pqCodebookMemo, spark, dir) {
       val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
-      quantized(emb(spark, dir)).withColumn("ch", ch)
+      val init0 = quantized(emb(spark, dir)).withColumn("ch", ch)
         .orderBy(col("ch").asc, col("vec_id").asc).limit(PqK)
         .withColumn("cj",
           row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
         .select(col("cj"), col("qv").as("qc"))
+      // per-subspace view of init and corpus: (m, cj, sc) / (vec_id, m, sv)
+      val subSlice = (src: Column) =>
+        slice(src, (col("m") * PqSub + 1).cast("int"), lit(PqSub))
+      val init = init0
+        .select(col("cj"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qc"))
+        .select(col("m"), col("cj"), subSlice(col("qc")).as("sc"))
+      val eqSubs = quantized(emb(spark, dir))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+        .select(col("vec_id"), col("m"), subSlice(col("qv")).as("sv"))
+      val refined = (1 to PqIters).foldLeft(init)((c, _) => pqLloydStep(eqSubs, c))
+      // reassemble (m, cj, sc) blocks into the full-vector layout
+      refined.groupBy(col("cj"))
+        .agg(sort_array(collect_list(struct(col("m"), col("sc")))).as("ms"))
+        .select(col("cj"),
+          flatten(transform(col("ms"), x => x.getField("sc"))).as("qc"))
     }
+
+  /** One Lloyd step over all subspaces at once: assign every (vector,
+    * subspace) to its nearest (m, cj) sub-centroid — equi-join on m +
+    * packed-long min_by HashAggregate, the same shape as encoding — then
+    * recompute each sub-centroid as the re-quantized integer mean of its
+    * members (cnt + PqSub BIGINT sums in one hash aggregation).
+    */
+  private def pqLloydStep(eqSubs: DataFrame, cents: DataFrame): DataFrame = {
+    val d = (1 to PqSub).map { i =>
+      val diff = element_at(col("sv"), i) - element_at(col("sc"), i)
+      diff * diff
+    }.reduceLeft(_ + _)
+    val assigned = eqSubs.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cj"),
+        (d * lit(2L * PqK) + col("cj")).as("ord"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cj"), col("ord")).as("cj"))
+    val sumCols = (1 to PqSub).map(i => sum(element_at(col("sv"), i)).as(s"s$i"))
+    val sums = assigned.join(eqSubs, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cj"))
+      .agg(count(lit(1)).as("cnt"), sumCols: _*)
+    val mean = array((1 to PqSub).map(i =>
+      floor(col(s"s$i").cast("double") / col("cnt").cast("double") + lit(0.5))): _*)
+    cents.join(broadcast(sums), Seq("m", "cj"), "left")
+      .select(col("m"), col("cj"),
+        when(col("cnt").isNull, col("sc")).otherwise(mean).as("sc"))
+  }
 
   /** Exact integer L2² between subvector `m` of `qv` and of `qc`. */
   private def pqSubDist(qv: Column, qc: Column, m: Column): Column =
@@ -814,21 +874,49 @@ object SimilarityQueries {
     pqRank(joined)
   }
 
-  /** The PQ CTE chain AFTER `eq` (cb/sub/ed/codes/qd): requires an `eq`
-    * CTE with at least (vec_id, qv) in scope. Stacked on the plain
-    * quantized `eq` by the full-scan oracle and on [[kmCentSqlCtes]]'s
-    * richer `eq` by the IVFADC oracle, so encode/table semantics cannot
-    * drift between them.
+  /** The PQ CTE chain AFTER `eq` (cb0 → Lloyd steps → cb, then
+    * ed/codes/qd): requires an `eq` CTE with at least (vec_id, qv) in
+    * scope. Stacked on the plain quantized `eq` by the full-scan oracle
+    * and on [[kmCentSqlCtes]]'s richer `eq` by the IVFADC oracle, so
+    * encode/table semantics cannot drift between them. Mirrors
+    * [[pqCodebook]]/[[pqLloydStep]]: integer sub-distances, argmin by
+    * (d, cj), re-quantized integer centroid means, empty clusters keep
+    * the previous centroid, blocks reassembled in m order.
     */
   private val pqSqlCtesAfterEq: String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
-    val sq = s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
-    s"""cb AS (SELECT qv AS qc,
+    def sq(cbn: String) =
+      s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
+    val sumCols = (1 to PqSub)
+      .map(i => s"sum(t.qv[a.m*$PqSub+$i]) AS s$i").mkString(", ")
+    val meanList = (1 to PqSub)
+      .map(i => s"CAST(floor(CAST(p.s$i AS DOUBLE) / CAST(p.cnt AS DOUBLE) + 0.5) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def step(n: Int): String = {
+      val prev = s"cb${n - 1}"
+      s"""pa$n AS (SELECT t.vec_id, s.m, c.cj,
+         |                row_number() OVER (PARTITION BY t.vec_id, s.m
+         |                  ORDER BY list_sum([${sq(prev)} for i in generate_series(1, $PqSub)]), c.cj) AS rn
+         |         FROM eq t CROSS JOIN sub s CROSS JOIN $prev c),
+         |ps$n AS (SELECT a.m, a.cj, count(*) AS cnt, $sumCols
+         |         FROM pa$n a JOIN eq t ON t.vec_id = a.vec_id
+         |         WHERE a.rn = 1 GROUP BY a.m, a.cj),
+         |pm$n AS (SELECT s.m, c.cj,
+         |                CASE WHEN p.cnt IS NULL THEN c.qc[s.m*$PqSub+1 : s.m*$PqSub+$PqSub]
+         |                     ELSE $meanList END AS sc
+         |         FROM $prev c CROSS JOIN sub s
+         |         LEFT JOIN ps$n p ON p.m = s.m AND p.cj = c.cj),
+         |cb$n AS (SELECT cj, flatten(list(sc ORDER BY m)) AS qc
+         |         FROM pm$n GROUP BY cj)""".stripMargin
+    }
+    s"""cb0 AS (SELECT qv AS qc,
        |              CAST(row_number() OVER (ORDER BY $ch, vec_id) AS BIGINT) AS cj
        |       FROM eq QUALIFY cj <= $PqK),
        |sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |${(1 to PqIters).map(step).mkString(",\n")},
+       |cb AS (SELECT cj, qc FROM cb$PqIters),
        |ed AS (SELECT t.vec_id, s.m, c.cj,
-       |              list_sum([$sq for i in generate_series(1, $PqSub)]) AS d
+       |              list_sum([${sq("cb")} for i in generate_series(1, $PqSub)]) AS d
        |       FROM eq t CROSS JOIN sub s CROSS JOIN cb c),
        |codes AS (SELECT vec_id, m, cj FROM (
        |            SELECT vec_id, m, cj,
@@ -887,8 +975,9 @@ object SimilarityQueries {
     * list balance is what bounds per-probe work at scale). The assignment
     * lists are the SAME memoized artifact ann_ivf_kmeans searches
     * (kmListsMemo), so the composition still adds only the codes join.
-    * Measured recall@10 on sf0.1: 0.160 vs 0.140 with the hash-sampled
-    * codebook at identical probe cost.
+    * Measured recall@10 on sf0.1: 0.180 (Lloyd coarse quantizer + Lloyd
+    * sub-codebooks; 0.140 with both hash-sampled) at identical probe
+    * cost.
     */
   private def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
     Memo.memoize(ivfPqMemo, spark, dir) {
