@@ -355,7 +355,7 @@ object TextQueries {
     s"""WITH toks AS (${Oracle.toksCte}),
        |w AS (SELECT doc_id, unnest(t) AS word FROM toks),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
-       |SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_distinct,
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
        |       CAST(count(*) AS DOUBLE) / sum(tf) AS distinct_ratio,
        |       CAST(max(tf) AS DOUBLE) / sum(tf) AS top_token_frac
        |FROM tf GROUP BY doc_id""".stripMargin

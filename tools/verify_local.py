@@ -5,9 +5,15 @@ Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 corresponding oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
-the same sf tables, and compares: schema (column names), row count, and the
-multiset of rows (sorted by all columns, values compared exactly; floats
-must match to the last bit unless FLOAT_TOL is set).
+the same sf tables, and compares: schema (column names), LOGICAL COLUMN
+TYPES, row count, and the multiset of rows (sorted by all columns, values
+compared exactly; floats must match to the last bit unless FLOAT_TOL is set).
+
+The type check exists because the driver's hash compare is type-sensitive
+while Python value compare is not: DuckDB `sum(BIGINT)` is HUGEINT, whose
+values fetch as plain ints locally (== the Spark BIGINT) yet hash differently
+in the driver. Round 5 shipped exactly that skew in repetition_score; every
+oracle must now produce the same DuckDB logical type as the Spark parquet.
 
 Dev-only tool (mirrors the driver harness); the shipped engine is pure
 Scala/Spark.
@@ -22,13 +28,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 FLOAT_TOL = 0.0  # driver compare is assumed exact; keep 0
 
+# Logical types considered interchangeable for the driver's value hash.
+# Timestamps only: Spark writes parquet TIMESTAMP as µs-adjusted-to-UTC,
+# which DuckDB surfaces as TIMESTAMP WITH TIME ZONE, while the same instants
+# computed by oracle SQL over the raw tables are plain TIMESTAMP — both sides
+# carry identical µs-since-epoch values. Integer widths are NOT aliased:
+# BIGINT vs HUGEINT is precisely the skew this check exists to catch.
+_TYPE_ALIASES = [
+    {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+]
 
-def canon(v):
-    if isinstance(v, float):
-        return ("f", v)
-    if isinstance(v, int):
-        return ("i", v)
-    return (type(v).__name__, v)
+
+def types_compatible(a, b):
+    if a == b:
+        return True
+    return any(a in s and b in s for s in _TYPE_ALIASES)
 
 
 def main(sf_dir, out_dir):
@@ -40,17 +54,28 @@ def main(sf_dir, out_dir):
     failures = []
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')").fetchall()
-            got_cols = [d[0] for d in con.description]
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp = exp_rel.fetchall()
+            grel = con.sql(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
+            got_cols = list(grel.columns)
+            got_types = [str(t) for t in grel.types]
+            got = grel.fetchall()
+            erel = con.sql(sql)
+            exp_cols = list(erel.columns)
+            exp_types = [str(t) for t in erel.types]
+            exp = erel.fetchall()
         except Exception as e:
             failures.append((name, f"ERROR {e}"))
             continue
         if sorted(got_cols) != sorted(exp_cols):
             failures.append((name, f"schema: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"))
+            continue
+        gmap = dict(zip(got_cols, got_types))
+        emap = dict(zip(exp_cols, exp_types))
+        bad_types = [(c, gmap[c], emap[c]) for c in exp_cols
+                     if not types_compatible(gmap[c], emap[c])]
+        if bad_types:
+            failures.append((name, "type: " + "; ".join(
+                f"{c}: spark={g} oracle={e}" for c, g, e in bad_types)))
             continue
         # reorder spark columns into oracle column order; sort with a
         # None-safe key (NULLs first) — Python can't compare None to str
