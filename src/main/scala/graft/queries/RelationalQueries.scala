@@ -204,10 +204,17 @@ object RelationalQueries {
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     // o_orderdate is TIMESTAMP_NTZ (naive wall clock); events.ts is raw
     // naive epoch nanos. Putting both on one integer axis goes through an
-    // NTZ→LTZ cast, which reads the SESSION timezone — pin it to UTC so the
+    // NTZ→LTZ cast, which reads the SESSION timezone — it must be UTC so the
     // epoch arithmetic is the identity wall-clock mapping the oracle's
     // naive `o_orderdate <= ts` comparison uses, on any machine TZ.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Require, don't set: every entry point (Verify, Bench, Explain,
+    // StageProfile, tests) pins UTC at session build, and silently mutating
+    // the shared session here would change the semantics of every other
+    // tz-sensitive query (e.g. pivot_daily's day bucketing) behind the
+    // caller's back, in execution-order-dependent ways.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "asof_join requires spark.sql.session.timeZone=UTC (naive-epoch axis); " +
+        "set it at SparkSession build")
     val ev = Tables(spark, dir, "events")
       .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
         col("event_id"),
