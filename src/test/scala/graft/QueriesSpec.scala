@@ -416,11 +416,16 @@ class QueriesSpec extends SparkTestBase {
       assert(rel <= 0.05, s"$t approx_users off by ${rel * 100}%% (HLL rsd ~2%%)")
       val sorted = vals(t).map(_._2).sorted
       val (e50, e90, e99) = exactQ(t)
-      // accuracy=10000 bounds rank error by n/10000 (< 1 rank here) —
-      // allow the immediate neighborhood of the exact element
+      // percentile_approx(accuracy=10000) bounds rank error by n/10000 —
+      // derive the allowed rank window from THIS group's size (+1 slack for
+      // the exact-side interpolation) so the bound stays a contract check
+      // at any test scale factor or group skew, not a constant that
+      // silently turns flaky past ~20k rows/group
+      val rankWin = sorted.length / 10000 + 2
       def near(approx: Double, exact: Double): Boolean = {
         val i = sorted.indexWhere(_ >= exact)
-        val lo = sorted(math.max(0, i - 2)); val hi = sorted(math.min(sorted.length - 1, i + 2))
+        val lo = sorted(math.max(0, i - rankWin))
+        val hi = sorted(math.min(sorted.length - 1, i + rankWin))
         approx >= lo && approx <= hi
       }
       assert(near(r.getDouble(2), e50), s"$t p50 ${r.getDouble(2)} vs $e50")
