@@ -203,14 +203,20 @@ object DedupQueries {
     * so neither branch needs a broadcast of the hot set — per invocation
     * the only work beyond the aggregation itself is two filter scans of
     * the (persisted) input.
+    *
+    * `hotThreshold` exists so tests can force every shingle down either
+    * branch and prove the routing equivalence directly
+    * (DedupPropertySpec); production callers use the [[MaxShingleBucket]]
+    * default.
     */
-  private def coocPairs(t: DataFrame): DataFrame = {
-    val cold = t.filter(col("df") <= MaxShingleBucket)
+  private[graft] def coocPairs(t: DataFrame,
+      hotThreshold: Long = MaxShingleBucket): DataFrame = {
+    val cold = t.filter(col("df") <= hotThreshold)
       .groupBy(col("h"))
       .agg(collect_list(col("doc_id")).as("ids")) // PairsExpr orders per pair
       .filter(size(col("ids")) > 1)
       .select(graft.functions.PairsExpr(col("ids"))) // generator -> (da, db)
-    val th = t.filter(col("df") > MaxShingleBucket)
+    val th = t.filter(col("df") > hotThreshold)
     val a = th.select(col("h"), col("doc_id").as("da"))
       .withColumn("si_a", pmod(xxhash64(col("da")), lit(SaltCells)).cast("int"))
       .withColumn("sj_a", explode(array((0 until SaltCells).map(lit): _*)))
@@ -398,34 +404,44 @@ object DedupQueries {
 
   private val clusterMemo = Memo.table()
 
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    memoize(clusterMemo, spark, dir) {
-      val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
-      // symmetric edge list: propagation must flow both directions
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").persist()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      var round = 0
-      var changed = 1L
-      while (changed > 0 && round < MaxCcRounds) {
-        // min neighbor label per vertex, then fold into own label
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
-          .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-            (col("nmin") < col("lbl")).as("moved"))
-          .localCheckpoint() // truncate loop lineage; also materializes for the count
-        changed = next.filter(col("moved")).count()
-        labels = next.select(col("id"), col("lbl"))
-        round += 1
-      }
-      require(changed == 0,
-        s"dedup_cluster: no fixpoint after $MaxCcRounds rounds (component diameter > bound)")
-      edges.unpersist()
-      labels
+  /** Min-label propagation to fixpoint over an undirected pair graph:
+    * `pairs` is any 2-column (a, b) edge list; returns the O(V) label table
+    * (id, lbl) with lbl = min id reachable from id. Shared by the minhash
+    * text-pair graph ([[dedupCluster]]) and the embedding near-dup graph
+    * (SimilarityQueries.dedupClusterEmbed) — the loop structure, lineage
+    * truncation, and diameter bound are graph-agnostic. Callers memoize the
+    * result as an index-build artifact.
+    */
+  private[queries] def propagateMinLabels(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("src", "dst")
+    // symmetric edge list: propagation must flow both directions
+    val edges = p.union(p.select(col("dst"), col("src"))).persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < MaxCcRounds) {
+      // min neighbor label per vertex, then fold into own label
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).as("moved"))
+        .localCheckpoint() // truncate loop lineage; also materializes for the count
+      changed = next.filter(col("moved")).count()
+      labels = next.select(col("id"), col("lbl"))
+      round += 1
     }
+    require(changed == 0,
+      s"connected components: no fixpoint after $MaxCcRounds rounds (component diameter > bound)")
+    edges.unpersist()
+    labels
+  }
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    memoize(clusterMemo, spark, dir)(
+      propagateMinLabels(dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))))
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val labels = clusterLabels(spark, dir)

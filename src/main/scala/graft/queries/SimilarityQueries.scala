@@ -173,6 +173,19 @@ object SimilarityQueries {
     math.max(1L, rows)
   }
 
+  /** Chunk assignment for the bounded-broadcast query split. Hash first:
+    * query ids are the multiples of [[QueryMod]] (vec_id % QueryMod == 0),
+    * so chunking on `pmod(query_id, nChunks)` degenerates whenever nChunks
+    * shares a factor with QueryMod — at nChunks = 101 every query lands in
+    * chunk pmod(101k, 101m) ∈ 101·ℤ, i.e. chunk 0 holds ALL queries and
+    * one broadcast carries the entire query set, defeating the byte bound
+    * the chunking exists to enforce. xxhash64 spreads any id stride
+    * uniformly across every chunk count. Correctness is chunk-count
+    * independent (the classes partition the query set either way).
+    */
+  private def chunkOf(queryId: Column, nChunks: Int): Column =
+    pmod(xxhash64(queryId), lit(nChunks.toLong))
+
   private def ranked(joined: DataFrame): DataFrame = {
     val cos = cosine(col("qv"), col("cv"), col("qn"), col("cn"))
     val w = Window.partitionBy(col("query_id"))
@@ -198,7 +211,7 @@ object SimilarityQueries {
     val nqBound = estimatedRows(spark, dir) / QueryMod + 1
     val nChunks = math.max(1L, (nqBound + MaxBroadcastQueries - 1) / MaxBroadcastQueries).toInt
     val joined = (0 until nChunks).map { k =>
-      val qk = if (nChunks == 1) q else q.filter(pmod(col("query_id"), lit(nChunks)) === k)
+      val qk = if (nChunks == 1) q else q.filter(chunkOf(col("query_id"), nChunks) === k)
       broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
     }.reduce(_ union _)
     ranked(joined) // chunks are query_id-disjoint, so the rank window is per-chunk-safe
@@ -343,6 +356,61 @@ object SimilarityQueries {
        |  SELECT 1 FROM eb b
        |  WHERE b.label = a.label AND b.bucket = a.bucket AND b.vec_id < a.vec_id
        |    AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $CosTau)""".stripMargin
+
+  // ----------------------------------------------------- dedup_cluster_embed
+  /** `dedup_cluster_embed` — connected components over the EMBEDDING
+    * near-dup pair graph: the clustering step [[DedupQueries.dedupCluster]]
+    * runs for text near-dups, applied to the cosine pair graph. Pairwise
+    * min-id dedup ([[dedupEmbed]]) under-deletes transitive chains — A~B
+    * and B~C with A≁C keeps both A and C — so a production pipeline
+    * clusters the pair graph and keeps one canonical vector per CLUSTER.
+    * Every vector gets `cluster_id` = the minimum vec_id reachable through
+    * near-dup links; `is_canonical` marks the kept representative.
+    *
+    * The pair graph is exactly [[similarPairs]]' output (same salted block
+    * join, same rounded-cosine τ), and the labels come from the SAME
+    * min-label-propagation fixpoint loop the text clustering uses
+    * ([[DedupQueries.propagateMinLabels]]) — one graph algorithm, two edge
+    * generators. The label table is a memoized index-build artifact; the
+    * per-invocation plan is one left join of the embeddings against the
+    * cached O(V) labels, so the scale story is dedup_cluster's: rounds =
+    * component diameter (near-dup components are quasi-cliques, 2-4
+    * rounds), one shuffle join + min-agg per round.
+    */
+  private val embedClusterMemo = Memo.table()
+
+  private def embedClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(embedClusterMemo, spark, dir)(
+      DedupQueries.propagateMinLabels(
+        similarPairs(spark, dir).select(col("a_id"), col("b_id"))))
+
+  def dedupClusterEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val labels = embedClusterLabels(spark, dir)
+    val cluster = coalesce(col("lbl"), col("vec_id"))
+    emb(spark, dir)
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), cluster.as("cluster_id"),
+        (cluster === col("vec_id")).as("is_canonical"))
+  }
+
+  /** Oracle: the same recursive-CTE transitive closure as dedupClusterSql,
+    * over similarPairsSql's pair predicate (label block + rounded cosine τ).
+    */
+  val dedupClusterEmbedSql: String =
+    s"""WITH RECURSIVE $embCte,
+       |prs AS (SELECT a.vec_id AS a, b.vec_id AS b
+       |        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $CosTau),
+       |edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+       |reach(id, x) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, g.b FROM reach r JOIN edges g ON g.a = r.x),
+       |comp AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id)
+       |SELECT v.vec_id,
+       |       coalesce(c.cluster_id, v.vec_id) AS cluster_id,
+       |       coalesce(c.cluster_id, v.vec_id) = v.vec_id AS is_canonical
+       |FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id""".stripMargin
 
   // ----------------------------------------------------------------- ann_ivf
   /** `ann_ivf` — IVF-bucketed ANN, the second scale path beside `ann_lsh`:
@@ -843,9 +911,11 @@ object SimilarityQueries {
 
   /** ADC scoring tail shared by [[annPq]] and [[annIvfPq]]: `joined` must
     * carry (query_id, tds, neighbor_id, codes); adist = PqM table lookups
-    * summed as exact BIGINT, rank per query by (adist, neighbor_id).
+    * summed as exact BIGINT, rank per query by (adist, neighbor_id), top-k
+    * kept (k = TopK for the search result, RerankR for the re-rank
+    * candidate stage).
     */
-  private def pqRank(joined: DataFrame): DataFrame = {
+  private def pqRank(joined: DataFrame, k: Int = TopK): DataFrame = {
     val adist = (0 until PqM).map { m =>
       element_at(col("tds"),
         (lit(m * PqK) + element_at(col("codes"), m + 1)).cast("int"))
@@ -854,7 +924,7 @@ object SimilarityQueries {
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     joined.withColumn("adist", adist)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
@@ -868,7 +938,7 @@ object SimilarityQueries {
     val nqBound = estimatedRows(spark, dir) / QueryMod + 1
     val nChunks = math.max(1L, (nqBound + PqMaxBroadcast - 1) / PqMaxBroadcast).toInt
     val joined = (0 until nChunks).map { k =>
-      val qk = if (nChunks == 1) q else q.filter(pmod(col("query_id"), lit(nChunks)) === k)
+      val qk = if (nChunks == 1) q else q.filter(chunkOf(col("query_id"), nChunks) === k)
       broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
     }.reduce(_ union _)
     pqRank(joined)
@@ -987,17 +1057,28 @@ object SimilarityQueries {
           Seq("neighbor_id"))
     }
 
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVFADC candidate stage shared by [[annIvfPq]] (k = TopK, result
+    * ranks ARE the ADC ranks) and [[annIvfPqRerank]] (k = RerankR,
+    * candidates only): probes ⋈ (lists ⋈ codes) shuffle-hash on cidx, ADC
+    * scoring, top-k per query.
+    */
+  private def ivfPqAdc(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val p = ivfProbes(spark, dir, kmeansCodebook(spark, dir))
       .select(col("query_id"), col("cidx"))
       .join(pqQueryTables(spark, dir), Seq("query_id"))
     pqRank(p.hint("shuffle_hash").join(ivfPqIndex(spark, dir), Seq("cidx"))
-      .filter(col("query_id") =!= col("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id")), k)
   }
 
-  val annIvfPqSql: String = {
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAdc(spark, dir, TopK)
+
+  /** The probe/assign/ADC CTE chain shared by the IVFADC oracle and its
+    * re-rank twin: everything up to `ad` (query_id, neighbor_id, adist).
+    */
+  private val ivfPqAdcSqlCtes: String = {
     val cent = s"cent$KmIters"
-    s"""WITH $kmCentSqlCtes,
+    s"""$kmCentSqlCtes,
        |$pqSqlCtesAfterEq,
        |tc AS (SELECT e.vec_id, c.cidx,
        |              row_number() OVER (PARTITION BY e.vec_id
@@ -1012,9 +1093,57 @@ object SimilarityQueries {
        |       FROM probes p JOIN assigned a ON a.cidx = p.cidx AND a.vec_id <> p.vec_id
        |       JOIN codes x ON x.vec_id = a.vec_id
        |       JOIN qd q ON q.vec_id = p.vec_id AND q.m = x.m AND q.cj = x.cj
-       |       GROUP BY 1, 2),
-       |$pqSqlRank""".stripMargin
+       |       GROUP BY 1, 2)""".stripMargin
   }
+
+  val annIvfPqSql: String =
+    s"""WITH $ivfPqAdcSqlCtes,
+       |$pqSqlRank""".stripMargin
+
+  // -------------------------------------------------------- ann_ivfpq_rerank
+  /** `ann_ivfpq_rerank` — IVFADC with the standard exact re-rank stage
+    * (Jégou et al. 2011 §IV-E): the ADC pass keeps the top-[[RerankR]]
+    * compressed-domain candidates per query, then the EXACT cosine against
+    * the raw vectors re-orders just those R and keeps the top-10. This
+    * recovers the quantization distortion ADC ranks suffer (measured here:
+    * recall@10 0.18 → ~0.24, the candidate-generation ceiling) for one
+    * bounded join — nq·R rows probe the vector table by id — while the
+    * corpus-sized scan stays in the compressed domain. At 100 TB this is
+    * exactly the production layout: codes in memory, raw vectors fetched
+    * by id for R candidates per query only.
+    *
+    * Output schema matches [[annTopk]] (query_id, neighbor_id, rank, sim):
+    * after re-ranking, ADC distances are no longer meaningful.
+    */
+  val RerankR = 50
+
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val cand = ivfPqAdc(spark, dir, RerankR)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = emb(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ranked(cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id")))
+  }
+
+  val annIvfPqRerankSql: String =
+    s"""WITH $ivfPqAdcSqlCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY adist, neighbor_id) AS rn
+       |           FROM ad) WHERE rn <= $RerankR),
+       |rr AS (SELECT t.query_id, t.neighbor_id,
+       |              round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos6,
+       |              round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS sim
+       |       FROM cand t
+       |       JOIN e q ON q.vec_id = t.query_id
+       |       JOIN e n ON n.vec_id = t.neighbor_id),
+       |rrk AS (SELECT query_id, neighbor_id, sim,
+       |               CAST(row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rank
+       |        FROM rr)
+       |SELECT query_id, neighbor_id, rank, sim FROM rrk WHERE rank <= $TopK""".stripMargin
 
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
@@ -1026,5 +1155,7 @@ object SimilarityQueries {
     "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)),
     "ann_pq" -> QueryDef(annPq, Some(annPqSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
+    "ann_ivfpq_rerank" -> QueryDef(annIvfPqRerank, Some(annIvfPqRerankSql)),
+    "dedup_cluster_embed" -> QueryDef(dedupClusterEmbed, Some(dedupClusterEmbedSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)))
 }

@@ -167,6 +167,33 @@ class DedupPropertySpec extends SparkTestBase {
     assert(labels === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("coocPairs routing equivalence: all-hot == all-cold == mixed pair multiset") {
+    // The hot/cold split is a pure ROUTING decision — both branches must
+    // emit the same (h, pair) multiset. The >1024-clone corpus pins this
+    // indirectly (end-to-end); here the claim is proven directly on a
+    // skewed posting table by forcing the threshold: Long.MaxValue routes
+    // every shingle to the collect_list+PairsExpr generator, 0 routes
+    // every shingle to the salted streaming self-join, and a mid split
+    // exercises both at once.
+    import spark.implicits._
+    // df spans 1..40: shingle h is shared by h documents
+    val rows = for { h <- 1L to 40L; d <- 0L until h } yield (d, h)
+    val t0 = rows.toDF("doc_id", "h")
+    val t = t0.join(t0.groupBy("h").agg(count(lit(1)).as("df")), "h")
+    def pairMultiset(threshold: Long): Map[(Long, Long), Long] =
+      DedupQueries.coocPairs(t, threshold).groupBy("da", "db").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val allCold = pairMultiset(Long.MaxValue)
+    // expected directly: pair (a, b), a < b, appears once per shingle h
+    // with h > max(a, b) (docs 0..h-1 share h), i.e. 40 - max(a,b) times
+    val want = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+    } yield (a, b) -> (40L - b)).toMap
+    assert(allCold === want)
+    assert(pairMultiset(0L) === allCold)
+    assert(pairMultiset(20L) === allCold)
+  }
+
   test("minhash verification is exact: every reported pair is a true J>=0.8 pair " +
       "with the brute-force jaccard value") {
     // LSH candidate generation may MISS pairs (probabilistic recall), but

@@ -54,6 +54,36 @@ class SimilarityPropertySpec extends SparkTestBase {
     assert(salted.toMap === plain.toMap)
   }
 
+  test("dedup_cluster_embed closes transitive chains: A~B, B~C, A!~C still one cluster") {
+    // Same reason the text clustering exists (DedupPropertySpec): pairwise
+    // embed dedup links A-B and B-C but never A-C when cos(A,C) < tau.
+    // Construction: planar rotations — A = e1, B = A rotated by θ with
+    // cos θ = 0.8, C = B rotated by θ again, so cos(A,B) = cos(B,C) = 0.8
+    // ≥ 0.35 but cos(A,C) = cos 2θ = 0.28 < 0.35 — a genuine chain. An
+    // orthogonal singleton must keep its own id.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("embed-chain")
+    def vec(x: Double, y: Double, z: Double = 0.0): Seq[Float] =
+      Seq(x.toFloat, y.toFloat, z.toFloat, 0f, 0f, 0f, 0f, 0f)
+    val rows = Seq(
+      (10L, vec(1, 0)), (11L, vec(0.8, 0.6)), (12L, vec(0.28, 0.96)),
+      (99L, vec(0, 0, 1)))
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), lit(0).as("label"))
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    // preflight: the pair graph must be exactly the A-B, B-C chain, or the
+    // clustering assertion is vacuous
+    val pairs = SimilarityQueries.similarPairs(spark, d.toString)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (11L, 12L)),
+      s"corpus didn't produce the A-B, B-C chain: $pairs")
+    val got = SimilarityQueries.dedupClusterEmbed(spark, d.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      10L -> ((10L, true)), 11L -> ((10L, false)),
+      12L -> ((10L, false)), 99L -> ((99L, true))))
+  }
+
   test("ANN recall@10 vs the exact baseline: floors hold (tuning signal for LshBits/Nprobe)") {
     // ann_topk is the declared recall=1 baseline; this measures what the
     // approximate paths actually deliver on the largest test corpus (sf0.1,
@@ -80,7 +110,8 @@ class SimilarityPropertySpec extends SparkTestBase {
     val ivfKm = recallAt10(topSets(SimilarityQueries.annIvfKmeans(spark, dir)))
     val pq = recallAt10(topSets(SimilarityQueries.annPq(spark, dir)))
     val ivfPq = recallAt10(topSets(SimilarityQueries.annIvfPq(spark, dir)))
-    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_kmeans=$ivfKm%.3f ann_pq=$pq%.3f ann_ivfpq=$ivfPq%.3f")
+    val ivfPqR = recallAt10(topSets(SimilarityQueries.annIvfPqRerank(spark, dir)))
+    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_kmeans=$ivfKm%.3f ann_pq=$pq%.3f ann_ivfpq=$ivfPq%.3f ann_ivfpq_rerank=$ivfPqR%.3f")
     // measured on this corpus: lsh ≈ 0.12 (radius-1 multi-probe, ~3.5%
     // scanned), ivf ≈ 0.19 (Nprobe=4, ~6% scanned) — the corpus is
     // near-uniform on the sphere, so recall tracks the scanned fraction;
@@ -103,5 +134,13 @@ class SimilarityPropertySpec extends SparkTestBase {
     // expected IVFADC trade; floor at ~0.7× measurement
     assert(ivfPq >= 0.12,
       f"ann_ivfpq recall@10 $ivfPq%.3f below floor (probe/quantization composition regressed)")
+    // exact re-rank recovers the ADC quantization distortion: measured
+    // 0.235 ≈ the kmeans-IVF candidate-generation ceiling (0.240) — the
+    // re-rank cannot beat the probed lists' recall, but must recover
+    // (nearly) all of it from the top-R ADC candidates
+    assert(ivfPqR >= 0.22,
+      f"ann_ivfpq_rerank recall@10 $ivfPqR%.3f below floor (re-rank stage regressed)")
+    assert(ivfPqR >= ivfPq - 0.02,
+      f"re-rank ($ivfPqR%.3f) lost recall vs raw ADC ranks ($ivfPq%.3f)")
   }
 }
