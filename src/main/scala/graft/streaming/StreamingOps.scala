@@ -122,6 +122,38 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"))
 
+  /** Streaming form of `rolling_counts`: per-day / per-type event counts
+    * with the trailing 7-day total, as ONE sliding-window aggregation over
+    * event time — `window(tstamp, "7 days", "1 day")` assigns each event
+    * to the 7 windows whose span covers it, so the window ENDING after day
+    * d (i.e. [d−6, d+1)) accumulates exactly the batch query's RANGE
+    * [day−6, day] frame, and the day's own count is the slice of that
+    * window at ≥ start+6 days. Windows align to the epoch like the batch
+    * `ts div 86400e9` day bucketing, so day_idx values agree exactly.
+    *
+    * The event-time watermark bounds state the same way it does for
+    * [[dailyCounts]]: a window's state ages out once the watermark passes
+    * its end — the streaming substitute for the batch plan's
+    * pre-aggregation (state is |types|·7 windows per active day, never the
+    * raw stream). Days with no events of a type emit n = 0 rows when a
+    * neighboring day keeps the 7-day window non-empty; the batch query has
+    * no row there (its day grid comes from observed events), which is the
+    * one shape difference a consumer sees — StreamingSpec pins both
+    * halves.
+    */
+  def rollingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(window(col("tstamp"), "7 days", "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n7"),
+        sum(when(col("tstamp") >= col("window.start") + expr("INTERVAL 6 DAYS"), 1L)
+          .otherwise(0L)).as("n"))
+      .select(col("event_type"),
+        expr("unix_timestamp(window.end) div 86400 - 1").as("day_idx"),
+        col("n"), col("n7"))
+
   /** Streaming form of `props_stats`: running per-type aggregates over
     * the JSON-extracted `k` field — `get_json_object` runs per-row inside
     * the stream exactly as in the batch plan (scalar expressions compose

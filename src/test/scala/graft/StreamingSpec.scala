@@ -81,6 +81,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming rollingCounts equals batch rolling_counts on a closed input") {
+    val stream = StreamingOps.rollingCounts(StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("rolling_counts_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("rolling_counts_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = graft.queries.RelationalQueries.rollingCounts(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty)
+    // rows for days that HAVE events must agree exactly with the batch
+    // RANGE-frame result (same day grid, same n, same n7)
+    assert(got.filter(_._3 > 0).toSet === expected)
+    // the stream's extra rows are exactly the empty days kept alive by a
+    // non-empty trailing window — days the batch day grid doesn't contain
+    got.filter(_._3 == 0).foreach { r =>
+      assert(!expected.exists(e => e._1 == r._1 && e._2 == r._2),
+        s"stream emitted n=0 for a day the batch counted: $r")
+      assert(r._4 > 0, s"empty window emitted: $r")
+    }
+  }
+
   test("streaming propsStats equals batch props_stats on a closed input") {
     val stream = StreamingOps.propsStats(StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
