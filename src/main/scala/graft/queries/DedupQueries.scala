@@ -669,6 +669,61 @@ object DedupQueries {
     verifyJaccard(spark, dir, coocPairs(prefix), NgramJaccardTau, dedupe = true)
   }
 
+  // ------------------------------------------------------------ decontaminate
+  /** `decontaminate` — train/eval n-gram overlap detection, the standard
+    * pretraining decontamination step (GPT-3 appendix C, Llama 2 §A.6):
+    * every training document is checked for shingles it shares with a
+    * held-out benchmark/eval set, and flagged with its overlap count so
+    * the pipeline can drop or audit contaminated examples before
+    * training. The eval set here is a deterministic stand-in carved from
+    * the corpus (`doc_id % EvalMod == 0` — the tables ship no separate
+    * benchmark file); swapping in a real benchmark table changes one
+    * filter.
+    *
+    * Shape: both sides read the memoized exploded (doc_id, h) shingle
+    * table; the eval side collapses to a DISTINCT shingle-hash set, the
+    * train side inner-joins it on h (each train (doc, h) row matches AT
+    * MOST ONE eval-set row — the eval side is distinct on the key — so a
+    * hot shingle cannot fan out; output ≤ train pair count) and one
+    * partial-final count aggregation per doc_id yields the overlap. A
+    * REAL benchmark set is small and fixed, so at 100 TB its distinct
+    * shingle set is a broadcast and the train side streams once; with
+    * the corpus-derived stand-in the eval side grows with the corpus,
+    * so no broadcast is hinted — AQE broadcasts it at test scale and the
+    * join degrades to a shuffle-hash on h beyond that.
+    *
+    * Short documents (< 3 tokens) have no shingles and therefore no
+    * overlap — both engines surface them as n_overlap = 0 via the final
+    * left join against `documents`.
+    */
+  val EvalMod = 37L
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = shinglePairs(spark, dir)
+    val evalH = pairs.filter(col("doc_id") % EvalMod === 0)
+      .select(col("h")).distinct()
+    val hits = pairs.filter(col("doc_id") % EvalMod =!= 0)
+      .join(evalH, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
+    Tables.docs(spark, dir).filter(col("doc_id") % EvalMod =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit"), lit(0L)).as("n_overlap"),
+        (coalesce(col("hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $shinglePairsCte,
+       |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % $EvalMod = 0),
+       |hits AS (SELECT e.doc_id, count(*) AS hit
+       |         FROM ex e JOIN ev ON ev.h = e.h
+       |         WHERE e.doc_id % $EvalMod <> 0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(h.hit, 0) AS BIGINT) AS n_overlap,
+       |       coalesce(h.hit, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % $EvalMod <> 0""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),
@@ -678,5 +733,6 @@ object DedupQueries {
     // same oracle as ngram_jaccard: prefix filtering is lossless, and the
     // hash-match against the brute-force SQL proves it per round
     "ngram_jaccard_prefix" -> QueryDef(ngramJaccardPrefix, Some(ngramJaccardSql)),
-    "dedup_cluster" -> QueryDef(dedupCluster, Some(dedupClusterSql)))
+    "dedup_cluster" -> QueryDef(dedupCluster, Some(dedupClusterSql)),
+    "decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql)))
 }

@@ -194,6 +194,32 @@ class DedupPropertySpec extends SparkTestBase {
     assert(pairMultiset(20L) === allCold)
   }
 
+  test("decontaminate flags exactly the train docs sharing a shingle with the eval set") {
+    // EvalMod = 37: doc 0 and doc 37 form the eval set. Doc 1 shares one
+    // 3-gram with doc 0, doc 4 shares one with doc 37, doc 2 shares none,
+    // doc 3 is too short to shingle at all (< 3 tokens) — it must still
+    // appear with n_overlap = 0, not vanish.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("decontam-corpus")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), // eval: shingles a-b-g, b-g-d
+      (1L, "zzz alpha beta gamma yyy"), // shares a-b-g -> contaminated
+      (2L, "one two three four"), // disjoint -> clean
+      (3L, "hi there"), // no shingles -> clean, still present
+      (37L, "five six seven"), // eval: shingle f-s-s
+      (4L, "five six seven eight")) // shares f-s-s -> contaminated
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = DedupQueries.decontaminate(spark, d.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((0L, false)),
+      3L -> ((0L, false)), 4L -> ((1L, true))),
+      "eval docs must be absent; overlap counts exact")
+  }
+
   test("minhash verification is exact: every reported pair is a true J>=0.8 pair " +
       "with the brute-force jaccard value") {
     // LSH candidate generation may MISS pairs (probabilistic recall), but
