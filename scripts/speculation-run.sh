@@ -27,7 +27,21 @@ PIDS=()
 cleanup() {
   for p in "${PIDS[@]}"; do kill -- "-$p" 2>/dev/null || kill "$p" 2>/dev/null || true; done
   wait 2>/dev/null || true
-  pkill -f 'org.apache.spark.deploy.(master.Master|worker.Worker).*7177' 2>/dev/null || true
+  # Match the bare class names, NOT '...Master.*7177': the JVM launch
+  # command puts ~2 kB of flags before the class and the port args after
+  # it, and pkill -f only examines a bounded cmdline prefix — the
+  # port-suffixed pattern silently matched nothing and leaked all three
+  # JVMs (observed round 6: master + 2 workers survived the trap).
+  # This box runs no other standalone cluster, so class-name matching is
+  # safe; escalate to -9 if anything survives TERM.
+  pkill -f 'org.apache.spark.deploy.master.Master' 2>/dev/null || true
+  pkill -f 'org.apache.spark.deploy.worker.Worker' 2>/dev/null || true
+  for _ in 1 2 3 4 5; do
+    pgrep -f 'org.apache.spark.deploy.(master.Master|worker.Worker)' >/dev/null || return 0
+    sleep 1
+  done
+  pkill -9 -f 'org.apache.spark.deploy.master.Master' 2>/dev/null || true
+  pkill -9 -f 'org.apache.spark.deploy.worker.Worker' 2>/dev/null || true
 }
 trap cleanup EXIT
 
