@@ -183,7 +183,7 @@ object SimilarityQueries {
     * uniformly across every chunk count. Correctness is chunk-count
     * independent (the classes partition the query set either way).
     */
-  private def chunkOf(queryId: Column, nChunks: Int): Column =
+  private[graft] def chunkOf(queryId: Column, nChunks: Int): Column =
     pmod(xxhash64(queryId), lit(nChunks.toLong))
 
   private def ranked(joined: DataFrame): DataFrame = {
@@ -197,7 +197,13 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** `maxBroadcast` is the per-chunk query bound (default
+    * [[MaxBroadcastQueries]]); tests pass a tiny cap to force the
+    * multi-chunk path on small corpora, which the production bound never
+    * reaches at test scale factors.
+    */
+  def annTopk(spark: SparkSession, dir: String,
+      maxBroadcast: Long = MaxBroadcastQueries): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -209,7 +215,7 @@ object SimilarityQueries {
     // estimate only has to bound per-chunk memory, which the conservative
     // row bound does.
     val nqBound = estimatedRows(spark, dir) / QueryMod + 1
-    val nChunks = math.max(1L, (nqBound + MaxBroadcastQueries - 1) / MaxBroadcastQueries).toInt
+    val nChunks = math.max(1L, (nqBound + maxBroadcast - 1) / maxBroadcast).toInt
     val joined = (0 until nChunks).map { k =>
       val qk = if (nChunks == 1) q else q.filter(chunkOf(col("query_id"), nChunks) === k)
       broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
@@ -928,15 +934,17 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
+  def annPq(spark: SparkSession, dir: String,
+      maxBroadcast: Long = PqMaxBroadcast): DataFrame = {
     val q = pqQueryTables(spark, dir)
     val c = pqCodes(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // same bounded-chunk broadcast as ann_topk: the query side grows with
     // the corpus; each chunk's tables broadcast within a fixed byte
-    // bound and the codes table streams once per chunk
+    // bound and the codes table streams once per chunk (maxBroadcast
+    // param: test hook forcing the multi-chunk path, like annTopk's)
     val nqBound = estimatedRows(spark, dir) / QueryMod + 1
-    val nChunks = math.max(1L, (nqBound + PqMaxBroadcast - 1) / PqMaxBroadcast).toInt
+    val nChunks = math.max(1L, (nqBound + maxBroadcast - 1) / maxBroadcast).toInt
     val joined = (0 until nChunks).map { k =>
       val qk = if (nChunks == 1) q else q.filter(chunkOf(col("query_id"), nChunks) === k)
       broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
@@ -1149,11 +1157,11 @@ object SimilarityQueries {
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
     "dedup_embed_lsh" -> QueryDef(dedupEmbedLsh, Some(dedupEmbedLshSql)),
-    "ann_topk" -> QueryDef(annTopk, Some(annTopkSql)),
+    "ann_topk" -> QueryDef((s, d) => annTopk(s, d), Some(annTopkSql)),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
     "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)),
-    "ann_pq" -> QueryDef(annPq, Some(annPqSql)),
+    "ann_pq" -> QueryDef((s, d) => annPq(s, d), Some(annPqSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "ann_ivfpq_rerank" -> QueryDef(annIvfPqRerank, Some(annIvfPqRerankSql)),
     "dedup_cluster_embed" -> QueryDef(dedupClusterEmbed, Some(dedupClusterEmbedSql)),

@@ -84,6 +84,40 @@ class SimilarityPropertySpec extends SparkTestBase {
       12L -> ((10L, false)), 99L -> ((99L, true))))
   }
 
+  test("bounded-chunk broadcast: forced multi-chunk results == single-chunk, ids spread") {
+    // At every test SF the query count sits under the production caps, so
+    // the multi-chunk union + per-chunk rank path never runs in the oracle
+    // gate — force it with a cap of 1 query per chunk and require exact
+    // equality with the default (single-chunk) plan, for both the raw-
+    // vector and the PQ variant.
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val topk1 = rows(SimilarityQueries.annTopk(spark, dir))
+    val topkN = rows(SimilarityQueries.annTopk(spark, dir, maxBroadcast = 1))
+    assert(topk1.nonEmpty && topkN === topk1)
+    val pq1 = rows(SimilarityQueries.annPq(spark, dir))
+    val pqN = rows(SimilarityQueries.annPq(spark, dir, maxBroadcast = 1))
+    assert(pq1.nonEmpty && pqN === pq1)
+
+    // The chunk assignment itself must SPREAD stride-QueryMod ids: the
+    // round-5 pmod(query_id, nChunks) degenerated to chunk 0 whenever
+    // nChunks shared a factor with the stride (e.g. nChunks = QueryMod),
+    // putting the entire query set in one broadcast. Pin the fix directly:
+    // 200 stride-101 ids against nChunks = 101 must occupy many chunks,
+    // and no chunk may hold more than a small multiple of the uniform
+    // share.
+    import spark.implicits._
+    val ids = (0 until 200).map(k => k.toLong * SimilarityQueries.QueryMod).toDF("query_id")
+    val byChunk = ids
+      .select(SimilarityQueries.chunkOf(col("query_id"), SimilarityQueries.QueryMod).as("c"))
+      .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(byChunk.length > 50,
+      s"stride-${SimilarityQueries.QueryMod} ids collapsed into ${byChunk.length} chunks")
+    assert(byChunk.map(_._2).max <= 10,
+      s"one chunk holds ${byChunk.map(_._2).max} of 200 queries (cap bound defeated)")
+  }
+
   test("ANN recall@10 vs the exact baseline: floors hold (tuning signal for LshBits/Nprobe)") {
     // ann_topk is the declared recall=1 baseline; this measures what the
     // approximate paths actually deliver on the largest test corpus (sf0.1,
