@@ -382,15 +382,15 @@ object DedupQueries {
     * pair generation — pairwise dedup alone under-deletes transitive chains
     * (a~b, b~c but a≁c keeps both a and c only if clustering is applied).
     *
-    * Algorithm: iterative min-label propagation to a FIXPOINT — labels
-    * start as own ids, each round every vertex takes the min of its own and
-    * its neighbors' labels, a convergence count stops the loop. Rounds
-    * needed = component diameter; near-dup components are dense
-    * quasi-cliques (every member shares most shingles with every other),
-    * so the diameter is 1-3 in practice and the loop runs 2-4 rounds. For
-    * adversarially CHAIN-shaped graphs at 100 TB the standard upgrade is
-    * star contraction (large-star/small-star, O(log n) rounds); the
-    * round structure below is unchanged by that swap.
+    * Algorithm: iterative min-label propagation WITH POINTER JUMPING to a
+    * FIXPOINT ([[propagateMinLabels]]) — labels start as own ids, each
+    * round every vertex takes the min of its own and its neighbors'
+    * labels and then jumps `lbl ← lbl(lbl)`, a convergence count stops
+    * the loop. The jump makes rounds O(log diameter): near-dup components
+    * are dense quasi-cliques (2-3 rounds), and even an adversarially
+    * CHAIN-shaped component converges far inside the bound (a
+    * diameter-299 path closes in ~9 rounds — property-pinned), where
+    * plain propagation needed one round per hop.
     *
     * The label table is an iterative index-BUILD artifact (like the IVF
     * codebook): built once per (session, dir) under [[Memo]] — the
@@ -404,15 +404,33 @@ object DedupQueries {
 
   private val clusterMemo = Memo.table()
 
-  /** Min-label propagation to fixpoint over an undirected pair graph:
-    * `pairs` is any 2-column (a, b) edge list; returns the O(V) label table
-    * (id, lbl) with lbl = min id reachable from id. Shared by the minhash
-    * text-pair graph ([[dedupCluster]]) and the embedding near-dup graph
-    * (SimilarityQueries.dedupClusterEmbed) — the loop structure, lineage
-    * truncation, and diameter bound are graph-agnostic. Callers memoize the
-    * result as an index-build artifact.
+  /** Min-label propagation WITH POINTER JUMPING to fixpoint over an
+    * undirected pair graph: `pairs` is any 2-column (a, b) edge list;
+    * returns the O(V) label table (id, lbl) with lbl = min id reachable
+    * from id. Shared by the minhash text-pair graph ([[dedupCluster]]) and
+    * the embedding near-dup graph (SimilarityQueries.dedupClusterEmbed).
+    * Callers memoize the result as an index-build artifact.
+    *
+    * Each round folds the min neighbor label in (the propagation step)
+    * and then jumps `lbl ← lbl(lbl)` (the pointer-doubling step of
+    * classic PRAM/MapReduce connected components, same acceleration as
+    * large-star contraction): the distance a label still has to travel
+    * halves every round, so convergence is O(log diameter) rounds, not
+    * O(diameter) — a path-shaped component of ANY realistic length
+    * converges far inside [[MaxCcRounds]] (2^50 vertices at the bound),
+    * where the plain propagation loop hard-failed at diameter > 50.
+    * DedupPropertySpec pins a diameter-299 path (fails without jumping)
+    * and random-graph equality against a driver-side union-find.
+    *
+    * Safety of the jump: labels start as own ids and only decrease;
+    * lbl(v) is always an id inside v's component with lbl(v) ≤ v, hence
+    * lbl(lbl(v)) is too — the jump never leaves the component and never
+    * increases a label. At the combined fixpoint the propagation
+    * condition alone forces lbl(u) = lbl(v) across every edge, so labels
+    * are constant per component and equal to the component minimum — the
+    * same unique fixpoint as the unjumped loop.
     */
-  private[queries] def propagateMinLabels(pairs: DataFrame): DataFrame = {
+  private[graft] def propagateMinLabels(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("src", "dst")
     // symmetric edge list: propagation must flow both directions
     val edges = p.union(p.select(col("dst"), col("src"))).persist()
@@ -425,16 +443,26 @@ object DedupQueries {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (col("nmin") < col("lbl")).as("moved"))
+      val stepped = labels.select(col("id"), col("lbl").as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("lbl"))
+        .localCheckpoint() // flat plan for the self-join below
+      // pointer jump: lbl ← lbl(lbl). Every lbl value is itself a vertex
+      // id, so the self-join finds its row; jlbl ≤ lbl by monotonicity
+      // (least + coalesce are belt-and-braces, not semantics).
+      val next = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("jlbl")), Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("jlbl"), col("lbl"))) < col("old")).as("moved"))
         .localCheckpoint() // truncate loop lineage; also materializes for the count
       changed = next.filter(col("moved")).count()
       labels = next.select(col("id"), col("lbl"))
       round += 1
     }
     require(changed == 0,
-      s"connected components: no fixpoint after $MaxCcRounds rounds (component diameter > bound)")
+      s"connected components: no fixpoint after $MaxCcRounds rounds")
     edges.unpersist()
     labels
   }

@@ -379,9 +379,9 @@ object SimilarityQueries {
     * ([[DedupQueries.propagateMinLabels]]) — one graph algorithm, two edge
     * generators. The label table is a memoized index-build artifact; the
     * per-invocation plan is one left join of the embeddings against the
-    * cached O(V) labels, so the scale story is dedup_cluster's: rounds =
-    * component diameter (near-dup components are quasi-cliques, 2-4
-    * rounds), one shuffle join + min-agg per round.
+    * cached O(V) labels, so the scale story is dedup_cluster's:
+    * O(log diameter) rounds (pointer jumping), one shuffle join + min-agg
+    * + jump join per round.
     */
   private val embedClusterMemo = Memo.table()
 

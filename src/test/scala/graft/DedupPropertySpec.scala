@@ -194,6 +194,41 @@ class DedupPropertySpec extends SparkTestBase {
     assert(pairMultiset(20L) === allCold)
   }
 
+  test("connected components: pointer jumping closes a diameter-299 path inside the round bound") {
+    // The plain min-label propagation loop needed O(diameter) rounds and
+    // hard-failed its MaxCcRounds=50 require on a path this long; the
+    // lbl <- lbl(lbl) jump makes it O(log diameter), so this converges in
+    // ~9 rounds. Every vertex must reach the path's minimum id.
+    import spark.implicits._
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = DedupQueries.propagateMinLabels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 300)
+    assert(labels.values.toSet === Set(0L))
+  }
+
+  test("connected components equal a union-find oracle on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 400
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val got = DedupQueries.propagateMinLabels(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find over the same edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val want = verts.groupBy(v => find(v.toInt)).flatMap { case (_, vs) =>
+      val m = vs.min; vs.map(_ -> m)
+    }.toMap
+    assert(got === want)
+  }
+
   test("decontaminate flags exactly the train docs sharing a shingle with the eval set") {
     // EvalMod = 37: doc 0 and doc 37 form the eval set. Doc 1 shares one
     // 3-gram with doc 0, doc 4 shares one with doc 37, doc 2 shares none,
