@@ -474,6 +474,48 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  // -------------------------------------------------------------- domain_mix
+  /** `domain_mix` — deterministic per-source (domain) sampling at declared
+    * mixture rates: the data-mixing step every pretraining pipeline runs
+    * to hit target domain weights (up-weight curated sources, down-weight
+    * crawl). Keep decision = `hash60('mix:' || doc_id) mod 10000 <
+    * threshold(source)` — content-independent, rerun- and append-stable
+    * like [[dataSplit]] (a new document never flips an old one's
+    * decision), and salted with a distinct prefix so mixing is
+    * INDEPENDENT of the split assignment (the same doc hash for both
+    * would correlate "sampled" with "train"). Thresholds are integer
+    * per-10000 keep rates declared in [[MixRates]] (a mixture-weight
+    * config; unlisted sources fall to [[MixDefaultThreshold]]).
+    * Scan-local: one projection + filter, zero shuffles at any scale.
+    */
+  val MixBuckets = 10000L
+
+  /** Per-10000 keep thresholds by source — the declared mixture config. */
+  val MixRates: Seq[(String, Long)] = Seq(
+    "src0" -> 10000L, "src1" -> 10000L, // curated: keep everything
+    "src2" -> 5000L, "src3" -> 5000L, // half
+    "src4" -> 1000L) // heavy downsample
+  val MixDefaultThreshold = 2500L // everything else: quarter
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      pmod(TextFns.hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(MixBuckets))
+    val thr = MixRates.foldLeft(lit(MixDefaultThreshold): Column) {
+      case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("mix_bucket"))
+      .filter(col("mix_bucket") < thr)
+  }
+
+  val domainMixSql: String = {
+    val bucket = s"${Oracle.hash60("'mix:' || CAST(doc_id AS VARCHAR)")} % $MixBuckets"
+    val cases = MixRates.map { case (s, t) => s"WHEN '$s' THEN $t" }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id, source, $bucket AS mix_bucket FROM documents)
+       |SELECT doc_id, source, mix_bucket FROM b
+       |WHERE mix_bucket < CASE source $cases ELSE $MixDefaultThreshold END""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
     "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
@@ -489,5 +531,6 @@ object TextQueries {
     "tfidf_topterms" -> QueryDef(tfidfTopterms, Some(tfidfToptermsSql)),
     "repetition_score" -> QueryDef(repetitionScore, Some(repetitionScoreSql)),
     "bm25_topdocs" -> QueryDef(bm25Topdocs, Some(bm25TopdocsSql)),
-    "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)))
+    "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)),
+    "domain_mix" -> QueryDef(domainMix, Some(domainMixSql)))
 }

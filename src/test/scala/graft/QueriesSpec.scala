@@ -172,6 +172,27 @@ class QueriesSpec extends SparkTestBase {
     rows.foreach(r => assert(again(r.getLong(0)) === r.getString(2)))
   }
 
+  test("domain_mix: buckets under per-source thresholds, full-rate sources keep all docs") {
+    import graft.queries.TextQueries
+    val total = Tables.docs(spark, dir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextQueries.domainMix(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length < total.values.sum,
+      "mix must be a proper subset (some source is downsampled)")
+    val thr = TextQueries.MixRates.toMap
+    rows.foreach { case (id, src, b) =>
+      assert(b >= 0 && b < TextQueries.MixBuckets)
+      assert(b < thr.getOrElse(src, TextQueries.MixDefaultThreshold),
+        s"doc $id of $src kept with bucket $b above its threshold")
+    }
+    // threshold 10000 = keep-everything: those sources must be complete
+    val kept = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    thr.filter(_._2 == TextQueries.MixBuckets).keys.foreach { s =>
+      assert(kept.getOrElse(s, 0L) === total(s), s"full-rate source $s lost docs")
+    }
+  }
+
   test("dedup_cluster: pair endpoints share clusters; one canonical min per cluster") {
     import graft.queries.DedupQueries
     val out = DedupQueries.dedupCluster(spark, dir)
