@@ -726,10 +726,17 @@ object DedupQueries {
     */
   val EvalMod = 37L
 
+  /** The eval set's DISTINCT shingle-hash table — the static side of the
+    * decontamination join, shared by the batch query and the streaming
+    * twin (StreamingOps.decontaminateDocs joins it stream-static).
+    */
+  private[graft] def evalShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglePairs(spark, dir).filter(col("doc_id") % EvalMod === 0)
+      .select(col("h")).distinct()
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val pairs = shinglePairs(spark, dir)
-    val evalH = pairs.filter(col("doc_id") % EvalMod === 0)
-      .select(col("h")).distinct()
+    val evalH = evalShingles(spark, dir)
     val hits = pairs.filter(col("doc_id") % EvalMod =!= 0)
       .join(evalH, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))

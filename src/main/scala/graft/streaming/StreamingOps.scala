@@ -171,6 +171,41 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Streaming decontamination — the ingestion-time twin of the batch
+    * `decontaminate` query and the module's stream-STATIC join
+    * demonstration: each arriving document's shingles (the same
+    * `shingle_hash60` kernel as the batch path, running in-stream)
+    * equi-join the STATIC eval-set shingle table built once from `dir`,
+    * and a per-doc count aggregation emits (doc_id, n_overlap) for
+    * contaminated documents. The static side is the realistic shape — a
+    * fixed benchmark set loaded at stream start; Spark broadcasts or
+    * shuffles it like any batch join side, no state beyond the
+    * aggregation. Clean documents produce no row (an inner join, unlike
+    * the batch query's left join — the streaming consumer drops flagged
+    * docs and passes the rest).
+    *
+    * State stays bounded the same way as [[wordCounts]]: the per-doc
+    * count aggregates inside an ingest-time window under a watermark. A
+    * document's shingles all come from ONE input row (the kernel emits
+    * the per-doc DISTINCT hash array in-row), so they share the batch
+    * timestamp and can never straddle a window — per-doc counts are
+    * exact, and aged-out state never splits a document.
+    */
+  def decontaminateDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    import graft.queries.DedupQueries
+    val evalH = DedupQueries.evalShingles(spark, dir)
+    docs
+      .filter(col("doc_id") % DedupQueries.EvalMod =!= 0)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash60Expr(col("text"), 3, DedupQueries.P)).as("h"))
+      .join(evalH, Seq("h"))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", DedupHorizon)
+      .groupBy(window(col("ingest_ts"), "1 minute"), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"))
+  }
+
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -107,6 +107,28 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming decontaminateDocs equals the batch contaminated set (stream-static join)") {
+    val stream = StreamingOps.decontaminateDocs(
+      spark, StreamingOps.docStream(spark, dir), dir)
+    val q = stream.writeStream
+      .format("memory").queryName("decontam_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("decontam_stream")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the stream emits only contaminated docs (inner join); the batch
+    // query's zero rows are the clean remainder
+    val batch = graft.queries.DedupQueries.decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val expected = batch.filter(_._3).map(r => r._1 -> r._2).toMap
+    assert(expected.nonEmpty, "corpus produced no contaminated docs — test is vacuous")
+    assert(got === expected)
+    assert(batch.filterNot(_._3).forall(r => !got.contains(r._1)))
+  }
+
   test("streaming propsStats equals batch props_stats on a closed input") {
     val stream = StreamingOps.propsStats(StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
