@@ -245,6 +245,50 @@ object RelationalQueries {
       |  PARTITION BY e.event_id
       |  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""".stripMargin
 
+  // ------------------------------------------------------------- funnel_pairs
+  /** `funnel_pairs` — event-sequence pairs: for every event, the same
+    * user's events that FOLLOW it within [[FunnelGapS]] (30 min). This is
+    * the funnel/attribution primitive ("A then B within Δt") product
+    * analytics is built on, and the pair-forming step of session-graph
+    * features.
+    *
+    * Scale shape: NOT a range join. Both sides bucket the second-
+    * truncated event time into gap-width buckets; a follower within the
+    * gap lands in the same or the next bucket, so the left side explodes
+    * into exactly those two probe buckets and the join is an EQUI-join on
+    * (user, bucket) with the exact range check as a post-filter. Each
+    * qualifying pair meets exactly once (the right row has one bucket).
+    * Work is bounded by per-(user, 30 min) event density — the same
+    * axis-bucketing family as asof_join's single-shuffle form, where the
+    * naive `ON b.t BETWEEN a.t AND a.t + Δ` inequality join degenerates
+    * to a per-user nested loop.
+    *
+    * All arithmetic is BIGINT (truncated seconds, integer gap), so the
+    * output hash-matches the oracle exactly.
+    */
+  val FunnelGapS = 1800L
+
+  def funnelPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("es"))
+      .withColumn("bk", expr(s"es div $FunnelGapS"))
+    val a = ev.select(col("user_id").as("ua"), col("event_id").as("ea"),
+        col("es").as("sa"), col("bk"))
+      .withColumn("pb", explode(array(col("bk"), col("bk") + 1)))
+    val b = ev.select(col("user_id").as("ub"), col("event_id").as("next_event_id"),
+      col("es").as("sb"), col("bk").as("bb"))
+    a.join(b, col("ua") === col("ub") && col("pb") === col("bb") &&
+        col("sb") > col("sa") && col("sb") <= col("sa") + FunnelGapS)
+      .select(col("ea").as("event_id"), col("next_event_id"),
+        col("ua").as("user_id"), (col("sb") - col("sa")).as("gap_s"))
+  }
+
+  val funnelPairsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS es FROM events)
+       |SELECT a.event_id, b.event_id AS next_event_id, a.user_id, b.es - a.es AS gap_s
+       |FROM e a JOIN e b
+       |  ON b.user_id = a.user_id AND b.es > a.es AND b.es <= a.es + $FunnelGapS""".stripMargin
+
   // -------------------------------------------------------------- props_stats
   /** `props_stats` — aggregate over a field parsed out of the JSON `props`
     * payload (semi-structured column handling: the "typed metadata in a
@@ -488,6 +532,7 @@ object RelationalQueries {
     "pivot_daily" -> QueryDef(pivotDaily, Some(pivotDailySql)),
     "approx_stats" -> QueryDef(approxStats, None),
     "rolling_counts" -> QueryDef(rollingCounts, Some(rollingCountsSql)),
+    "funnel_pairs" -> QueryDef(funnelPairs, Some(funnelPairsSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

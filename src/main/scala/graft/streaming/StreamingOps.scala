@@ -206,6 +206,32 @@ object StreamingOps {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /** Streaming funnel pairs — the STREAM-STREAM interval self-join twin of
+    * the batch `funnel_pairs` query (and the module's stream-stream join
+    * demonstration, completing the Structured Streaming join matrix next
+    * to [[decontaminateDocs]]'s stream-static form): both sides are the
+    * watermarked event stream, joined on user with an event-time range
+    * `tb ∈ (ta, ta + 30 min]`. The two-sided time bound is what lets
+    * Spark expire join state — each side buffers only events younger than
+    * watermark + gap, so state is bounded by the stream's 30-minute
+    * window, not its history. Same second-truncated time axis as the
+    * batch query, so on a closed input the emitted pairs agree exactly.
+    */
+  def followUps(events: DataFrame): DataFrame = {
+    val gapS = graft.queries.RelationalQueries.FunnelGapS
+    val e = events
+      .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("ets", "1 hour")
+    val a = e.select(col("user_id").as("ua"), col("event_id").as("event_id"),
+      col("ets").as("ta"))
+    val b = e.select(col("user_id").as("ub"), col("event_id").as("next_event_id"),
+      col("ets").as("tb"))
+    a.join(b, col("ua") === col("ub") && col("tb") > col("ta") &&
+        col("tb") <= col("ta") + expr(s"INTERVAL $gapS SECONDS"))
+      .select(col("event_id"), col("next_event_id"), col("ua").as("user_id"),
+        (unix_timestamp(col("tb")) - unix_timestamp(col("ta"))).as("gap_s"))
+  }
+
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

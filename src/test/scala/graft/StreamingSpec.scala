@@ -129,6 +129,23 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.filterNot(_._3).forall(r => !got.contains(r._1)))
   }
 
+  test("streaming followUps equals batch funnel_pairs (stream-stream interval join)") {
+    val stream = StreamingOps.followUps(StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("follow_ups")
+      .outputMode("append") // stream-stream joins emit matches as they form
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("follow_ups")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = graft.queries.RelationalQueries.funnelPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "corpus produced no follow-up pairs — test is vacuous")
+    assert(got === expected)
+  }
+
   test("streaming propsStats equals batch props_stats on a closed input") {
     val stream = StreamingOps.propsStats(StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
