@@ -24,24 +24,31 @@ PIDS=()
 # wrapper PID leaves the JVMs running (observed: two leaked workers
 # stealing 4 cores from later benchmarks). setsid gives each its own
 # group; kill -- -PID takes the group down.
+# Processes in THIS run's process groups only: setsid gave each start-*.sh
+# wrapper its own PGID, and the Master/Worker JVMs it spawns inherit it —
+# so PGID membership exactly identifies this run's JVMs. (A bare
+# `pkill -f <class name>` would also hit standalone clusters other jobs on
+# a shared host own — the round-6 form had that hazard; and port-suffixed
+# -f patterns never match at all: pkill only examines a bounded cmdline
+# prefix and the ~2 kB of JVM flags push the port args past the window.)
+own_pids() {
+  ps -eo pid=,pgid= | awk -v pgids="${PIDS[*]}" '
+    BEGIN { split(pgids, a); for (i in a) keep[a[i]] = 1 }
+    keep[$2] { print $1 }'
+}
 cleanup() {
   for p in "${PIDS[@]}"; do kill -- "-$p" 2>/dev/null || kill "$p" 2>/dev/null || true; done
   wait 2>/dev/null || true
-  # Match the bare class names, NOT '...Master.*7177': the JVM launch
-  # command puts ~2 kB of flags before the class and the port args after
-  # it, and pkill -f only examines a bounded cmdline prefix — the
-  # port-suffixed pattern silently matched nothing and leaked all three
-  # JVMs (observed round 6: master + 2 workers survived the trap).
-  # This box runs no other standalone cluster, so class-name matching is
-  # safe; escalate to -9 if anything survives TERM.
-  pkill -f 'org.apache.spark.deploy.master.Master' 2>/dev/null || true
-  pkill -f 'org.apache.spark.deploy.worker.Worker' 2>/dev/null || true
+  # Group kill above should take the JVMs down with the wrappers; sweep
+  # survivors by PGID (TERM, then -9) — never by class name.
   for _ in 1 2 3 4 5; do
-    pgrep -f 'org.apache.spark.deploy.(master.Master|worker.Worker)' >/dev/null || return 0
+    LEFT=$(own_pids)
+    [ -z "$LEFT" ] && return 0
+    kill $LEFT 2>/dev/null || true
     sleep 1
   done
-  pkill -9 -f 'org.apache.spark.deploy.master.Master' 2>/dev/null || true
-  pkill -9 -f 'org.apache.spark.deploy.worker.Worker' 2>/dev/null || true
+  LEFT=$(own_pids)
+  [ -n "$LEFT" ] && kill -9 $LEFT 2>/dev/null || true
 }
 trap cleanup EXIT
 

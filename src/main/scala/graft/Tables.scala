@@ -18,9 +18,19 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-      // read it as a raw nanos-since-epoch BIGINT and let queries derive
+      // it must be read as a raw nanos-since-epoch BIGINT so queries derive
       // time columns with exact integer arithmetic (no double rounding).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Require, don't set (the asof_join UTC standard): the legacy flag has
+      // no per-read option, and a loader silently mutating shared-session
+      // conf would change how every OTHER reader in the session sees nanos
+      // timestamps, in execution-order-dependent ways. Every entry point
+      // (Verify, Bench, Explain, StageProfile, tests) pins it at session
+      // build instead.
+      require(
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"),
+        "events requires spark.sql.legacy.parquet.nanosAsLong=true " +
+          "(ts is parquet TIMESTAMP(NANOS)); set it at SparkSession build")
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -252,42 +252,51 @@ object RelationalQueries {
     * analytics is built on, and the pair-forming step of session-graph
     * features.
     *
-    * Scale shape: NOT a range join. Both sides bucket the second-
-    * truncated event time into gap-width buckets; a follower within the
-    * gap lands in the same or the next bucket, so the left side explodes
-    * into exactly those two probe buckets and the join is an EQUI-join on
-    * (user, bucket) with the exact range check as a post-filter. Each
-    * qualifying pair meets exactly once (the right row has one bucket).
-    * Work is bounded by per-(user, 30 min) event density — the same
-    * axis-bucketing family as asof_join's single-shuffle form, where the
-    * naive `ON b.t BETWEEN a.t AND a.t + Δ` inequality join degenerates
-    * to a per-user nested loop.
+    * Scale shape: NOT a range join. Both sides bucket the event time into
+    * gap-width buckets; a follower within the gap lands in the same or
+    * the next bucket, so the left side explodes into exactly those two
+    * probe buckets and the join is an EQUI-join on (user, bucket) with
+    * the exact range check as a post-filter. Each qualifying pair meets
+    * exactly once (the right row has one bucket). Work is bounded by
+    * per-(user, 30 min) event density — the same axis-bucketing family as
+    * asof_join's single-shuffle form, where the naive
+    * `ON b.t BETWEEN a.t AND a.t + Δ` inequality join degenerates to a
+    * per-user nested loop.
     *
-    * All arithmetic is BIGINT (truncated seconds, integer gap), so the
-    * output hash-matches the oracle exactly.
+    * Time axis: MICROSECONDS — Spark's native timestamp tick, and the
+    * exact axis the streaming twin's interval join operates on
+    * (stream-stream joins compare TimestampType, which is µs), so batch
+    * and stream share identical semantics including sub-second
+    * follow-ups. (An earlier form truncated to whole seconds, silently
+    * excluding genuine followers < 1 s apart — round-6 advice.) The
+    * events table carries nanos; the residual sub-µs truncation is below
+    * the engine's event-time resolution and applies identically to both
+    * compared instants. All arithmetic is BIGINT (integer µs, integer
+    * gap), so the output hash-matches the oracle exactly.
     */
   val FunnelGapS = 1800L
+  val FunnelGapUs: Long = FunnelGapS * 1000000L
 
   def funnelPairs(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("es"))
-      .withColumn("bk", expr(s"es div $FunnelGapS"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("bk", expr(s"us div $FunnelGapUs"))
     val a = ev.select(col("user_id").as("ua"), col("event_id").as("ea"),
-        col("es").as("sa"), col("bk"))
+        col("us").as("ta"), col("bk"))
       .withColumn("pb", explode(array(col("bk"), col("bk") + 1)))
     val b = ev.select(col("user_id").as("ub"), col("event_id").as("next_event_id"),
-      col("es").as("sb"), col("bk").as("bb"))
+      col("us").as("tb"), col("bk").as("bb"))
     a.join(b, col("ua") === col("ub") && col("pb") === col("bb") &&
-        col("sb") > col("sa") && col("sb") <= col("sa") + FunnelGapS)
+        col("tb") > col("ta") && col("tb") <= col("ta") + FunnelGapUs)
       .select(col("ea").as("event_id"), col("next_event_id"),
-        col("ua").as("user_id"), (col("sb") - col("sa")).as("gap_s"))
+        col("ua").as("user_id"), (col("tb") - col("ta")).as("gap_us"))
   }
 
   val funnelPairsSql: String =
-    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS es FROM events)
-       |SELECT a.event_id, b.event_id AS next_event_id, a.user_id, b.es - a.es AS gap_s
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events)
+       |SELECT a.event_id, b.event_id AS next_event_id, a.user_id, b.us - a.us AS gap_us
        |FROM e a JOIN e b
-       |  ON b.user_id = a.user_id AND b.es > a.es AND b.es <= a.es + $FunnelGapS""".stripMargin
+       |  ON b.user_id = a.user_id AND b.us > a.us AND b.us <= a.us + $FunnelGapUs""".stripMargin
 
   // -------------------------------------------------------------- props_stats
   /** `props_stats` — aggregate over a field parsed out of the JSON `props`

@@ -28,7 +28,13 @@ object StreamingOps {
 
   /** File-source stream of an events directory (parquet). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // require-not-set, matching Tables / the asof_join UTC standard: the
+    // session that runs the stream pins the flag at build time.
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "eventStream requires spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(ts is parquet TIMESTAMP(NANOS)); set it at SparkSession build")
     spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -190,6 +196,17 @@ object StreamingOps {
     * the per-doc DISTINCT hash array in-row), so they share the batch
     * timestamp and can never straddle a window — per-doc counts are
     * exact, and aged-out state never splits a document.
+    *
+    * SINK CONTRACT — one input row per doc_id: the output drops the
+    * window column, so if the SAME doc_id is delivered again in a later
+    * micro-batch that lands in a different 1-minute window (source
+    * replay after restart, duplicated upstream input), the sink receives
+    * a second, indistinguishable (doc_id, n_overlap) row — each row is
+    * the full overlap count of one delivery, not a partial to be summed.
+    * Consumers treating the output as a contaminated-doc SET (the
+    * intended use: drop every doc_id that ever appears) are correct
+    * under redelivery; consumers needing at-most-once rows must dedup on
+    * doc_id downstream or put [[dedupDocs]] in front of this op.
     */
   def decontaminateDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
     import graft.queries.DedupQueries
@@ -214,13 +231,15 @@ object StreamingOps {
     * `tb ∈ (ta, ta + 30 min]`. The two-sided time bound is what lets
     * Spark expire join state — each side buffers only events younger than
     * watermark + gap, so state is bounded by the stream's 30-minute
-    * window, not its history. Same second-truncated time axis as the
-    * batch query, so on a closed input the emitted pairs agree exactly.
+    * window, not its history. The time axis is MICROSECONDS — the native
+    * TimestampType tick this interval join compares at — matching the
+    * batch query's µs axis exactly, so on a closed input the emitted
+    * pairs (including sub-second follow-ups) agree exactly.
     */
   def followUps(events: DataFrame): DataFrame = {
     val gapS = graft.queries.RelationalQueries.FunnelGapS
     val e = events
-      .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "1 hour")
     val a = e.select(col("user_id").as("ua"), col("event_id").as("event_id"),
       col("ets").as("ta"))
@@ -229,7 +248,7 @@ object StreamingOps {
     a.join(b, col("ua") === col("ub") && col("tb") > col("ta") &&
         col("tb") <= col("ta") + expr(s"INTERVAL $gapS SECONDS"))
       .select(col("event_id"), col("next_event_id"), col("ua").as("user_id"),
-        (unix_timestamp(col("tb")) - unix_timestamp(col("ta"))).as("gap_s"))
+        (unix_micros(col("tb")) - unix_micros(col("ta"))).as("gap_us"))
   }
 
   case class Ev(user_id: Long, ts: Long)

@@ -18,6 +18,7 @@ oracle must now produce the same DuckDB logical type as the Spark parquet.
 Dev-only tool (mirrors the driver harness); the shipped engine is pure
 Scala/Spark.
 """
+import datetime
 import json
 import math
 import sys
@@ -43,6 +44,21 @@ def types_compatible(a, b):
     if a == b:
         return True
     return any(a in s and b in s for s in _TYPE_ALIASES)
+
+
+def norm_val(v):
+    """Normalize a fetched value for comparison. Timestamps: the alias
+    above admits TIMESTAMP vs TIMESTAMP WITH TIME ZONE, but DuckDB fetches
+    those as naive vs tz-aware datetimes, which NEVER compare equal in
+    Python — normalize both to epoch microseconds (naive treated as UTC,
+    which is what Spark's µs-adjusted-to-UTC parquet encoding carries)."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        d = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        # timedelta fields are exact ints; float .timestamp() loses µs
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    return v
 
 
 def main(sf_dir, out_dir):
@@ -82,8 +98,8 @@ def main(sf_dir, out_dir):
         def skey(row):
             return tuple((v is not None, v) for v in row)
         perm = [got_cols.index(c) for c in exp_cols]
-        got_r = sorted((tuple(r[i] for i in perm) for r in got), key=skey)
-        exp_r = sorted((tuple(r) for r in exp), key=skey)
+        got_r = sorted((tuple(norm_val(r[i]) for i in perm) for r in got), key=skey)
+        exp_r = sorted((tuple(norm_val(v) for v in r) for r in exp), key=skey)
         if len(got_r) != len(exp_r):
             failures.append((name, f"rowcount: spark={len(got_r)} oracle={len(exp_r)}"))
             continue
