@@ -770,10 +770,10 @@ object SimilarityQueries {
   val PqSub = KmDim / PqM
   /** 256 sub-centroids = 8-bit codes → the standard PQ8×8 layout (8 bytes
     * per vector). Measured recall@10 on the near-uniform sf0.1 corpus:
-    * 0.380 with Lloyd-refined sub-codebooks (0.265 hash-sampled, 0.090
-    * at K=16) — quantization distortion dominates recall here, so
-    * training the sub-codebooks pays for itself; the codes stay 8 bytes
-    * either way.
+    * 0.385 with 2-step Lloyd-refined sub-codebooks (0.380 at 1 step,
+    * 0.265 hash-sampled, 0.090 at K=16) — quantization distortion
+    * dominates recall here, so training the sub-codebooks pays for
+    * itself; the codes stay 8 bytes either way.
     */
   val PqK = 256
 
@@ -791,9 +791,11 @@ object SimilarityQueries {
   /** Lloyd iterations for the PQ sub-codebooks (the trained-quantizer
     * upgrade PQ gets, mirroring the IVF k-means codebook — a production
     * PQ always trains per-subspace centroids; the hash-sampled init alone
-    * leaves recall on the table).
+    * leaves recall on the table). 2 matches [[KmIters]]: the oracle CTE
+    * chain ([[pqSqlCtesAfterEq]]) unrolls per-iteration, so the constant
+    * moves both engines in lockstep.
     */
-  val PqIters = 1
+  val PqIters = 2
 
   /** Hash-sampled INIT then [[PqIters]] Lloyd steps per subspace,
     * entirely in the integer domain: each refined centroid component is
@@ -1053,9 +1055,9 @@ object SimilarityQueries {
     * list balance is what bounds per-probe work at scale). The assignment
     * lists are the SAME memoized artifact ann_ivf_kmeans searches
     * (kmListsMemo), so the composition still adds only the codes join.
-    * Measured recall@10 on sf0.1: 0.180 (Lloyd coarse quantizer + Lloyd
-    * sub-codebooks; 0.140 with both hash-sampled) at identical probe
-    * cost.
+    * Measured recall@10 on sf0.1: 0.190 (Lloyd coarse quantizer +
+    * 2-step Lloyd sub-codebooks; 0.180 at 1 step, 0.140 with both
+    * hash-sampled) at identical probe cost.
     */
   private def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
     Memo.memoize(ivfPqMemo, spark, dir) {
@@ -1114,7 +1116,7 @@ object SimilarityQueries {
     * compressed-domain candidates per query, then the EXACT cosine against
     * the raw vectors re-orders just those R and keeps the top-10. This
     * recovers the quantization distortion ADC ranks suffer (measured here:
-    * recall@10 0.18 → ~0.24, the candidate-generation ceiling) for one
+    * recall@10 0.19 → 0.24, the candidate-generation ceiling) for one
     * bounded join — nq·R rows probe the vector table by id — while the
     * corpus-sized scan stays in the compressed domain. At 100 TB this is
     * exactly the production layout: codes in memory, raw vectors fetched

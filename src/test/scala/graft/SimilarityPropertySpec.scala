@@ -157,19 +157,21 @@ class SimilarityPropertySpec extends SparkTestBase {
     // sampled codebook's floor.
     assert(ivfKm >= 0.13,
       f"ann_ivf_kmeans recall@10 $ivfKm%.3f below floor (Lloyd refinement regressed retrieval)")
-    // pq ≈ 0.380 (PQ8×256, Lloyd-refined sub-codebooks; 0.265 sampled:
-    // full compressed scan — recall loss here is pure quantization
-    // distortion, there is no candidate pruning); floor at ~0.7×
+    // pq ≈ 0.385 (PQ8×256, 2-step Lloyd-refined sub-codebooks; 0.380 at
+    // 1 step, 0.265 sampled: full compressed scan — recall loss here is
+    // pure quantization distortion, there is no candidate pruning);
+    // floor at ~0.7×
     assert(pq >= 0.27,
       f"ann_pq recall@10 $pq%.3f below floor (sub-codebook/quantization regressed)")
-    // ivfpq ≈ 0.180 with Lloyd coarse quantizer + Lloyd sub-codebooks
-    // (0.140 with both hash-sampled): bounded above by the kmeans-IVF
-    // 0.24 candidate pruning, degraded by PQ scoring distortion — the
-    // expected IVFADC trade; floor at ~0.7× measurement
-    assert(ivfPq >= 0.12,
+    // ivfpq ≈ 0.190 with Lloyd coarse quantizer + 2-step Lloyd
+    // sub-codebooks (0.180 at 1 step, 0.140 with both hash-sampled):
+    // bounded above by the kmeans-IVF 0.24 candidate pruning, degraded
+    // by PQ scoring distortion — the expected IVFADC trade; floor at
+    // ~0.7× measurement
+    assert(ivfPq >= 0.13,
       f"ann_ivfpq recall@10 $ivfPq%.3f below floor (probe/quantization composition regressed)")
     // exact re-rank recovers the ADC quantization distortion: measured
-    // 0.235 ≈ the kmeans-IVF candidate-generation ceiling (0.240) — the
+    // 0.240 = the kmeans-IVF candidate-generation ceiling (0.240) — the
     // re-rank cannot beat the probed lists' recall, but must recover
     // (nearly) all of it from the top-R ADC candidates
     assert(ivfPqR >= 0.22,
