@@ -298,6 +298,63 @@ object RelationalQueries {
        |FROM e a JOIN e b
        |  ON b.user_id = a.user_id AND b.us > a.us AND b.us <= a.us + $FunnelGapUs""".stripMargin
 
+  // ------------------------------------------------------------ order_revenue
+  /** `order_revenue` — the plain LARGE⋈LARGE (fact⋈fact) equi-join +
+    * aggregation, the single most common warehouse query shape (TPC-H
+    * Q3/Q12 family): per-customer revenue from orders ⋈ lineitem on the
+    * shared orderkey. Every other equi-join in the inventory has a
+    * broadcastable dimension side or a bucketed/salted self-join — this
+    * one has two corpus-sized sides, the case that MUST resolve to a
+    * shuffle-both-sides SortMergeJoin at scale.
+    *
+    * Scale shape, in order:
+    *   1. lineitem collapses to per-order (revenue, item count) FIRST —
+    *      a partial-final hash agg on l_orderkey whose map-side combine
+    *      folds the ~4 lines/order before any exchange. Joining raw
+    *      lineitem and aggregating after would shuffle 4× the rows to
+    *      produce the identical result.
+    *   2. orders ⋈ that on orderkey: both sides shuffle ONCE on the
+    *      shared key into a SortMergeJoin. `hint("merge")` pins the plan
+    *      the optimizer picks from real 100 TB statistics — at test SF
+    *      the 15k-row side sits under the broadcast threshold and AQE
+    *      would measure the wrong operator. Neither side is hinted or
+    *      eligible for broadcast at scale (both grow with the corpus).
+    *   3. per-customer rollup: a second partial-final hash agg on
+    *      o_custkey — state bounded by customer cardinality.
+    * Money arithmetic is exact integer cents-of-cents (scale 4, the
+    * price×discount product) like group_agg, so partial aggregation
+    * order can never flip the hash; one division back at the end.
+    */
+  def orderRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        intSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rev_c4"),
+        count(lit(1)).as("n_items"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .hint("merge")
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("n_items")).as("n_items"),
+        (sum(col("rev_c4")) / 10000.0).as("revenue"))
+  }
+
+  val orderRevenueSql: String =
+    s"""WITH po AS (
+       |  SELECT l_orderkey,
+       |         ${sqlIntSum("l_extendedprice * (1 - l_discount)", 4)} AS rev_c4,
+       |         count(*) AS n_items
+       |  FROM lineitem GROUP BY l_orderkey)
+       |SELECT o_custkey,
+       |       count(*) AS n_orders,
+       |       CAST(sum(n_items) AS BIGINT) AS n_items,
+       |       CAST(sum(rev_c4) AS BIGINT) / 10000.0 AS revenue
+       |FROM orders JOIN po ON l_orderkey = o_orderkey
+       |GROUP BY o_custkey""".stripMargin
+
   // -------------------------------------------------------------- props_stats
   /** `props_stats` — aggregate over a field parsed out of the JSON `props`
     * payload (semi-structured column handling: the "typed metadata in a
@@ -542,6 +599,7 @@ object RelationalQueries {
     "approx_stats" -> QueryDef(approxStats, None),
     "rolling_counts" -> QueryDef(rollingCounts, Some(rollingCountsSql)),
     "funnel_pairs" -> QueryDef(funnelPairs, Some(funnelPairsSql)),
+    "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

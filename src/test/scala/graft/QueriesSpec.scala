@@ -455,6 +455,33 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("order_revenue: SortMergeJoin pinned; totals re-derive from the raw tables") {
+    val df = graft.queries.RelationalQueries.orderRevenue(spark, dir)
+    // the operator this query exists to exercise: two corpus-sized sides
+    // shuffled into an SMJ — a broadcast here would bench the wrong plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin in:\n$plan")
+    // driver-side recompute with the same integer-cents arithmetic
+    val perOrder = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long").as("c4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> (vs.map(_._2).sum, vs.length.toLong) }
+    val custOf = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = perOrder.toSeq
+      .flatMap { case (ok, (c4, n)) => custOf.get(ok).map(c => (c, c4, n)) }
+      .groupBy(_._1)
+      .map { case (c, rows) =>
+        c -> (rows.length.toLong, rows.map(_._3).sum, rows.map(_._2).sum / 10000.0) }
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
