@@ -21,7 +21,8 @@ object SparkEntry {
       RelationalQueries.entries ++
       DedupQueries.entries ++
       SimilarityQueries.entries ++
-      MultimodalQueries.entries): _*)
+      MultimodalQueries.entries ++
+      PipelineQueries.entries): _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

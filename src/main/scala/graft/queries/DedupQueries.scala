@@ -333,7 +333,7 @@ object DedupQueries {
     * [[dedupMinhashSql]] and the connected-components oracle of
     * [[dedupClusterSql]], so the two oracles can never drift apart.
     */
-  private val minhashPairsCtes: String = {
+  private[queries] val minhashPairsCtes: String = {
     val mins = AB.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
     }.mkString(",\n             ")

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The composed end-to-end pretraining keep-list — the pipeline the
+  * individual training-data operators exist to feed, declared as ONE
+  * query so the composition itself is oracle-checked.
+  *
+  * `corpus_keep` evaluates every stage predicate on the FULL corpus and
+  * assigns each document the FIRST failing stage in pipeline order as its
+  * drop reason:
+  *
+  *   1. `quality`      — composite quality score below [[QMin]] (or no
+  *                       score: empty/token-less docs), cf. quality_score
+  *   2. `lang`         — stopword ratio under [[LangMinStop]] → not 'en',
+  *                       cf. lang_id
+  *   3. `repetition`   — top token frequency above [[RepMax]],
+  *                       cf. repetition_score
+  *   4. `exact_dup`    — not the min-doc_id keeper of its sha256(text)
+  *                       group, cf. dedup_exact
+  *   5. `near_dup`     — not the canonical (min-id) member of its MinHash
+  *                       near-dup cluster, cf. dedup_cluster
+  *   6. `eval`         — the held-out benchmark stand-in (doc_id mod
+  *                       EvalMod = 0): never trained on, cf. decontaminate
+  *   7. `contaminated` — shares shingles with the eval set,
+  *                       cf. decontaminate
+  *   8. `mix`          — sampled out by the per-source mixture rates,
+  *                       cf. domain_mix
+  *   else `keep`, with the train/val/test assignment of data_split.
+  *
+  * STAGE-ORDER SEMANTICS (what the composition pins, and what a pipeline
+  * that ran the stages independently would get wrong):
+  *   - Dedup is decided BEFORE mixing: keepers/canonicals are the min ids
+  *     of their full-corpus groups. If a cluster's canonical is later
+  *     dropped by mix (or contamination), the cluster is simply gone —
+  *     no non-canonical member is promoted, because promoting one would
+  *     make the kept set depend on the mix sample of OTHER documents
+  *     (append-instability: adding a doc could then flip its near-twin's
+  *     keep decision through re-canonicalization).
+  *   - Decontamination excludes the eval docs themselves first: an eval
+  *     doc is 'eval', never 'contaminated' (it trivially overlaps
+  *     itself) and never kept.
+  *   - Mixing is decided after dedup/decontamination (its hash is salted
+  *     independently of the split hash — see domain_mix), so mixture
+  *     rates apply to the CLEAN corpus, not raw counts.
+  *
+  * Scale shape: every stage is a per-doc flag table keyed by doc_id —
+  * the score/ratio stages are scan-local aggregations, the dedup stages
+  * reuse the memoized shingle/cluster index artifacts, and the final
+  * assembly is a chain of doc_id-keyed joins that co-partition after the
+  * first exchange. Nothing here adds a new corpus-squared term; the
+  * expensive parts (shingle table, minhash clusters, eval-shingle join)
+  * are exactly the per-operator costs already bounded in their own
+  * queries.
+  */
+object PipelineQueries {
+
+  /** Keep thresholds — the declared filter config (chosen to be
+    * non-degenerate on the synthetic corpus: each stage drops a real
+    * slice; see the distribution notes in the spec).
+    */
+  val QMin = 0.45
+  val LangMinStop = 0.04 // = lang_id's 'en' decision boundary
+  val RepMax = 0.18
+
+  def corpusKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.docs(spark, dir)
+    // per-doc stage flags, each keyed by doc_id
+    val q = TextQueries.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"), col("stop_ratio"))
+    val rep = TextQueries.repetitionScore(spark, dir)
+      .select(col("doc_id"), col("top_token_frac"))
+    val exk = docs
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("th"))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("th"))))
+      .select(col("doc_id"), col("keep_id"))
+    val clus = DedupQueries.dedupCluster(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val cont = DedupQueries.decontaminate(spark, dir) // non-eval docs only
+      .select(col("doc_id"), col("contaminated"))
+    val mix = TextQueries.domainMix(spark, dir) // mix SURVIVORS only
+      .select(col("doc_id"), lit(true).as("mix_ok"))
+    val split = TextQueries.dataSplit(spark, dir)
+      .select(col("doc_id"), col("split").as("split_all"))
+
+    val reason: Column =
+      when(col("score").isNull || col("score") < QMin, "quality")
+        .when(col("stop_ratio") < LangMinStop, "lang")
+        .when(col("top_token_frac") > RepMax, "repetition")
+        .when(col("doc_id") =!= col("keep_id"), "exact_dup")
+        .when(!col("is_canonical"), "near_dup")
+        .when(col("doc_id") % DedupQueries.EvalMod === 0, "eval")
+        .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+        .when(col("mix_ok").isNull, "mix")
+        .otherwise("keep")
+
+    docs.select(col("doc_id"))
+      .join(q, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(exk, Seq("doc_id"))
+      .join(clus, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left")
+      .join(mix, Seq("doc_id"), "left")
+      .join(split, Seq("doc_id"))
+      .withColumn("reason", reason)
+      .select(col("doc_id"), col("reason"),
+        (col("reason") === "keep").as("kept"),
+        // dropped docs get a 'none' sentinel, not NULL (no portable NULL
+        // sort position in the oracle harness — same call as rollup_agg)
+        when(col("reason") === "keep", col("split_all")).otherwise("none").as("split"))
+  }
+
+  val corpusKeepSql: String = {
+    val mixCases = TextQueries.MixRates
+      .map { case (s, t) => s"WHEN '$s' THEN $t" }.mkString(" ")
+    s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mhpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+       |reach(id, x) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x),
+       |comp AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id),
+       |qm AS (SELECT d.doc_id,
+       |              CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |              CAST(length(d.text) AS BIGINT) AS n_chars,
+       |              CAST(length(regexp_replace(d.text, '[^\\p{L}]', '', 'g')) AS BIGINT) AS n_alpha,
+       |              CAST(len(list_filter(t.t, w -> list_contains(${TextQueries.stopListSql}, w))) AS BIGINT) AS n_stop
+       |       FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+       |       WHERE len(t.t) > 0 AND length(d.text) > 0),
+       |qs AS (SELECT doc_id,
+       |              (CAST(n_alpha AS DOUBLE) / n_chars) * 0.5
+       |                + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |                + least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.2 AS score,
+       |              CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+       |       FROM qm),
+       |wtf AS (SELECT doc_id, unnest(t) AS word FROM toks),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM wtf GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, CAST(max(tf) AS DOUBLE) / sum(tf) AS top_token_frac
+       |        FROM tf GROUP BY doc_id),
+       |exk AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+       |        FROM documents),
+       |evh AS (SELECT DISTINCT h FROM ex WHERE doc_id % ${DedupQueries.EvalMod} = 0),
+       |hits AS (SELECT e.doc_id, count(*) AS hit FROM ex e JOIN evh ON evh.h = e.h
+       |         WHERE e.doc_id % ${DedupQueries.EvalMod} <> 0 GROUP BY 1),
+       |bkt AS (SELECT doc_id, source,
+       |               ${Oracle.hash60("'mix:' || CAST(doc_id AS VARCHAR)")} % ${TextQueries.MixBuckets} AS mix_bucket,
+       |               ${Oracle.hash60("CAST(doc_id AS VARCHAR)")} % ${TextQueries.SplitBuckets} AS split_bucket
+       |        FROM documents),
+       |r1 AS (SELECT d.doc_id, bkt.split_bucket,
+       |              CASE WHEN qs.score IS NULL OR qs.score < $QMin THEN 'quality'
+       |                   WHEN qs.stop_ratio < $LangMinStop THEN 'lang'
+       |                   WHEN rep.top_token_frac > $RepMax THEN 'repetition'
+       |                   WHEN d.doc_id <> exk.keep_id THEN 'exact_dup'
+       |                   WHEN coalesce(comp.cluster_id, d.doc_id) <> d.doc_id THEN 'near_dup'
+       |                   WHEN d.doc_id % ${DedupQueries.EvalMod} = 0 THEN 'eval'
+       |                   WHEN coalesce(hits.hit, 0) > 0 THEN 'contaminated'
+       |                   WHEN bkt.mix_bucket >= CASE bkt.source $mixCases ELSE ${TextQueries.MixDefaultThreshold} END THEN 'mix'
+       |                   ELSE 'keep' END AS reason
+       |       FROM documents d
+       |       LEFT JOIN qs ON qs.doc_id = d.doc_id
+       |       LEFT JOIN rep ON rep.doc_id = d.doc_id
+       |       JOIN exk ON exk.doc_id = d.doc_id
+       |       LEFT JOIN comp ON comp.id = d.doc_id
+       |       LEFT JOIN hits ON hits.doc_id = d.doc_id
+       |       JOIN bkt ON bkt.doc_id = d.doc_id)
+       |SELECT doc_id, reason, reason = 'keep' AS kept,
+       |       CASE WHEN reason = 'keep' THEN
+       |              CASE WHEN split_bucket < ${TextQueries.TrainUpto} THEN 'train'
+       |                   WHEN split_bucket < ${TextQueries.ValUpto} THEN 'val'
+       |                   ELSE 'test' END
+       |            ELSE 'none' END AS split
+       |FROM r1""".stripMargin
+  }
+
+  val entries: Seq[(String, QueryDef)] = Seq(
+    "corpus_keep" -> QueryDef(corpusKeep, Some(corpusKeepSql)))
+}

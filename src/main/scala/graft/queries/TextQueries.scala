@@ -124,7 +124,7 @@ object TextQueries {
     * is synthetic English-like word soup; the heuristic's *shape* — token
     * stats per document, no shuffle beyond the scan — is the operator.)
     */
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[queries] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = TextFns.tokens(col("text"))
@@ -141,7 +141,7 @@ object TextQueries {
         ratio.as("stop_ratio"))
   }
 
-  private val stopListSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+  private[queries] val stopListSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val langIdSql: String =
     s"""WITH toks AS (${Oracle.toksCte}),

@@ -482,6 +482,67 @@ class QueriesSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("corpus_keep: first-fail reasons, dedup decided pre-mix, eval never kept") {
+    import graft.queries.{DedupQueries, PipelineQueries, TextQueries}
+    val rows = PipelineQueries.corpusKeep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    val reason = rows.map(r => r._1 -> r._2).toMap
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).distinct.length >= 3, "degenerate stage distribution")
+
+    // eval holdout: an eval doc is 'eval' or dropped EARLIER — never kept,
+    // never attributed to a post-eval stage (decontaminate excludes eval)
+    val evalStages = Set("quality", "lang", "repetition", "exact_dup", "near_dup", "eval")
+    rows.filter(_._1 % DedupQueries.EvalMod == 0).foreach { case (id, rs, kept, _) =>
+      assert(evalStages.contains(rs) && !kept, s"eval doc $id got '$rs'")
+    }
+
+    // dedup decided on the FULL corpus, before mix: any doc that reaches a
+    // post-dedup stage is its exact-hash keeper AND its cluster canonical
+    val canon = DedupQueries.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val postDedup = Set("eval", "contaminated", "mix", "keep")
+    rows.filter(r => postDedup.contains(r._2)).foreach { case (id, rs, _, _) =>
+      assert(canon(id)._2, s"non-canonical doc $id reached '$rs'")
+    }
+    // and a cluster whose canonical was dropped later promotes NOBODY
+    val byCluster = rows.groupBy(r => canon(r._1)._1).filter(_._2.length > 1)
+    byCluster.foreach { case (c, members) =>
+      if (postDedup.contains(reason(c)) && reason(c) != "keep")
+        assert(members.forall(!_._3), s"cluster $c promoted a member after its canonical dropped")
+    }
+
+    // kept docs pass every stage predicate (cross-check vs the components)
+    val kept = rows.filter(_._3)
+    assert(kept.nonEmpty)
+    val scores = TextQueries.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"), col("stop_ratio")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ttf = TextQueries.repetitionScore(spark, dir)
+      .select(col("doc_id"), col("top_token_frac")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mixOk = TextQueries.domainMix(spark, dir).collect().map(_.getLong(0)).toSet
+    val splitOf = TextQueries.dataSplit(spark, dir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val contaminated = DedupQueries.decontaminate(spark, dir)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    kept.foreach { case (id, _, _, sp) =>
+      assert(scores(id)._1 >= PipelineQueries.QMin && scores(id)._2 >= PipelineQueries.LangMinStop)
+      assert(ttf(id) <= PipelineQueries.RepMax)
+      assert(id % DedupQueries.EvalMod != 0 && !contaminated.contains(id))
+      assert(mixOk.contains(id), s"kept doc $id not a mix survivor")
+      assert(sp == splitOf(id), s"kept doc $id split mismatch")
+    }
+    // first-fail attribution: a 'mix' doc passed every earlier stage
+    rows.filter(_._2 == "mix").foreach { case (id, _, _, _) =>
+      assert(scores(id)._1 >= PipelineQueries.QMin && ttf(id) <= PipelineQueries.RepMax
+        && canon(id)._2 && !contaminated.contains(id) && !mixOk.contains(id))
+    }
+    // dropped docs carry the 'none' split sentinel
+    rows.filterNot(_._3).foreach { case (_, _, _, sp) => assert(sp == "none") }
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
