@@ -129,6 +129,27 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.filterNot(_._3).forall(r => !got.contains(r._1)))
   }
 
+  test("streaming topWords: per-window top-20 equals batch top_k on a closed input") {
+    val counts = StreamingOps.windowWordCounts(StreamingOps.docStream(spark, dir))
+    @volatile var last = Array.empty[(java.sql.Timestamp, String, Long, Long)]
+    val q = counts.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the (b) half of the streaming top-k: rank the CURRENT counts
+        last = StreamingOps.topWords(20)(b).collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    assert(last.map(_._1).distinct.length === 1, "closed input must land in one window")
+    val got = last.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+    val expected = graft.queries.TextQueries.topK(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("streaming followUps equals batch funnel_pairs (stream-stream interval join)") {
     val stream = StreamingOps.followUps(StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
