@@ -435,14 +435,12 @@ object RelationalQueries {
     * shape is the same as `group_agg` at 3× the aggregate state (still
     * bounded by key cardinality, not row count).
     */
-  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
-        (intSum(col("l_extendedprice"), 2) / 100.0).as("sum_base_price"))
+  private def multiLevelAgg(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    g.agg(
+      grouping_id().cast("long").as("gid"),
+      count(lit(1)).as("cnt"),
+      sum(col("l_quantity").cast("long")).as("sum_qty"),
+      (intSum(col("l_extendedprice"), 2) / 100.0).as("sum_base_price"))
       // rolled-up levels emit NULL grouping values; surface them as an
       // 'ALL' sentinel (gid already disambiguates) so the output is
       // null-free — the oracle harness compares sorted row multisets and
@@ -452,14 +450,34 @@ object RelationalQueries {
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
         col("gid"), col("cnt"), col("sum_qty"), col("sum_base_price"))
 
-  val rollupAggSql: String =
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    multiLevelAgg(Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus")))
+
+  private def multiLevelSql(op: String): String =
     s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        |       count(*) AS cnt,
        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        |       ${sqlIntSum("l_extendedprice", 2)} / 100.0 AS sum_base_price
-       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+       |FROM lineitem GROUP BY $op (l_returnflag, l_linestatus)""".stripMargin
+
+  val rollupAggSql: String = multiLevelSql("ROLLUP")
+
+  // ----------------------------------------------------------------- cube_agg
+  /** `cube_agg` — the CUBE member of the GROUPING SETS family: every
+    * subset of (returnflag, linestatus), i.e. rollup_agg plus the
+    * per-linestatus-only level. Catalyst plans CUBE as the same single
+    * Expand + hash aggregate as ROLLUP — each input row fans out to its
+    * 4 grouping sets map-side, partial aggregation collapses before the
+    * one exchange; state is bounded by key cardinality × 4, not rows.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    multiLevelAgg(Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus")))
+
+  val cubeAggSql: String = multiLevelSql("CUBE")
 
   // -------------------------------------------------------------- pivot_daily
   /** `pivot_daily` — the PIVOT operator family: one row per day, one
@@ -594,6 +612,7 @@ object RelationalQueries {
     "sessionize" -> QueryDef(sessionize, Some(sessionizeSql)),
     "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
     "rollup_agg" -> QueryDef(rollupAgg, Some(rollupAggSql)),
+    "cube_agg" -> QueryDef(cubeAgg, Some(cubeAggSql)),
     "set_ops" -> QueryDef(setOps, Some(setOpsSql)),
     "pivot_daily" -> QueryDef(pivotDaily, Some(pivotDailySql)),
     "approx_stats" -> QueryDef(approxStats, None),

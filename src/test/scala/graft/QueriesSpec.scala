@@ -378,6 +378,22 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("cube_agg: equals rollup_agg plus exactly the linestatus-only level") {
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val cube = tup(graft.queries.RelationalQueries.cubeAgg(spark, dir))
+    val roll = tup(graft.queries.RelationalQueries.rollupAgg(spark, dir))
+    assert(roll.subsetOf(cube), "CUBE grouping sets must contain ROLLUP's")
+    val extra = cube -- roll
+    // the one grouping set CUBE adds: returnflag rolled up (gid bit 2)
+    assert(extra.nonEmpty)
+    assert(extra.forall(r => r._3 == 2L && r._1 == "ALL" && r._2 != "ALL"))
+    // the added level aggregates to the same grand total
+    val top = cube.find(_._3 == 3L).get
+    assert(extra.toSeq.map(_._4).sum === top._4)
+    assert(extra.toSeq.map(_._5).sum === top._5)
+  }
+
   test("set_ops: tags partition the distinct event users against order customers") {
     val eu = Tables(spark, dir, "events").select("user_id").distinct()
       .collect().map(_.getLong(0)).toSet

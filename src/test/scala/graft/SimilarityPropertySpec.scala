@@ -118,6 +118,37 @@ class SimilarityPropertySpec extends SparkTestBase {
       s"one chunk holds ${byChunk.map(_._2).max} of 200 queries (cap bound defeated)")
   }
 
+  test("dedup_cluster_embed closes a diameter-120 cosine chain (salt grid + pointer jump composed)") {
+    // The sf-corpus clusters are trivial-diameter, so the embed edge
+    // generator (salt-grid cosine join) and the pointer-jumping fixpoint
+    // only compose in the easy regime there. Force the hard one: a PATH —
+    // v_i = (e_i + e_{i+1})/√2 in one hot label block, so cos(v_i, v_j)
+    // is 0.5 for |i−j| = 1 and 0 otherwise. Diameter 120 exceeds the
+    // 50-round bound without the lbl ← lbl(lbl) jump; with it the chain
+    // must collapse to one cluster with the min id canonical.
+    import spark.implicits._
+    val n = 121
+    val d = java.nio.file.Files.createTempDirectory("emb-chain")
+    val rows = Seq.tabulate(n) { i =>
+      val v = Array.fill(n + 1)(0f)
+      v(i) = 0.70710678f; v(i + 1) = 0.70710678f
+      (i.toLong, v.toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val dir = d.toString
+    // the generator must emit EXACTLY the consecutive-pair chain
+    val prs = SimilarityQueries.similarPairs(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prs === (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toSet)
+    val out = SimilarityQueries.dedupClusterEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === n)
+    assert(out.forall(_._2 == 0L), "transitive chain must collapse to one cluster")
+    assert(out.filter(_._3).map(_._1).toSeq === Seq(0L))
+  }
+
   test("ANN recall@10 vs the exact baseline: floors hold (tuning signal for LshBits/Nprobe)") {
     // ann_topk is the declared recall=1 baseline; this measures what the
     // approximate paths actually deliver on the largest test corpus (sf0.1,
