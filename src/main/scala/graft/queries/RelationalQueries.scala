@@ -355,6 +355,88 @@ object RelationalQueries {
        |FROM orders JOIN po ON l_orderkey = o_orderkey
        |GROUP BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------ latest_by_key
+  /** `latest_by_key` — the latest record per key (CDC log compaction /
+    * upsert materialization / "dedup by recency": collapse an append-only
+    * event log to the current state of each entity — the shape behind
+    * every changelog→snapshot job, and behind versioned-document dedup in
+    * a crawl pipeline where re-fetches append rather than overwrite).
+    *
+    * Implemented as `row_number() = 1` over (user, ts DESC, event_id DESC)
+    * rather than a `max_by` aggregate: the ordering key is the (ts,
+    * event_id) PAIR — two longs that cannot pack into one — and a
+    * struct-ordered `max_by` abandons hash aggregation for a SortAggregate
+    * (the ann_ivf lesson, PLANS.md), while `rank = 1` filters over a
+    * window trigger Spark's `WindowGroupLimit`: each input partition keeps
+    * only its own per-key top-1 BEFORE the exchange, so the shuffle moves
+    * ≤ one row per (input partition, live key) — the map-side combine of
+    * the window world. One exchange on user_id, per-key state O(1).
+    * Deterministic total order: event_id breaks same-microsecond ties.
+    */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
+    // Recency axis = MICROSECONDS (`ts div 1000`, the funnel_pairs
+    // convention): Spark reads the parquet nano timestamps as full nanos
+    // while the oracle's TIMESTAMP truncates to micros, so ordering by raw
+    // nanos could pick a different same-microsecond row than the oracle.
+    // Both engines order by (us, event_id DESC) — a deterministic total
+    // order; event_id breaks same-microsecond ties.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        col("event_type"), col("value")) // ts = BIGINT nanos
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("us").as("last_ts_us"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+  }
+
+  val latestByKeySql: String =
+    """SELECT user_id, epoch_ns(ts) // 1000 AS last_ts_us,
+      |       event_id AS last_event_id,
+      |       event_type AS last_event_type,
+      |       value AS last_value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- anti_join
+  /** `anti_join` — customers with NO urgent order (the NOT EXISTS / LEFT
+    * ANTI shape: "entities that never did X" — inactive users, dimensions
+    * never referenced by a (filtered) fact, orphan detection). The
+    * priority predicate pushes to the orders scan, then the anti join
+    * subtracts the surviving key set.
+    *
+    * Scale shape: filtered orders first collapse to DISTINCT o_custkey —
+    * a partial-final hash distinct whose map-side combine folds repeat
+    * orders per customer before any exchange (the anti join needs key
+    * EXISTENCE, not rows, so shuffling raw orders would move ~10× the
+    * data to produce the identical result — order_revenue's
+    * pre-aggregation trick applied to a semi-family join). Both sides
+    * then shuffle once on custkey into a `hint("merge")`-pinned
+    * sort-merge LEFT ANTI join — at real scale both sides are
+    * corpus-sized, and at test SF AQE would broadcast the small side and
+    * bench the wrong operator; the distinct's exchange is reused as its
+    * join exchange.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgentCust = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT") // pushed to the scan
+      .select(col("o_custkey")).distinct()
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .hint("merge")
+      .join(urgentCust, col("c_custkey") === col("o_custkey"), "left_anti")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
   // -------------------------------------------------------------- props_stats
   /** `props_stats` — aggregate over a field parsed out of the JSON `props`
     * payload (semi-structured column handling: the "typed metadata in a
@@ -619,6 +701,8 @@ object RelationalQueries {
     "rolling_counts" -> QueryDef(rollingCounts, Some(rollingCountsSql)),
     "funnel_pairs" -> QueryDef(funnelPairs, Some(funnelPairsSql)),
     "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),
+    "latest_by_key" -> QueryDef(latestByKey, Some(latestByKeySql)),
+    "anti_join" -> QueryDef(antiJoin, Some(antiJoinSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

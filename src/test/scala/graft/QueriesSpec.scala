@@ -498,6 +498,47 @@ class QueriesSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("latest_by_key: WindowGroupLimit pushed below the exchange; per-key argmax exact") {
+    val df = graft.queries.RelationalQueries.latestByKey(spark, dir)
+    // the scale property this query exists for: partial top-1-per-key
+    // BEFORE the shuffle (the window world's map-side combine)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.toLowerCase.contains("partial"), s"expected a Partial group-limit in:\n$plan")
+    // driver-side recompute: per-user max by (us, event_id)
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    val want = evs.groupBy(_._1).map { case (u, rows) =>
+      val top = rows.maxBy(r => (r._2, r._3))
+      u -> (top._2, top._3, top._4, top._5)
+    }
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(got === want)
+    assert(got.size === evs.map(_._1).distinct.length) // exactly one row per key
+  }
+
+  test("anti_join: SMJ LeftAnti over the pre-distinct key side; set-difference exact") {
+    val df = graft.queries.RelationalQueries.antiJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+      s"expected SortMergeJoin LeftAnti in:\n$plan")
+    val allCust = Tables(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val withUrgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val got = df.select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got === (allCust -- withUrgent))
+    assert(got.nonEmpty, "some customers must lack an urgent order; empty means a broken join")
+    assert(got.size < allCust.size, "degenerate: nobody has an urgent order")
+    assert(df.columns.toSeq === Seq("c_custkey", "c_name", "c_mktsegment"))
+  }
+
   test("corpus_keep: first-fail reasons, dedup decided pre-mix, eval never kept") {
     import graft.queries.{DedupQueries, PipelineQueries, TextQueries}
     val rows = PipelineQueries.corpusKeep(spark, dir).collect()
