@@ -296,6 +296,47 @@ object StreamingOps {
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  case class EvFull(user_id: Long, us: Long, event_id: Long,
+      event_type: String, value: Option[Double])
+  case class Latest(user_id: Long, last_ts_us: Long, last_event_id: Long,
+      last_event_type: String, last_value: Option[Double])
+
+  /** Streaming form of the `latest_by_key` query: the continuously
+    * maintained UPSERT VIEW (changelog → current-state materialization,
+    * the streaming side of CDC log compaction). `mapGroupsWithState`
+    * keeps exactly one record per key — the argmax by (us, event_id) —
+    * and re-emits a key's row only when a newer record arrives (update
+    * mode). State is O(live keys) and never grows with event volume; no
+    * watermark is needed because the state IS the desired materialization
+    * (a true upsert view retains every key indefinitely, same contract as
+    * the batch query). Late or replayed events fold in correctly: the
+    * argmax is order-insensitive, so on a closed input this agrees
+    * exactly with batch `latestByKey` — pinned by StreamingSpec.
+    */
+  def latestByKey(spark: SparkSession, events: DataFrame): Dataset[Latest] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        col("event_type"), col("value")).as[EvFull]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[EvFull], state: GroupState[Latest]) => {
+          val incoming = evs.maxBy(e => (e.us, e.event_id))
+          val best = state.getOption match {
+            case Some(cur)
+              if cur.last_ts_us > incoming.us ||
+                (cur.last_ts_us == incoming.us &&
+                  cur.last_event_id >= incoming.event_id) => cur
+            case _ =>
+              Latest(user, incoming.us, incoming.event_id,
+                incoming.event_type, incoming.value)
+          }
+          state.update(best)
+          best
+        })
+  }
+
   /** Session gap, nanos — 30 minutes, matching the batch sessionize. */
   val GapNanos: Long = 1800L * 1000000000L
 

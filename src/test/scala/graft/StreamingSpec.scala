@@ -205,4 +205,25 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("streaming latestByKey equals batch latest_by_key (upsert view)") {
+    val stream = StreamingOps.latestByKey(spark, StreamingOps.eventStream(spark, dir))
+    val q = stream.toDF().writeStream
+      .format("memory").queryName("latest_by_key_stream")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))
+    // update mode re-emits a key only when its latest changes; on a closed
+    // input the final emission per key is the materialized upsert row
+    val got = spark.table("latest_by_key_stream").collect().map(key).toMap
+    val expected = graft.queries.RelationalQueries.latestByKey(spark, dir)
+      .collect().map(key).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
