@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Capability probes for the STORAGE-LAYOUT half of the 100 TB design:
+  * the three levers that make petabyte joins and scans cheap are decided
+  * at WRITE time, so each is pinned here as a mechanism test against
+  * this engine's session configuration.
+  *
+  *  1. BUCKETED tables — pre-partitioning both fact tables on the join
+  *     key turns order_revenue's two shuffle exchanges into zero: the
+  *     recurring-join answer when the same key joins daily (an exchange
+  *     over 100 TB per run vs none).
+  *  2. PARTITIONED writes + partition PRUNING — a predicate on the
+  *     partition column must prune directories at planning time
+  *     (`PartitionFilters`), not filter rows after a full scan.
+  *  3. Range-partitioned SORTED export — the zone-map/data-skipping
+  *     layout: `repartitionByRange + sortWithinPartitions` yields
+  *     globally ordered files without a single-partition global sort.
+  */
+class LayoutCapabilitySpec extends SparkTestBase {
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("bucketed fact tables join with ZERO exchanges (the recurring-join layout)") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val n = 10000
+      val a = spark.range(0, n).toDF("k")
+        .select(col("k"), (col("k") * 3).as("va"))
+      val b = spark.range(0, n).toDF("k")
+        .select(col("k"), (col("k") % 7).as("vb"))
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+      // same bucket count + key both sides; sortBy makes the SMJ sort a
+      // no-op read order too
+      a.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_bkt_a")
+      b.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_bkt_b")
+
+      val joined = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+        .select(col("k"), col("va"), col("vb"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed-bucketed equi-join must plan WITHOUT any shuffle:\n$plan")
+
+      val rows = joined.collect()
+      assert(rows.length === n)
+      rows.foreach(r => assert(r.getLong(1) === r.getLong(0) * 3 &&
+        r.getLong(2) === r.getLong(0) % 7))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+      saved match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("partitionBy write + predicate prunes directories at planning time") {
+    val out = freshDir("part")
+    Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+
+    val sources = Tables(spark, sf("sf0.001"), "documents")
+      .select("source").distinct().collect().map(_.getString(0))
+    assert(sources.length > 1, "need >1 partition for pruning to be observable")
+    val one = sources.min
+
+    val pruned = spark.read.parquet(out).filter(col("source") === one)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), s"expected PartitionFilters in:\n$planStr")
+    // planning-time proof: the scan SELECTS only the matching directory
+    // (DataFrame.inputFiles reports the unfiltered relation, so inspect
+    // the scan node's selected partitions instead)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val selected = scan.selectedPartitions
+    assert(selected.partitionCount === 1,
+      s"expected 1 selected partition dir, got ${selected.partitionCount}")
+
+    // and the pruned read returns exactly that partition's rows
+    val want = Tables(spark, sf("sf0.001"), "documents")
+      .filter(col("source") === one).count()
+    assert(pruned.count() === want)
+  }
+
+  test("repartitionByRange + sortWithinPartitions exports globally ordered files") {
+    val out = freshDir("sorted")
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+
+    // within every output file rows are sorted, and the files' id RANGES
+    // are disjoint — together: a global order with no single-task sort
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet"))
+    assert(parts.length > 1, s"range partitioner produced ${parts.length} file(s)")
+    val ranges = parts.map { p =>
+      val ids = spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"file $p not internally sorted")
+      (ids.min, ids.max)
+    }
+    val byMin = ranges.sortBy(_._1)
+    byMin.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap: max $hi >= next min $lo2")
+      case _ =>
+    }
+    // nothing lost in the reshape
+    assert(spark.read.parquet(out).count() === docs.count())
+  }
+}

@@ -16,6 +16,8 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables requires)
     .config("spark.ui.enabled", "false")
+    // managed tables (the bucketing capability probe) land outside the repo
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"
