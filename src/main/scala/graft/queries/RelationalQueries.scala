@@ -437,6 +437,56 @@ object RelationalQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
+  // ------------------------------------------------------------ profile_table
+  /** `profile_table` — exact data-profiling of a table: per-column null
+    * count and exact distinct cardinality, the data-quality audit every
+    * ingest pipeline runs before trusting a new drop (schema drift, id
+    * collisions, a column gone silently all-NULL).
+    *
+    * ONE pass over the table: Spark plans the 6 `countDistinct`s as a
+    * single Expand (×7: one replica per distinct column + one for the
+    * plain counts) feeding a partial-final hash aggregate — not 6
+    * separate scans of a 100 TB table. The 1-row wide result then
+    * unpivots to long form with `stack` (a 1-row reshape, plan-free).
+    * Exact multi-distinct is the audit-grade form; `approx_stats` (HLL)
+    * is this query's declared sketch twin when ±2% suffices at scale.
+    * ts profiles on the shared microsecond axis (`ts div 1000`): Spark's
+    * nano resolution would count same-microsecond instants the oracle's
+    * TIMESTAMP cannot distinguish.
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val aggs = count(lit(1)).as("n") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val stackArgs = cols
+      .map(c => s"'$c', n - nn_$c, nd_$c")
+      .mkString(", ")
+    e.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_null, n_distinct)")
+  }
+
+  val profileTableSql: String = {
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val aggsSql = cols
+      .map(c => s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c")
+      .mkString(", ")
+    val rows = cols
+      .map(c => s"SELECT '$c' AS col_name, CAST(n - nn_$c AS BIGINT) AS n_null," +
+        s" CAST(nd_$c AS BIGINT) AS n_distinct FROM w")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id,
+       |         event_type, value, props FROM events),
+       |w AS (SELECT count(*) AS n, $aggsSql FROM e)
+       |$rows""".stripMargin
+  }
+
   // -------------------------------------------------------------- props_stats
   /** `props_stats` — aggregate over a field parsed out of the JSON `props`
     * payload (semi-structured column handling: the "typed metadata in a
@@ -703,6 +753,7 @@ object RelationalQueries {
     "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),
     "latest_by_key" -> QueryDef(latestByKey, Some(latestByKeySql)),
     "anti_join" -> QueryDef(antiJoin, Some(antiJoinSql)),
+    "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

@@ -539,6 +539,32 @@ class QueriesSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("c_custkey", "c_name", "c_mktsegment"))
   }
 
+  test("profile_table: one-pass Expand plan; per-column profile matches direct computation") {
+    val df = graft.queries.RelationalQueries.profileTable(spark, dir)
+    // one scan: the 6 exact distincts must share a single Expand pass,
+    // not plan 6 separate aggregations
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected multi-distinct Expand in:\n$plan")
+    assert("(?s)Scan parquet".r.findAllIn(plan).length === 1,
+      s"expected exactly one scan in:\n$plan")
+
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val n = e.count()
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === Set("event_id", "ts_us", "user_id", "event_type", "value", "props"))
+    got.foreach { case (c, (nNull, nDistinct)) =>
+      val direct = e.agg(
+        (count(lit(1)) - count(col(c))).as("nn"),
+        countDistinct(col(c)).as("nd")).collect()(0)
+      assert((nNull, nDistinct) === (direct.getLong(0), direct.getLong(1)), s"column $c")
+      assert(nDistinct <= n - nNull)
+    }
+    assert(got("event_id")._2 === n, "event_id must be unique")
+  }
+
   test("corpus_keep: first-fail reasons, dedup decided pre-mix, eval never kept") {
     import graft.queries.{DedupQueries, PipelineQueries, TextQueries}
     val rows = PipelineQueries.corpusKeep(spark, dir).collect()
