@@ -437,6 +437,58 @@ object RelationalQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
+  // ----------------------------------------------------------- hourly_gapfill
+  /** `hourly_gapfill` — time-series densification + imputation: the
+    * high-value event stream bucketed per (type, hour), with MISSING
+    * hours materialized (zero-filled counts, `is_gap` flag) and the last
+    * observed hourly revenue CARRIED FORWARD across gaps. The
+    * resample/gap-fill/ffill triple is the standard feature-engineering
+    * step before any time-series model — rolling_counts is gap-CORRECT
+    * (RANGE frame) but never OUTPUTS the missing buckets; this query
+    * does.
+    *
+    * Scale shape: the corpus collapses to (type, hour) in one
+    * partial-final hash agg — everything after runs on the aggregate
+    * (|types|·|hours| rows). The hour spine is GENERATED per type
+    * (`sequence(min, max)` + explode: O(span) rows, no corpus scan), the
+    * left join re-attaches observations, and the forward-fill is one
+    * `last(ignoreNulls)` running window per type. The expensive input
+    * never touches a window or a generator.
+    */
+  def hourlyGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val HourNs = 3600L * 1000000000L
+    val d = Tables(spark, dir, "events")
+      .filter(col("value") > 99.0) // sparse high-value stream → real gaps
+      .groupBy(col("event_type"), expr(s"ts div $HourNs").as("hr"))
+      .agg(count(lit(1)).as("n0"), intSum(col("value"), 2).as("sv_c"))
+    val spine = d.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(d, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n0"), lit(0L)).as("n"),
+        col("n0").isNull.as("is_gap"),
+        (last(col("sv_c"), ignoreNulls = true).over(w) / 100.0).as("last_sv"))
+  }
+
+  val hourlyGapfillSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, count(*) AS n0,
+       |         ${sqlIntSum("value", 2)} AS sv_c
+       |  FROM events WHERE value > 99 GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM d GROUP BY 1),
+       |s AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b),
+       |j AS (SELECT s.event_type, s.hr, d.n0, d.sv_c
+       |      FROM s LEFT JOIN d ON s.event_type = d.event_type AND s.hr = d.hr)
+       |SELECT event_type, hr, CAST(coalesce(n0, 0) AS BIGINT) AS n,
+       |       n0 IS NULL AS is_gap,
+       |       CAST(last_value(sv_c IGNORE NULLS) OVER (
+       |         PARTITION BY event_type ORDER BY hr
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS last_sv
+       |FROM j""".stripMargin
+
   // ------------------------------------------------------------ profile_table
   /** `profile_table` — exact data-profiling of a table: per-column null
     * count and exact distinct cardinality, the data-quality audit every
@@ -754,6 +806,7 @@ object RelationalQueries {
     "latest_by_key" -> QueryDef(latestByKey, Some(latestByKeySql)),
     "anti_join" -> QueryDef(antiJoin, Some(antiJoinSql)),
     "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
+    "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }

@@ -565,6 +565,41 @@ class QueriesSpec extends SparkTestBase {
     assert(got("event_id")._2 === n, "event_id must be unique")
   }
 
+  test("hourly_gapfill: contiguous spine, gaps zero-filled, revenue carried forward") {
+    val rows = graft.queries.RelationalQueries.hourlyGapfill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._4), "sf0.001 high-value stream must have real gaps")
+
+    // driver-side recompute of the observed buckets
+    val obs = Tables(spark, dir, "events")
+      .filter(col("value") > 99.0)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hr"),
+        round(col("value") * 100).cast("long").as("c2")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._3).sum) }
+
+    rows.groupBy(_._1).foreach { case (tpe, trows) =>
+      val hrs = trows.map(_._2).sorted
+      // spine: every hour between the observed min and max, exactly once
+      val lo = obs.keys.filter(_._1 == tpe).map(_._2).min
+      val hi = obs.keys.filter(_._1 == tpe).map(_._2).max
+      assert(hrs.sameElements(lo to hi), s"$tpe spine not contiguous")
+      var carried = 0L
+      trows.sortBy(_._2).foreach { case (_, hr, n, isGap, lastSv) =>
+        obs.get((tpe, hr)) match {
+          case Some((cnt, sv)) =>
+            assert(!isGap && n === cnt, s"$tpe@$hr")
+            carried = sv
+          case None =>
+            assert(isGap && n === 0L, s"$tpe@$hr expected zero-filled gap")
+        }
+        assert(lastSv === carried / 100.0, s"$tpe@$hr ffill")
+      }
+    }
+  }
+
   test("corpus_keep: first-fail reasons, dedup decided pre-mix, eval never kept") {
     import graft.queries.{DedupQueries, PipelineQueries, TextQueries}
     val rows = PipelineQueries.corpusKeep(spark, dir).collect()
