@@ -437,6 +437,79 @@ object RelationalQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
+  // --------------------------------------------------------------- semi_join
+  /** `semi_join` — customers WITH at least one urgent order: the EXISTS /
+    * LEFT SEMI complement of [[antiJoin]] ("entities that ever did X" —
+    * active users, dimensions referenced by a filtered fact). Same
+    * predicate as anti_join on purpose: semi ⊎ anti must partition the
+    * customer table exactly, which QueriesSpec pins — the pair is
+    * self-verifying.
+    *
+    * Scale shape: identical to anti_join (see there) — filtered orders
+    * collapse to DISTINCT o_custkey map-side before any exchange (the semi
+    * join needs key existence, not rows), then one shuffle per side into a
+    * `hint("merge")`-pinned sort-merge LEFT SEMI join; the distinct's
+    * exchange is reused as its join exchange.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgentCust = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT") // pushed to the scan
+      .select(col("o_custkey")).distinct()
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .hint("merge")
+      .join(urgentCust, col("c_custkey") === col("o_custkey"), "left_semi")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // ---------------------------------------------------------- outlier_events
+  /** `outlier_events` — per-type 3-sigma outlier detection, EXACTLY: flag
+    * events whose value deviates from its type's mean by more than 3
+    * standard deviations. The data-quality / anomaly-triage primitive of
+    * any metrics pipeline. The test `(v - μ)² > 9σ²` is evaluated in the
+    * cross-multiplied integer form `(n·v - s)² > 9·(n·s2 - s²)` over exact
+    * integer cents (n = count, s = Σv, s2 = Σv² per type), so mean and
+    * variance never appear as rounded intermediates; the two squarings are
+    * done in DOUBLE with an identical expression tree on both engines
+    * (the products can exceed 2^63 at scale, and identical IEEE-754 op
+    * order is bit-reproducible where BIGINT overflow is a crash).
+    *
+    * Scale shape: one partial-final hash agg collapses the corpus to
+    * |event_type| stat rows; those broadcast back onto the scan and the
+    * flag is evaluated scan-locally. One shuffle of 5 rows total — the
+    * corpus is read once and never reshuffled.
+    */
+  def outlierEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("vc")).as("s"),
+      sum(col("vc") * col("vc")).as("s2"))
+    val d = (col("n") * col("vc") - col("s")).cast("double")
+    ev.join(broadcast(stats), "event_type")
+      .filter(d * d > lit(9.0) * (col("n").cast("double") * col("s2").cast("double")
+        - col("s").cast("double") * col("s").cast("double")))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  val outlierEventsSql: String =
+    """WITH v AS (SELECT event_id, event_type, value,
+      |                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(vc) AS BIGINT) AS s,
+      |             CAST(sum(vc * vc) AS BIGINT) AS s2
+      |      FROM v GROUP BY event_type)
+      |SELECT event_id, event_type, value FROM v JOIN s USING (event_type)
+      |WHERE CAST(n * vc - s AS DOUBLE) * CAST(n * vc - s AS DOUBLE) >
+      |      9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin
+
   // ----------------------------------------------------------- hourly_gapfill
   /** `hourly_gapfill` — time-series densification + imputation: the
     * high-value event stream bucketed per (type, hour), with MISSING
@@ -805,6 +878,8 @@ object RelationalQueries {
     "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),
     "latest_by_key" -> QueryDef(latestByKey, Some(latestByKeySql)),
     "anti_join" -> QueryDef(antiJoin, Some(antiJoinSql)),
+    "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
+    "outlier_events" -> QueryDef(outlierEvents, Some(outlierEventsSql)),
     "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
     "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),

@@ -118,6 +118,66 @@ object TextQueries {
        |SELECT ngram, count(*) AS cnt FROM ng GROUP BY ngram
        |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- cooc_pmi
+  /** `cooc_pmi` — collocation mining: the top-100 adjacent word pairs by
+    * association lift `N·c(w1,w2) / (c(w1)·c(w2))`. PMI is `log(lift)` — a
+    * monotone transform, so the RANKING is exactly PMI's ranking; keeping
+    * the score as the lift ratio makes it a single IEEE-754 division of
+    * two exact integer products (bit-identical cross-engine), where `log`'s
+    * libm rounding is not portable. Collocation scoring is the standard
+    * phrase-mining / tokenizer-vocabulary-induction step of a text
+    * pipeline; the `c12 >= 5` min-count is the standard PMI hapax guard
+    * (one co-occurrence of two rare words otherwise tops the list).
+    *
+    * Scale shape: the corpus is scanned twice (unigram counts, adjacent
+    * bigram counts via the native [[graft.functions.WordNgramsExpr]]
+    * kernel), each collapsing through a partial-final hash agg to the
+    * VOCABULARY — sublinear in corpus size (Heaps' law). Everything after
+    * runs on vocab-sized tables: the two count-attach joins broadcast the
+    * unigram table, the total-token count is a 1-row broadcast. The corpus
+    * itself never meets a join or a window.
+    */
+  def coocPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(TextFns.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bi = toks
+      .select(explode(TextFns.wordNgrams(col("t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5) // post-agg: runs on the vocab, not the corpus
+      .select(
+        element_at(split(col("bg"), " "), 1).as("w1"),
+        element_at(split(col("bg"), " "), 2).as("w2"),
+        col("c12"))
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((col("c12") * col("n_total")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(100)
+  }
+
+  val coocPmiSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uc),
+       |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+       |       FROM (SELECT unnest([array_to_string(t[i:i+1], ' ')
+       |                            for i in generate_series(1, len(t) - 1)]) AS bg
+       |             FROM toks WHERE len(t) >= 2)
+       |       GROUP BY bg HAVING count(*) >= 5),
+       |sp AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12
+       |       FROM bc)
+       |SELECT w1, w2, c12,
+       |       CAST(c12 * (SELECT n_total FROM n) AS DOUBLE)
+       |         / CAST(a.c * b.c AS DOUBLE) AS lift
+       |FROM sp JOIN uc a ON a.w = sp.w1 JOIN uc b ON b.w = sp.w2
+       |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin
+
   // ----------------------------------------------------------------- lang_id
   /** `lang_id` — n-gram/stopword-heuristic language identification: the
     * ratio of stopword tokens decides between 'en' and 'und'. (The corpus
@@ -523,6 +583,7 @@ object TextQueries {
     "kv_fold" -> QueryDef(kvFold, Some(kvFoldSql)),
     "top_k" -> QueryDef(topK, Some(topKSql)),
     "ngram_freq" -> QueryDef(ngramFreq, Some(ngramFreqSql)),
+    "cooc_pmi" -> QueryDef(coocPmi, Some(coocPmiSql)),
     "lang_id" -> QueryDef(langId, Some(langIdSql)),
     "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
     "token_count" -> QueryDef(tokenCount, Some(tokenCountSql)),

@@ -539,6 +539,82 @@ class QueriesSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("c_custkey", "c_name", "c_mktsegment"))
   }
 
+  test("semi_join: SMJ LeftSemi; semi and anti exactly partition the customer table") {
+    val semi = graft.queries.RelationalQueries.semiJoin(spark, dir)
+    val plan = semi.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"),
+      s"expected SortMergeJoin LeftSemi in:\n$plan")
+    val semiKeys = semi.select("c_custkey").collect().map(_.getLong(0)).toSet
+    val antiKeys = graft.queries.RelationalQueries.antiJoin(spark, dir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val allCust = Tables(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    // same predicate on both queries -> exact partition, no overlap, no loss
+    assert((semiKeys & antiKeys).isEmpty)
+    assert((semiKeys ++ antiKeys) === allCust)
+    assert(semiKeys.nonEmpty && antiKeys.nonEmpty)
+  }
+
+  test("outlier_events: flagged set equals a driver-side exact 3-sigma recompute") {
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2)
+    val expected = ev.filter { case (_, t, v) =>
+      val vs = byType(t).map(x => math.round(x._3 * 100)) // exact integer cents
+      val (n, s) = (vs.length.toLong, vs.sum)
+      val s2 = vs.map(c => c * c).sum
+      val d = (n * math.round(v * 100) - s).toDouble
+      d * d > 9.0 * (n.toDouble * s2.toDouble - s.toDouble * s.toDouble)
+    }.map(_._1).toSet
+    val got = graft.queries.RelationalQueries.outlierEvents(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "a 10k-event corpus with no 3-sigma outlier means a broken filter")
+    assert(got.size < ev.length / 50, "more than 2% outliers at 3 sigma means a broken filter")
+  }
+
+  test("cooc_pmi: lift re-derives exactly from wordcount counts; ordered top-100") {
+    val rows = graft.queries.TextQueries.coocPmi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 100)
+    // ranking is total: lift desc, then (w1, w2)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))))
+    case _ => ()
+    }
+    val uni = graft.queries.TextQueries.wordcount(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = uni.values.sum
+    rows.foreach { case (w1, w2, c12, lift) =>
+      assert(c12 >= 5, s"hapax guard violated: ($w1,$w2) c12=$c12")
+      // same integer products, same IEEE-754 division -> exact equality
+      assert(lift === (c12 * total).toDouble / (uni(w1) * uni(w2)).toDouble,
+        s"lift of ($w1,$w2) does not re-derive from unigram counts")
+    }
+  }
+
+  test("fuzzy_dedup: equals brute-force in-block pairs; support counts exact") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables(spark, dir, "part").groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- names.keys; b <- names.keys
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong, names(a), names(b))).toSet
+    val got = graft.queries.DedupQueries.fuzzyDedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall { case (_, _, d, _, _) => d >= 1 && d <= 2 })
+  }
+
   test("profile_table: one-pass Expand plan; per-column profile matches direct computation") {
     val df = graft.queries.RelationalQueries.profileTable(spark, dir)
     // one scan: the 6 exact distincts must share a single Expand pass,
