@@ -129,18 +129,23 @@ object TextQueries {
     * pipeline; the `c12 >= 5` min-count is the standard PMI hapax guard
     * (one co-occurrence of two rare words otherwise tops the list).
     *
-    * Scale shape: the corpus is scanned twice (unigram counts, adjacent
-    * bigram counts via the native [[graft.functions.WordNgramsExpr]]
-    * kernel), each collapsing through a partial-final hash agg to the
-    * VOCABULARY — sublinear in corpus size (Heaps' law). Everything after
-    * runs on vocab-sized tables: the two count-attach joins broadcast the
-    * unigram table, the total-token count is a 1-row broadcast. The corpus
-    * itself never meets a join or a window.
+    * Scale shape: ONE corpus tokenization pass (adjacent bigrams via the
+    * native [[graft.functions.WordNgramsExpr]] kernel) collapsing through
+    * a partial-final hash agg to the VOCABULARY — sublinear in corpus
+    * size (Heaps' law). Unigram counts come from the MEMOIZED per-doc
+    * (doc_id, term, tf) table shared with tfidf/repetition_score
+    * (`sum(tf)` per term — a vocab-collapse over the cached artifact, so
+    * the plan's three unigram references each read the InMemoryTableScan,
+    * not the parquet corpus; without the memo the planner re-tokenized the
+    * corpus once PER REFERENCE — 4 scans, observed in Explain). Everything
+    * after runs on vocab-sized tables: the two count-attach joins
+    * broadcast the unigram table, the total-token count is a 1-row
+    * broadcast. The corpus itself never meets a join or a window.
     */
   def coocPmi(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir).select(TextFns.tokens(col("text")).as("t"))
-    val uni = toks.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    val uni = termFreq(spark, dir)
+      .groupBy(col("term").as("w")).agg(sum(col("tf")).as("c"))
     val total = uni.agg(sum(col("c")).as("n_total"))
     val bi = toks
       .select(explode(TextFns.wordNgrams(col("t"), 2)).as("bg"))
