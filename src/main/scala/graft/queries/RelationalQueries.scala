@@ -510,6 +510,91 @@ object RelationalQueries {
       |      9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
       |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin
 
+  // ------------------------------------------------------- retention_cohorts
+  /** `retention_cohorts` — cohort/retention analysis, the classic product-
+    * analytics shape: users grouped by first-activity day (their cohort),
+    * then for each (cohort_day, day_offset) the number of cohort members
+    * still active that many days later. Day axis = integer day numbers
+    * (`ts div 86400000000000`, the rolling_counts convention).
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct (user, day)
+    * activity grid — a partial-final hash distinct bounded by
+    * |users|·|days|, the only stage that sees raw events. The cohort day
+    * is a `min` window over the user partition (one exchange of the GRID,
+    * not the corpus), and the final rollup counts plain rows — (user, day)
+    * is already distinct, and a user has exactly one cohort, so no
+    * countDistinct pass is ever needed.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day_idx"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    act.withColumn("cohort_day", min(col("day_idx")).over(w))
+      .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |                    epoch_ns(ts) // 86400000000000 AS day_idx FROM events),
+      |c AS (SELECT user_id, day_idx,
+      |             min(day_idx) OVER (PARTITION BY user_id) AS cohort_day FROM act)
+      |SELECT cohort_day, day_idx - cohort_day AS day_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- corr_stats
+  /** `corr_stats` — per-type Pearson correlation + least-squares slope
+    * between hour-of-day and event value, EXACTLY: the six cross-moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as BIGINT over integer inputs
+    * (hour 0–23, value in cents), so partial-aggregation order can never
+    * perturb them; corr and slope are then single IEEE-754 expressions
+    * over the exact sums — `(n·Σxy−Σx·Σy) / sqrt((n·Σx²−Σx²)·(n·Σy²−Σy²))`
+    * with every product taken in DOUBLE (they exceed 2^63 at scale;
+    * identical expression trees on both engines are bit-reproducible,
+    * and IEEE sqrt/division are correctly rounded). The does-the-metric-
+    * depend-on-time-of-day question every metrics pipeline asks; `corr`/
+    * `covar_samp` built-ins stream float partials whose merge order is
+    * nondeterministic — this is the hash-exact form.
+    *
+    * Scale shape: ONE partial-final hash agg collapses the corpus to
+    * |event_type| moment rows; the scalar math runs on those 5 rows.
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(col("event_type"),
+      expr("(ts div 3600000000000) % 24").as("hx"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val s = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("hx")).as("sx"), sum(col("vc")).as("sy"),
+      sum(col("hx") * col("vc")).as("sxy"),
+      sum(col("hx") * col("hx")).as("sx2"),
+      sum(col("vc") * col("vc")).as("sy2"))
+    def d(c: Column) = c.cast("double")
+    val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sx2")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("sy2")) - d(col("sy")) * d(col("sy"))
+    s.select(col("event_type"), col("n"),
+      (cov / sqrt(vx * vy)).as("corr"), (cov / vx).as("slope"))
+  }
+
+  val corrStatsSql: String =
+    """WITH v AS (SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hx,
+      |                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(hx) AS BIGINT) AS sx, CAST(sum(vc) AS BIGINT) AS sy,
+      |             CAST(sum(hx * vc) AS BIGINT) AS sxy,
+      |             CAST(sum(hx * hx) AS BIGINT) AS sx2,
+      |             CAST(sum(vc * vc) AS BIGINT) AS sy2
+      |      FROM v GROUP BY event_type)
+      |SELECT event_type, n,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+      |FROM s""".stripMargin
+
   // ----------------------------------------------------------- hourly_gapfill
   /** `hourly_gapfill` — time-series densification + imputation: the
     * high-value event stream bucketed per (type, hour), with MISSING
@@ -880,6 +965,8 @@ object RelationalQueries {
     "anti_join" -> QueryDef(antiJoin, Some(antiJoinSql)),
     "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
     "outlier_events" -> QueryDef(outlierEvents, Some(outlierEventsSql)),
+    "retention_cohorts" -> QueryDef(retentionCohorts, Some(retentionCohortsSql)),
+    "corr_stats" -> QueryDef(corrStats, Some(corrStatsSql)),
     "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
     "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
