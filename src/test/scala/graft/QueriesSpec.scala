@@ -737,6 +737,49 @@ class QueriesSpec extends SparkTestBase {
     rows.filterNot(_._3).foreach { case (_, _, _, sp) => assert(sp == "none") }
   }
 
+  test("retention_cohorts: equals a driver-side recompute; cohort invariants hold") {
+    val act = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohortOf = act.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val expected = act.groupBy { case (u, d) => (cohortOf(u), d - cohortOf(u)) }
+      .map { case (k, rows) => k -> rows.length.toLong }
+    val got = graft.queries.RelationalQueries.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // every user lands in exactly one cohort, and appears at offset 0
+    assert(got.filter(_._1._2 == 0L).values.sum === cohortOf.size.toLong)
+    // retention at any offset cannot exceed the cohort's day-0 size
+    got.foreach { case ((c, off), n) =>
+      assert(n <= got((c, 0L)), s"cohort $c offset $off retained $n > day-0 size")
+    }
+  }
+
+  test("corr_stats: corr and slope re-derive exactly from integer cross-moments") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), expr("(ts div 3600000000000) % 24"),
+        round(col("value") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = graft.queries.RelationalQueries.corrStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === ev.map(_._1).toSet)
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val n = rows.length.toLong
+      val (sx, sy) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val (sx2, sy2) = (rows.map(r => r._2 * r._2).sum, rows.map(r => r._3 * r._3).sum)
+      // the exact expression tree the query (and oracle) evaluate
+      val cov = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val vx = n.toDouble * sx2.toDouble - sx.toDouble * sx.toDouble
+      val vy = n.toDouble * sy2.toDouble - sy.toDouble * sy.toDouble
+      val (gn, gc, gs) = got(t)
+      assert(gn === n)
+      assert(gc === cov / math.sqrt(vx * vy), s"corr of $t does not re-derive")
+      assert(gs === cov / vx, s"slope of $t does not re-derive")
+      assert(math.abs(gc) <= 1.0 + 1e-12, s"corr of $t outside [-1,1]")
+    }
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
