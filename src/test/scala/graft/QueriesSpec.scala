@@ -755,6 +755,28 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("active_users: DAU/WAU equal a driver-side recompute; window invariants hold") {
+    val act = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (dmin, dmax) = (act.map(_._2).min, act.map(_._2).max)
+    val got = graft.queries.RelationalQueries.activeUsers(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === (dmin to dmax).toSet, "spine must densify the full span")
+    (dmin to dmax).foreach { day =>
+      val dau = act.count(_._2 == day).toLong
+      val wau = act.filter(a => a._2 >= day - 6 && a._2 <= day).map(_._1).distinct.length.toLong
+      assert(got(day) === ((dau, wau)), s"day $day")
+      assert(wau >= dau, s"day $day: WAU below DAU")
+    }
+    // the naive windowed-sum-of-daily-distincts OVERCOUNTS whenever any user
+    // is active on 2+ days of one window — pin that this corpus exercises
+    // the distinction (otherwise the test can't tell the two queries apart)
+    val naive = (dmin to dmax).map(day => act.count(a => a._2 >= day - 6 && a._2 <= day).toLong)
+    assert((dmin to dmax).exists(day => naive((day - dmin).toInt) > got(day)._2),
+      "corpus never distinguishes rolling-distinct from windowed sum; test is vacuous")
+  }
+
   test("corr_stats: corr and slope re-derive exactly from integer cross-moments") {
     val ev = Tables(spark, dir, "events")
       .select(col("event_type"), expr("(ts div 3600000000000) % 24"),
