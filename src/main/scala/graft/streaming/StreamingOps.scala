@@ -201,6 +201,37 @@ object StreamingOps {
         expr("unix_timestamp(window.end) div 86400 - 1").as("day_idx"),
         col("n"), col("n7"))
 
+  /** Streaming DAU — the ingestion-time twin of the `active_users` grid
+    * family's daily-distinct stage: `dropDuplicatesWithinWatermark` on
+    * (user_id, day_idx) collapses the stream to the distinct activity
+    * grid exactly as the batch query's first DISTINCT does, then the
+    * per-day count is a plain windowed aggregation over already-distinct
+    * rows. The dedup horizon is 25 HOURS of event time — a same-day
+    * duplicate's event time is by definition within 24 h of its twin, so
+    * 24 h of in-day spread + the 1 h lateness allowance keeps every
+    * same-day pair inside the within-watermark dedup guarantee; state is
+    * |users|·|days inside the ~1-day horizon|, not history. WAU
+    * deliberately has NO streaming form: rolling DISTINCT has no
+    * mergeable per-day partials (the batch query's covered-day explode
+    * is the scale path — each grid row would land up to 6 windows
+    * "late", forcing a 7× larger horizon for no dashboard gain).
+    * Day axis = epoch-day from the event-time window start, matching the
+    * batch `day_idx = ts div 86400000000000` (UTC session pinned at
+    * entry-point build). Batch agreement pinned in StreamingSpec (the
+    * batch spine's zero-DAU gap days are the one shape difference — the
+    * stream has no row there).
+    */
+  def dailyActiveUsers(events: DataFrame): DataFrame =
+    events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("day_idx", expr("ts div 86400000000000"))
+      .withWatermark("tstamp", "25 hours")
+      .dropDuplicatesWithinWatermark("user_id", "day_idx")
+      .groupBy(window(col("tstamp"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(expr("unix_timestamp(window.start) div 86400").as("day_idx"),
+        col("dau"))
+
   /** Streaming form of `props_stats`: running per-type aggregates over
     * the JSON-extracted `k` field — `get_json_object` runs per-row inside
     * the stream exactly as in the batch plan (scalar expressions compose

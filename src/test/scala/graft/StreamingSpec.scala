@@ -107,6 +107,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming dailyActiveUsers equals batch active_users DAU on a closed input") {
+    val stream = StreamingOps.dailyActiveUsers(StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("daily_active")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("daily_active")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.RelationalQueries.activeUsers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (day_idx, dau)
+    // the stream emits only days with activity; the batch spine's
+    // zero-filled gap days are the one shape difference
+    assert(got === batch.filter(_._2 > 0).toMap)
+    batch.filter(_._2 == 0).foreach { case (day, _) =>
+      assert(!got.contains(day), s"stream emitted a row for gap day $day")
+    }
+  }
+
   test("streaming decontaminateDocs equals the batch contaminated set (stream-static join)") {
     val stream = StreamingOps.decontaminateDocs(
       spark, StreamingOps.docStream(spark, dir), dir)
