@@ -711,6 +711,87 @@ object RelationalQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS last_sv
        |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- key_skew
+  /** `key_skew` — join-key distribution diagnostic: for each join/group
+    * key the inventory actually shuffles on (lineitem.l_orderkey — the
+    * order_revenue SMJ key; events.user_id — the window/sessionize key;
+    * documents.source — the mix stratum), the exact facts that decide a
+    * 100 TB join strategy: row/key cardinalities, the heaviest key's
+    * count, the exact p99 per-key count, and the max/mean skew ratio.
+    * This is the query you run BEFORE picking broadcast vs sort-merge vs
+    * salting — AQE's runtime skew split (SkewCapabilitySpec) is the
+    * in-flight safety net; this is the ahead-of-time audit.
+    *
+    * Scale shape: per table, ONE partial-final hash agg collapses the
+    * corpus to |keys| count rows; those collapse again to the
+    * COUNT-OF-COUNTS histogram (|distinct count values| rows — tiny), so
+    * the exact p99 is a cumulative-share scan of the histogram, NOT a
+    * global sort of a billion-key table (the value_quantiles rank-window
+    * approach would be the non-scalable form here). The p99 pick is pure
+    * integer arithmetic (`100·cum ≥ 99·n_keys`); skew_ratio and
+    * top_share are single identical-tree double expressions over exact
+    * BIGINTs (products in DOUBLE — they overflow BIGINT at corpus
+    * scale). The cumulative window runs on the tiny histogram (same
+    * single-partition adjudication as the codebook rank windows).
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def prof(rel: String, key: String): DataFrame = {
+      // ONE linear lineage, no self-joins: corpus → per-key counts (the
+      // only corpus-sized stage, one partial-final hash agg) → count-of-
+      // counts histogram (tiny) → one single-partition window pass that
+      // carries BOTH the ascending cumulative and the grand total → one
+      // 1-row aggregate deriving every output. Totals come from the
+      // histogram (n_rows = Σ c·nk, n_keys = Σ nk), so the key table is
+      // aggregated exactly once and the plan has exactly one scan —
+      // a join-shaped formulation re-derived the corpus agg 6× here.
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir, rel)
+        .groupBy(col(key).cast("string").as("k")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("nk"))
+        .select(col("c"), col("nk"),
+          sum(col("nk")).over(w).as("cum"), sum(col("nk")).over(wAll).as("tot"))
+        .agg(
+          sum(col("c") * col("nk")).as("n_rows"), max(col("tot")).as("n_keys"),
+          max(col("c")).as("max_cnt"),
+          min(when(col("cum") * 100 >= col("tot") * 99, col("c"))).as("p99_cnt"))
+        .select(
+          lit(rel + "." + key).as("rel_key"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("p99_cnt"),
+          (d(col("max_cnt")) * d(col("n_keys")) / d(col("n_rows"))).as("skew_ratio"),
+          (d(col("max_cnt")) / d(col("n_rows"))).as("top_share"))
+    }
+    prof("lineitem", "l_orderkey")
+      .unionAll(prof("events", "user_id"))
+      .unionAll(prof("documents", "source"))
+  }
+
+  val keySkewSql: String = {
+    def prof(rel: String, key: String): String =
+      s"""SELECT * FROM (
+         |  WITH counts AS (SELECT CAST($key AS VARCHAR) AS k, count(*) AS c
+         |                  FROM $rel GROUP BY 1),
+         |  hist AS (SELECT c, count(*) AS nk FROM counts GROUP BY c),
+         |  tot AS (SELECT CAST(sum(c * nk) AS BIGINT) AS n_rows,
+         |                 CAST(sum(nk) AS BIGINT) AS n_keys,
+         |                 CAST(max(c) AS BIGINT) AS max_cnt FROM hist),
+         |  cum AS (SELECT c, sum(nk) OVER (ORDER BY c
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |          FROM hist),
+         |  p99 AS (SELECT CAST(min(c) AS BIGINT) AS p99_cnt FROM cum, tot
+         |          WHERE cum * 100 >= n_keys * 99)
+         |  SELECT '$rel.$key' AS rel_key, n_rows, n_keys, max_cnt, p99_cnt,
+         |         CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+         |           / CAST(n_rows AS DOUBLE) AS skew_ratio,
+         |         CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share
+         |  FROM tot, p99)""".stripMargin
+    Seq(prof("lineitem", "l_orderkey"), prof("events", "user_id"),
+      prof("documents", "source")).mkString("\nUNION ALL\n")
+  }
+
   // ------------------------------------------------------------ profile_table
   /** `profile_table` — exact data-profiling of a table: per-column null
     * count and exact distinct cardinality, the data-quality audit every
@@ -1032,6 +1113,7 @@ object RelationalQueries {
     "retention_cohorts" -> QueryDef(retentionCohorts, Some(retentionCohortsSql)),
     "active_users" -> QueryDef(activeUsers, Some(activeUsersSql)),
     "corr_stats" -> QueryDef(corrStats, Some(corrStatsSql)),
+    "key_skew" -> QueryDef(keySkew, Some(keySkewSql)),
     "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
     "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),

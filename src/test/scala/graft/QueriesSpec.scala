@@ -802,6 +802,30 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("key_skew: profile re-derives from driver-side key counts; p99 from histogram") {
+    val got = graft.queries.RelationalQueries.keySkew(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet === Set("lineitem.l_orderkey", "events.user_id", "documents.source"))
+    Seq(("lineitem", "l_orderkey"), ("events", "user_id"), ("documents", "source"))
+      .foreach { case (rel, key) =>
+        val counts = Tables(spark, dir, rel)
+          .groupBy(col(key).cast("string")).agg(count(lit(1))).collect()
+          .map(_.getLong(1))
+        val (nRows, nKeys, maxCnt) = (counts.sum, counts.length.toLong, counts.max)
+        // exact p99 from the count-of-counts histogram, ascending cumulative
+        val hist = counts.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+        val cum = hist.scanLeft(0L)(_ + _._2).tail
+        val p99 = hist.zip(cum).collectFirst { case ((c, _), cm) if cm * 100 >= nKeys * 99 => c }.get
+        val (gr, gk, gm, gp, gs, gt) = got(s"$rel.$key")
+        assert((gr, gk, gm, gp) === ((nRows, nKeys, maxCnt, p99)), s"$rel.$key facts")
+        assert(gs === maxCnt.toDouble * nKeys.toDouble / nRows.toDouble, s"$rel.$key skew_ratio")
+        assert(gt === maxCnt.toDouble / nRows.toDouble, s"$rel.$key top_share")
+        assert(gs >= 1.0 - 1e-12, s"$rel.$key: max below mean is impossible")
+      }
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
