@@ -355,6 +355,80 @@ object RelationalQueries {
        |FROM orders JOIN po ON l_orderkey = o_orderkey
        |GROUP BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------- reconcile_totals
+  /** `reconcile_totals` — two-sided table reconciliation (the FULL OUTER
+    * join family, the one join type no other inventory query exercises):
+    * does every order header's `o_totalprice` equal the total its
+    * lineitems imply, are there headers with no detail rows, detail rows
+    * with no header? This is the migration-validation / invariant-audit
+    * shape every pipeline runs after a backfill or a dual-write: FULL
+    * OUTER join the two independently-derived per-key summaries, classify
+    * each key (`match` / `mismatch` / `header_only` / `detail_only`),
+    * and aggregate counts + total absolute drift per class. (On the
+    * synthetic tables the header-detail invariant does NOT hold — 27
+    * header-only orders and zero exact matches at sf0.001 — which is
+    * precisely what a reconciliation exists to surface.)
+    *
+    * Scale shape: lineitem collapses to per-order totals FIRST (one
+    * partial-final hash agg, map-side combine over the ~4 lines/order);
+    * the FULL OUTER join shuffles both corpus-sized sides ONCE on the
+    * shared key into a SortMergeJoin (`hint("merge")` pins the 100 TB
+    * plan at test SF, as order_revenue does — neither side of a full
+    * outer is broadcastable anyway at scale); the classification is a
+    * scan-local CASE over the joined row; the final rollup is a 4-group
+    * hash agg. Money stays integer c6 (the group_agg charge scale)
+    * end-to-end; the single division to dollars happens on 4 rows.
+    */
+  def reconcileTotals(spark: SparkSession, dir: String): DataFrame = {
+    val charge = col("l_extendedprice") * (lit(1) - col("l_discount")) *
+      (lit(1) + col("l_tax"))
+    val detail = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(intSum(charge, 6).as("det_c6"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100).cast("long") * 10000L).as("hdr_c6"))
+      .hint("merge")
+      .join(detail, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("l_orderkey")).as("okey"),
+        col("hdr_c6"), col("det_c6"))
+      .withColumn("status",
+        when(col("hdr_c6").isNull, "detail_only")
+          .when(col("det_c6").isNull, "header_only")
+          .when(col("det_c6") === col("hdr_c6"), "match")
+          .otherwise("mismatch"))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(abs(coalesce(col("det_c6"), lit(0L)) -
+          coalesce(col("hdr_c6"), lit(0L)))) / 1000000.0).as("abs_diff_total"),
+        min(col("okey")).as("first_okey"))
+  }
+
+  val reconcileTotalsSql: String = {
+    val charge = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+    s"""WITH det AS (
+       |  SELECT l_orderkey, ${sqlIntSum(charge, 6)} AS det_c6
+       |  FROM lineitem GROUP BY l_orderkey),
+       |hdr AS (
+       |  SELECT o_orderkey,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) * 10000 AS hdr_c6
+       |  FROM orders),
+       |j AS (
+       |  SELECT coalesce(o_orderkey, l_orderkey) AS okey, hdr_c6, det_c6,
+       |         CASE WHEN hdr_c6 IS NULL THEN 'detail_only'
+       |              WHEN det_c6 IS NULL THEN 'header_only'
+       |              WHEN det_c6 = hdr_c6 THEN 'match'
+       |              ELSE 'mismatch' END AS status
+       |  FROM hdr FULL OUTER JOIN det ON o_orderkey = l_orderkey)
+       |SELECT status, count(*) AS n_orders,
+       |       CAST(sum(abs(coalesce(det_c6, 0) - coalesce(hdr_c6, 0))) AS BIGINT)
+       |         / 1000000.0 AS abs_diff_total,
+       |       CAST(min(okey) AS BIGINT) AS first_okey
+       |FROM j GROUP BY status""".stripMargin
+  }
+
   // ------------------------------------------------------------ latest_by_key
   /** `latest_by_key` — the latest record per key (CDC log compaction /
     * upsert materialization / "dedup by recency": collapse an append-only
@@ -1114,6 +1188,7 @@ object RelationalQueries {
     "active_users" -> QueryDef(activeUsers, Some(activeUsersSql)),
     "corr_stats" -> QueryDef(corrStats, Some(corrStatsSql)),
     "key_skew" -> QueryDef(keySkew, Some(keySkewSql)),
+    "reconcile_totals" -> QueryDef(reconcileTotals, Some(reconcileTotalsSql)),
     "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
     "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),

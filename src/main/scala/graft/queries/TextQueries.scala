@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -581,6 +582,59 @@ object TextQueries {
        |WHERE mix_bucket < CASE source $cases ELSE $MixDefaultThreshold END""".stripMargin
   }
 
+  // ------------------------------------------------------- stratified_sample
+  /** `stratified_sample` — exact k-per-stratum deterministic sample: the
+    * "give me exactly k docs from every source" primitive (eval-set
+    * carving, per-domain inspection samples, balanced fine-tune pools) —
+    * the fixed-COUNT complement of [[domainMix]]'s fixed-RATE sampling.
+    * Selection order is the content-independent hash `hash60('strat:' ||
+    * doc_id)` (ties → doc_id), so the sample is reproducible, stable
+    * under repartitioning, and salted independently of both the split
+    * and mix decisions; because the hash order is global, APPENDS can
+    * displace prior members (exact-k and append-stability are mutually
+    * exclusive — fixed-rate [[domainMix]] is the append-stable one; this
+    * trade is inherent, not an implementation choice).
+    *
+    * Scale shape — the naive form (`row_number() OVER (PARTITION BY
+    * source ORDER BY h)` then `<= k`) funnels EVERY row of a stratum
+    * through one task: a 30 TB crawl stratum = one straggler. Instead,
+    * the standard two-phase exact top-k: (1) rank within (source,
+    * salt-of-hash mod [[StratSalts]]) partitions — 32× the parallelism,
+    * map-sized partitions — and keep k per salt cell; every global
+    * top-k member is necessarily in its cell's top-k, so this loses
+    * nothing; (2) re-rank the ≤ salts·k survivors per source (a
+    * few-hundred-row window) and cut at k. Work per task is bounded by
+    * stratum/32 in pass 1 and salts·k in pass 2 at any corpus size.
+    */
+  val StratK = 10
+  val StratSalts = 32L
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextFns.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+    val partial = Window
+      .partitionBy(col("source"), pmod(col("h"), lit(StratSalts)))
+      .orderBy(col("h"), col("doc_id"))
+    val full = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("pr", row_number().over(partial))
+      .filter(col("pr") <= StratK) // ≤ salts·k rows/stratum survive
+      .withColumn("sample_rank", row_number().over(full))
+      .filter(col("sample_rank") <= StratK)
+      .select(col("doc_id"), col("source"), col("sample_rank").cast("long").as("sample_rank"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val h = Oracle.hash60("'strat:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH h AS (SELECT doc_id, source, $h AS h FROM documents),
+       |r AS (SELECT doc_id, source,
+       |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |               AS sample_rank
+       |      FROM h)
+       |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+       |FROM r WHERE sample_rank <= $StratK""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
     "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
@@ -598,5 +652,6 @@ object TextQueries {
     "repetition_score" -> QueryDef(repetitionScore, Some(repetitionScoreSql)),
     "bm25_topdocs" -> QueryDef(bm25Topdocs, Some(bm25TopdocsSql)),
     "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)),
-    "domain_mix" -> QueryDef(domainMix, Some(domainMixSql)))
+    "domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
+    "stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)))
 }

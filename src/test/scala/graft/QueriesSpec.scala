@@ -193,6 +193,35 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("stratified_sample: exactly k per stratum; two-phase equals naive global rank") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.stratifiedSample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perSource = Tables.docs(spark, dir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact-k where the stratum has >= k docs, all docs otherwise
+    val got = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    perSource.foreach { case (s, n) =>
+      assert(got.getOrElse(s, 0L) === math.min(n, TextQueries.StratK.toLong),
+        s"stratum $s: ${got.getOrElse(s, 0L)} sampled of $n")
+    }
+    assert(rows.length < perSource.values.sum, "sample must be a proper subset")
+    // ranks are 1..k within each stratum
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted === (1L to rs.length.toLong), s"ranks broken in $s")
+    }
+    // losslessness of the salted partial phase: the two-phase pick equals
+    // the naive single-window top-k (hash order re-derived driver-side)
+    val h = graft.functions.TextFns.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+    val naive = Tables.docs(spark, dir).select(col("doc_id"), col("source"), h.as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).view.mapValues(
+        _.sortBy(t => (t._3, t._1)).take(TextQueries.StratK).map(_._1).toSet).toMap
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._1).toSet === naive(s), s"two-phase diverges from naive in $s")
+    }
+  }
+
   test("dedup_cluster: pair endpoints share clusters; one canonical min per cluster") {
     import graft.queries.DedupQueries
     val out = DedupQueries.dedupCluster(spark, dir)
@@ -824,6 +853,41 @@ class QueriesSpec extends SparkTestBase {
         assert(gt === maxCnt.toDouble / nRows.toDouble, s"$rel.$key top_share")
         assert(gs >= 1.0 - 1e-12, s"$rel.$key: max below mean is impossible")
       }
+  }
+
+  test("reconcile_totals: FULL OUTER SortMergeJoin; classes re-derive driver-side") {
+    val df = graft.queries.RelationalQueries.reconcileTotals(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"expected full-outer SMJ in:\n$plan")
+    // per-row c6 values come from Spark expressions (identical rounding),
+    // the reconciliation logic itself re-derives in plain Scala
+    val det = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")) * 1000000).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val hdr = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long") * 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val classified = (det.keySet ++ hdr.keySet).toSeq.map { k =>
+      val status = (hdr.get(k), det.get(k)) match {
+        case (None, _)                  => "detail_only"
+        case (_, None)                  => "header_only"
+        case (Some(h), Some(d)) if h == d => "match"
+        case _                          => "mismatch"
+      }
+      (k, status, math.abs(det.getOrElse(k, 0L) - hdr.getOrElse(k, 0L)))
+    }
+    val expected = classified.groupBy(_._2).map { case (s, rows) =>
+      s -> ((rows.length.toLong, rows.map(_._3).sum / 1000000.0, rows.map(_._1).min))
+    }
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the corpus must exercise at least two classes or the test is vacuous
+    assert(got.size >= 2, s"only classes ${got.keySet} present; reconciliation untested")
   }
 
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
