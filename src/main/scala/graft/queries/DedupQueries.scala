@@ -115,7 +115,7 @@ object DedupQueries {
   /** Exploded distinct (doc_id, h) shingle-hash pairs — persisted (see
     * [[pairsMemo]]).
     */
-  private def shinglePairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shinglePairs(spark: SparkSession, dir: String): DataFrame =
     memoize(pairsMemo, spark, dir)(
       shingleHashes(spark, dir)
         .select(col("doc_id"), explode(col("hs")).as("h")))
@@ -759,6 +759,55 @@ object DedupQueries {
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |WHERE d.doc_id % $EvalMod <> 0""".stripMargin
 
+  // ------------------------------------------------------ decontaminate_bloom
+  /** `decontaminate_bloom` — [[decontaminate]] with an EXPLICIT Bloom
+    * runtime filter: the eval set's distinct shingle hashes build a Bloom
+    * sketch (distributed `BloomFilterAggregate` — associative merges, only
+    * the finished KB-scale sketch reaches the driver, memoized like every
+    * index-build artifact), and the corpus-sized train shingle stream is
+    * pruned by the codegen `might_contain` probe BEFORE it reaches the
+    * exact join. `might_contain` has no false negatives, so the output is
+    * bit-identical to [[decontaminate]] (same oracle SQL); false positives
+    * only pass extra rows into the exact join, which rejects them.
+    *
+    * This is the production decontamination layout at 100 TB: the exact
+    * join needs a shuffle (or a broadcast of the eval side), but ~99% of
+    * train shingle rows can't match at all (FPP = [[BloomFpp]]) — the
+    * sketch kills them scan-locally, so the exchange carries candidates,
+    * not the corpus. It is also the engine's explicit form of Spark's own
+    * `InjectRuntimeFilter` semi-join reduction, stated in the plan rather
+    * than left to the optimizer's injection heuristics (which skip
+    * aggregated-then-joined shapes like this one).
+    */
+  val BloomFpp = 0.01
+  private val bloomMemo = Memo.table()
+
+  /** The serialized eval-set Bloom sketch (memoized build artifact; the
+    * `count()` is build-time sketch sizing, not per-query work).
+    */
+  private[graft] def evalBloomBytes(spark: SparkSession, dir: String): Array[Byte] =
+    Memo.memoize(bloomMemo, spark, dir) {
+      val ev = evalShingles(spark, dir)
+      val n = math.max(ev.count(), 1L)
+      ev.agg(graft.functions.BloomFns
+        .bloomAgg(col("h"), n, graft.functions.BloomFns.optimalBits(n, BloomFpp))
+        .as("bf"))
+    }.head().getAs[Array[Byte]]("bf")
+
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val bf = evalBloomBytes(spark, dir)
+    val hits = shinglePairs(spark, dir)
+      .filter(col("doc_id") % EvalMod =!= 0)
+      .filter(graft.functions.BloomFns.mightContain(bf, col("h"))) // pre-shuffle prune
+      .join(evalShingles(spark, dir), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
+    Tables.docs(spark, dir).filter(col("doc_id") % EvalMod =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit"), lit(0L)).as("n_overlap"),
+        (coalesce(col("hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // -------------------------------------------------------------- fuzzy_dedup
   /** `fuzzy_dedup` — blocked edit-distance entity resolution over the part
     * NAME vocabulary: pairs of distinct names within Levenshtein distance 2
@@ -814,5 +863,9 @@ object DedupQueries {
     // hash-match against the brute-force SQL proves it per round
     "ngram_jaccard_prefix" -> QueryDef(ngramJaccardPrefix, Some(ngramJaccardSql)),
     "dedup_cluster" -> QueryDef(dedupCluster, Some(dedupClusterSql)),
-    "decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql)))
+    "decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql)),
+    // same oracle as decontaminate: the Bloom pre-filter has no false
+    // negatives and the exact join rejects its false positives, so the
+    // hash-match proves the pruning lossless per round
+    "decontaminate_bloom" -> QueryDef(decontaminateBloom, Some(decontaminateSql)))
 }

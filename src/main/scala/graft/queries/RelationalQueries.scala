@@ -355,6 +355,70 @@ object RelationalQueries {
        |FROM orders JOIN po ON l_orderkey = o_orderkey
        |GROUP BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------- regional_revenue
+  /** `regional_revenue` — the canonical STAR-SCHEMA warehouse query (TPC-H
+    * Q5 shape, the inventory's widest join: 6 tables): revenue per nation
+    * within one region and a date window, counted only where the customer
+    * and the supplier share a nation (Q5's signature local-supply
+    * condition — it forces BOTH dimension chains to meet at the fact row,
+    * which is what makes Q5 the classic join-planning benchmark).
+    *
+    * Scale shape — the textbook star plan: the two FACT sides (lineitem,
+    * date-filtered orders) meet in ONE `hint("merge")`-pinned
+    * SortMergeJoin on orderkey, exactly `order_revenue`'s fact⋈fact
+    * spine; every DIMENSION (customer, supplier, nation⋈region) attaches
+    * by explicit `broadcast()` — O(dims) bytes per executor, zero extra
+    * exchanges of the fact stream. The date filter and the 2-column
+    * projections push into the scans; the same-nation filter runs
+    * scan-local on the joined row before the final ~\|nations\|-group
+    * hash agg. Money is integer c4 (price·(1−disc) carries 4 decimals)
+    * until one division on the output rows.
+    */
+  val RevenueRegion = "ASIA"
+  val RevenueYearLo = 1995
+  val RevenueYearHi = 1997
+
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables(spark, dir, "nation")
+      .join(Tables(spark, dir, "region").filter(col("r_name") === RevenueRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).between(RevenueYearLo, RevenueYearHi))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        (intSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val regionalRevenueSql: String =
+    s"""SELECT n_name,
+       |       ${sqlIntSum("l_extendedprice * (1 - l_discount)", 4)} / 10000.0
+       |         AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE year(o_orderdate) BETWEEN $RevenueYearLo AND $RevenueYearHi
+       |  AND c_nationkey = s_nationkey AND r_name = '$RevenueRegion'
+       |GROUP BY n_name""".stripMargin
+
   // -------------------------------------------------------- reconcile_totals
   /** `reconcile_totals` — two-sided table reconciliation (the FULL OUTER
     * join family, the one join type no other inventory query exercises):
@@ -1180,6 +1244,7 @@ object RelationalQueries {
     "rolling_counts" -> QueryDef(rollingCounts, Some(rollingCountsSql)),
     "funnel_pairs" -> QueryDef(funnelPairs, Some(funnelPairsSql)),
     "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),
+    "regional_revenue" -> QueryDef(regionalRevenue, Some(regionalRevenueSql)),
     "latest_by_key" -> QueryDef(latestByKey, Some(latestByKeySql)),
     "anti_join" -> QueryDef(antiJoin, Some(antiJoinSql)),
     "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),

@@ -582,6 +582,35 @@ object TextQueries {
        |WHERE mix_bucket < CASE source $cases ELSE $MixDefaultThreshold END""".stripMargin
   }
 
+  // ------------------------------------------------------------- approx_topk
+  /** `approx_topk` — heavy hitters: the sketch twin of [[topK]] via the
+    * frequent-items aggregate ([[graft.functions.FreqItemsAgg]], the
+    * Misra-Gries / space-saving family), completing the approximate triad
+    * begun by `approx_stats` (HLL distinct + quantile sketch): constant
+    * state per group, associative partial merges, and the deterministic
+    * `lb ≤ true ≤ ub` guarantee with NO false negatives above the error
+    * bound. At 100 TB this replaces [[wordcount]]'s full token-stream
+    * shuffle with one bounded-map buffer per partition into a single
+    * merger — the only way "top items of an unbounded key space" stays
+    * tractable when the vocabulary itself doesn't fit a reducer.
+    *
+    * Rows-only (like `approx_stats`): estimates can depend on partition
+    * merge order when the sketch saturates, so no cross-engine oracle can
+    * exist; the guarantees that ARE deterministic (bounds contain the
+    * exact [[wordcount]] counts; every above-error word retained; top-K
+    * by true count ⊆ retained set) are pinned in QueriesSpec.
+    */
+  val FreqMapSize = 256
+
+  def approxTopK(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir)
+      .agg(graft.functions.FreqItemsAgg(col("word"), FreqMapSize).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select(col("f.item").as("word"), col("f.estimate").as("est"),
+        col("f.lb").as("lb"), col("f.ub").as("ub"))
+      .orderBy(col("est").desc, col("word").asc)
+      .limit(20)
+
   // ------------------------------------------------------- stratified_sample
   /** `stratified_sample` — exact k-per-stratum deterministic sample: the
     * "give me exactly k docs from every source" primitive (eval-set
@@ -653,5 +682,8 @@ object TextQueries {
     "bm25_topdocs" -> QueryDef(bm25Topdocs, Some(bm25TopdocsSql)),
     "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)),
     "domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
-    "stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)))
+    "stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)),
+    // rows-only like approx_stats: sketch estimates are merge-order
+    // dependent; the deterministic bound guarantees are pinned in tests
+    "approx_topk" -> QueryDef(approxTopK, None))
 }

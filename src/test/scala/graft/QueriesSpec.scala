@@ -24,7 +24,7 @@ class QueriesSpec extends SparkTestBase {
     // error-bound contract is pinned by its own test below instead. Every
     // other query must carry an exact DuckDB oracle; this list is the
     // explicit opt-out so an accidentally-omitted oracle still fails.
-    val sketchOnly = Set("approx_stats")
+    val sketchOnly = Set("approx_stats", "approx_topk")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- sketchOnly)
   }
 
@@ -888,6 +888,117 @@ class QueriesSpec extends SparkTestBase {
     assert(got === expected)
     // the corpus must exercise at least two classes or the test is vacuous
     assert(got.size >= 2, s"only classes ${got.keySet} present; reconciliation untested")
+  }
+
+  test("decontaminate_bloom: identical to exact decontaminate; filter actually prunes") {
+    import graft.queries.DedupQueries
+    val exact = DedupQueries.decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    val bloom = DedupQueries.decontaminateBloom(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(bloom === exact, "Bloom pre-filter changed the result — lost a true match")
+    assert(exact.exists(_._3), "no contaminated docs — losslessness untested")
+    // the filter must do real work: most train shingle rows are killed
+    // scan-locally before the join (eval set ~1/37 of docs + 1% FPP)
+    val trainRows = DedupQueries.shinglePairs(spark, dir)
+      .filter(col("doc_id") % DedupQueries.EvalMod =!= 0)
+    val total = trainRows.count()
+    val survivors = trainRows
+      .filter(graft.functions.BloomFns.mightContain(
+        DedupQueries.evalBloomBytes(spark, dir), col("h")))
+      .count()
+    assert(survivors < total / 2,
+      s"Bloom filter passed $survivors of $total train shingle rows — not pruning")
+    assert(survivors > 0, "Bloom filter killed everything — overlap rows can't exist")
+  }
+
+  test("regional_revenue: one fact-fact SMJ, all dims broadcast; values re-derive") {
+    import graft.queries.RelationalQueries
+    val df = RelationalQueries.regionalRevenue(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"fact-fact spine must be an SMJ:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).size === 1,
+      "exactly ONE SMJ — every dimension must broadcast, not shuffle")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"customer/supplier/nation dims must attach as broadcast joins:\n$plan")
+    // values re-derive driver-side from the raw tables (same c4 rounding)
+    val ordYear = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")))
+      .collect().filter(r => r.getInt(2) >= RelationalQueries.RevenueYearLo &&
+        r.getInt(2) <= RelationalQueries.RevenueYearHi)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custNat = Tables(spark, dir, "customer")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val suppNat = Tables(spark, dir, "supplier")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val regionKeys = Tables(spark, dir, "region")
+      .collect().filter(_.getString(1) == RelationalQueries.RevenueRegion)
+      .map(_.getInt(0)).toSet
+    val natName = Tables(spark, dir, "nation")
+      .collect().filter(r => regionKeys(r.getInt(2)))
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000).cast("long"))
+      .collect().flatMap { r =>
+        for {
+          cust <- ordYear.get(r.getLong(0))
+          cn <- custNat.get(cust); sn <- suppNat.get(r.getLong(1))
+          if cn == sn
+          name <- natName.get(sn)
+        } yield (name, r.getLong(2))
+      }
+    val expected = items.groupBy(_._1).map { case (n, rs) =>
+      n -> ((rs.map(_._2).sum / 10000.0, rs.length.toLong))
+    }
+    val got = df.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "no qualifying revenue rows — query untested")
+  }
+
+  test("approx_topk: bounds bracket exact counts; top exact word retained") {
+    import graft.queries.TextQueries
+    val exact = TextQueries.wordcount(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextQueries.approxTopK(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, est, lb, ub) =>
+      assert(lb <= est && est <= ub, s"$w: est $est outside [$lb, $ub]")
+      assert(lb <= exact(w) && exact(w) <= ub,
+        s"$w: exact ${exact(w)} outside sketch bounds [$lb, $ub]")
+    }
+    val topExact = exact.maxBy { case (w, n) => (n, w) }._1
+    assert(rows.exists(_._1 == topExact), s"heaviest word $topExact not retained")
+  }
+
+  test("freq_items sketch under saturation: no false negatives, bounded state") {
+    import spark.implicits._
+    // 40 hot items x 2000 + 50k singleton tail, map of 64 slots: the
+    // sketch MUST saturate, so this exercises the approximate regime the
+    // tiny corpus vocabulary (~31 words) never reaches
+    val hot = (0 until 40).flatMap(i => Seq.fill(2000)(s"hot_$i"))
+    val tail = (0 until 50000).map(i => s"tail_$i")
+    val df = (hot ++ tail).toDF("item").repartition(8)
+    val out = df.agg(graft.functions.FreqItemsAgg(col("item"), 64).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select(col("f.item"), col("f.estimate"), col("f.lb"), col("f.ub"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val truth = (hot ++ tail).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // bounded state: retained items can never exceed the map capacity
+    assert(out.length <= 64, s"${out.length} retained items from a 64-slot map")
+    val maxErr = out.map(r => r._2 - r._3).max
+    assert(maxErr > 0, "sketch did not saturate — the test corpus is too small")
+    // the NO_FALSE_NEGATIVES contract: every item with true count above
+    // the error bound is retained, whatever the partition merge order did
+    val retained = out.map(_._1).toSet
+    truth.filter(_._2 > maxErr).keys.foreach { w =>
+      assert(retained(w), s"$w (true ${truth(w)} > err $maxErr) lost by the sketch")
+    }
+    out.foreach { case (w, _, lb, ub) =>
+      assert(lb <= truth(w) && truth(w) <= ub,
+        s"$w: true ${truth(w)} outside [$lb, $ub]")
+    }
   }
 
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
