@@ -298,6 +298,131 @@ object RelationalQueries {
        |FROM e a JOIN e b
        |  ON b.user_id = a.user_id AND b.us > a.us AND b.us <= a.us + $FunnelGapUs""".stripMargin
 
+  // -------------------------------------------------------- funnel_conversion
+  /** `funnel_conversion` — the ordered MULTI-STEP funnel ([[funnelPairs]]
+    * counts adjacent pairs; this one answers the actual product question):
+    * of the users who ever viewed, how many then clicked within a day of
+    * their FIRST view, and of those, how many purchased within a day of
+    * that first qualifying click? First-touch semantics — each step
+    * anchors at the MINIMUM qualifying timestamp, the standard
+    * strictly-ordered funnel definition (a click before the first view
+    * does not count; neither does one outside the step window).
+    *
+    * Scale shape: the event stream is filtered to the three step types at
+    * the scan (pruned + pushed), each step is one partial-final hash agg
+    * to per-user anchor times, and each later step joins the previous
+    * step's per-user anchor on user_id — all shuffles are user-keyed and
+    * each stage's input only SHRINKS (step-k users ⊆ step-k−1 users). No
+    * window over the raw stream, no per-user event collection. The
+    * output is the 3-row funnel summary; counts are exact BIGINTs.
+    */
+  val FunnelStepGapUs = 86400000000L // 1 day per step
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin(FunnelSteps: _*))
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val s1 = e.filter(col("event_type") === FunnelSteps(0))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + FunnelStepGapUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = e.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + FunnelStepGapUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val steps = Seq(s1, s2, s3)
+    FunnelSteps.zip(steps).zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"step${i + 1}_$name").as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  val funnelConversionSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+       |           FROM events
+       |           WHERE event_type IN ('view', 'click', 'purchase')),
+       |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+       |       WHERE event_type = 'view' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'click'
+       |         AND us > t1 AND us <= t1 + $FunnelStepGapUs GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase'
+       |         AND us > t2 AND us <= t2 + $FunnelStepGapUs GROUP BY e.user_id)
+       |SELECT 'step1_view' AS step, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+       |UNION ALL
+       |SELECT 'step2_click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+       |UNION ALL
+       |SELECT 'step3_purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
+
+  // --------------------------------------------------------- peak_concurrency
+  /** `peak_concurrency` — max concurrent activity presences per day, the
+    * classic SWEEP-LINE / interval-overlap query (capacity planning,
+    * connection-pool sizing, "how many sessions were live at once"):
+    * every event opens a 30-minute presence interval; deltas (+1 at
+    * start, −1 at end) are swept in time order and the running sum's
+    * per-day maximum is the answer. (Presences are per-EVENT: a user
+    * with two events 10 min apart holds two overlapping presences —
+    * concurrent load, not distinct users.) Tie order at an identical
+    * microsecond is −1 before +1 (an interval ending exactly when
+    * another starts does not overlap it); within a tie group all deltas
+    * are equal, so the running sum's per-day MULTISET — and hence the
+    * max — is deterministic whatever order ties scan in.
+    *
+    * Scale shape — the naive form is ONE unpartitioned `ORDER BY t`
+    * window over every delta: a single task sorting the corpus, the
+    * worst plan in this file's repertoire. Instead the standard
+    * distributed prefix-sum decomposition: (1) running sums WITHIN each
+    * day partition (parallel, map-sized); (2) per-day delta totals
+    * collapse to a \|days\|-row table whose exclusive prefix sum is the
+    * day's opening concurrency (the only unpartitioned window — over
+    * \|days\| rows, the tiny-relation adjudication of the codebook
+    * windows); (3) broadcast the offsets back and add. Exact at any
+    * corpus size with per-task work bounded by one day's deltas (and a
+    * day split further by the same trick with finer buckets if needed).
+    * A presence never spans more than 30 min, so it touches ≤ 2 day
+    * buckets and the day decomposition stays exact: the −1 lands in
+    * whatever bucket the interval END falls in, which is all the prefix
+    * sum needs.
+    */
+  val PresenceUs = 30L * 60 * 1000000 // 30-min presence per event
+
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables(spark, dir, "events").select(expr("ts div 1000").as("t"))
+    val deltas = ev.select(col("t"), lit(1L).as("d"))
+      .unionAll(ev.select((col("t") + PresenceUs).as("t"), lit(-1L).as("d")))
+      .withColumn("day_idx", expr(s"t div $dayUs"))
+    val local = Window.partitionBy(col("day_idx")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive prefix of per-day totals = concurrency carried INTO the day
+    val dayPrefix = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy(col("day_idx")).agg(sum(col("d")).as("dtot"))
+      .select(col("day_idx"),
+        coalesce(sum(col("dtot")).over(dayPrefix), lit(0L)).as("carry"))
+    deltas
+      .join(broadcast(offsets), Seq("day_idx"))
+      .select(col("day_idx"), (col("carry") + sum(col("d")).over(local)).as("conc"))
+      .groupBy(col("day_idx"))
+      .agg(max(col("conc")).as("peak"))
+  }
+
+  val peakConcurrencySql: String =
+    s"""WITH pts AS (
+       |  SELECT epoch_ns(ts) // 1000 AS t, 1 AS d FROM events
+       |  UNION ALL
+       |  SELECT epoch_ns(ts) // 1000 + $PresenceUs, -1 FROM events),
+       |c AS (
+       |  SELECT t // 86400000000 AS day_idx,
+       |         sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc
+       |  FROM pts)
+       |SELECT day_idx, CAST(max(conc) AS BIGINT) AS peak
+       |FROM c GROUP BY day_idx""".stripMargin
+
   // ------------------------------------------------------------ order_revenue
   /** `order_revenue` — the plain LARGE⋈LARGE (fact⋈fact) equi-join +
     * aggregation, the single most common warehouse query shape (TPC-H
@@ -1243,6 +1368,8 @@ object RelationalQueries {
     "approx_stats" -> QueryDef(approxStats, None),
     "rolling_counts" -> QueryDef(rollingCounts, Some(rollingCountsSql)),
     "funnel_pairs" -> QueryDef(funnelPairs, Some(funnelPairsSql)),
+    "peak_concurrency" -> QueryDef(peakConcurrency, Some(peakConcurrencySql)),
+    "funnel_conversion" -> QueryDef(funnelConversion, Some(funnelConversionSql)),
     "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),
     "regional_revenue" -> QueryDef(regionalRevenue, Some(regionalRevenueSql)),
     "latest_by_key" -> QueryDef(latestByKey, Some(latestByKeySql)),

@@ -253,7 +253,9 @@ object StreamingOps {
     * `decontaminate` query and the module's stream-STATIC join
     * demonstration: each arriving document's shingles (the same
     * `shingle_hash60` kernel as the batch path, running in-stream)
-    * equi-join the STATIC eval-set shingle table built once from `dir`,
+    * pass the static eval-set Bloom sketch's scan-local `might_contain`
+    * prune (the `decontaminate_bloom` artifact, built once at stream
+    * setup) and then equi-join the STATIC eval-set shingle table from `dir`,
     * and a per-doc count aggregation emits (doc_id, n_overlap) for
     * contaminated documents. The static side is the realistic shape — a
     * fixed benchmark set loaded at stream start; Spark broadcasts or
@@ -283,10 +285,18 @@ object StreamingOps {
   def decontaminateDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
     import graft.queries.DedupQueries
     val evalH = DedupQueries.evalShingles(spark, dir)
+    // static Bloom sketch, built once at stream setup (the batch
+    // decontaminate_bloom artifact): each micro-batch's shingles are
+    // pruned scan-locally by the codegen might_contain probe before the
+    // stream-static join — no false negatives, so emitted rows are
+    // unchanged (StreamingSpec's batch-agreement test pins exactly that);
+    // at scale the join side state/shuffle sees candidates, not the stream
+    val bf = DedupQueries.evalBloomBytes(spark, dir)
     docs
       .filter(col("doc_id") % DedupQueries.EvalMod =!= 0)
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash60Expr(col("text"), 3, DedupQueries.P)).as("h"))
+      .filter(graft.functions.BloomFns.mightContain(bf, col("h")))
       .join(evalH, Seq("h"))
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", DedupHorizon)

@@ -1001,6 +1001,56 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("peak_concurrency: day-partitioned prefix sums equal a global driver sweep") {
+    import graft.queries.RelationalQueries
+    val dayUs = 86400000000L
+    val ts = Tables(spark, dir, "events")
+      .select(expr("ts div 1000")).collect().map(_.getLong(0))
+    // the decomposition's carry path is only exercised if some presence
+    // interval crosses a midnight boundary — assert the corpus has one
+    assert(ts.exists(t => t / dayUs != (t + RelationalQueries.PresenceUs) / dayUs),
+      "no presence spans a day boundary — cross-day carry untested")
+    val deltas = (ts.map(t => (t, 1L)) ++
+      ts.map(t => (t + RelationalQueries.PresenceUs, -1L))).sorted
+    var run = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (t, d) =>
+      run += d
+      val day = t / dayUs
+      expected(day) = math.max(expected.getOrElse(day, Long.MinValue), run)
+    }
+    val got = RelationalQueries.peakConcurrency(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap)
+    assert(got.size > 1, "single-day corpus — the day decomposition is vacuous")
+  }
+
+  test("funnel_conversion: monotone step counts; anchors re-derive driver-side") {
+    import graft.queries.RelationalQueries
+    val gap = RelationalQueries.FunnelStepGapUs
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def anchors(step: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(_._2 == step)
+        .filter { case (u, _, t) =>
+          prev.get(u).exists(p => t > p && t <= p + gap) }
+        .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val s1 = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val s2 = anchors("click", s1)
+    val s3 = anchors("purchase", s2)
+    val got = RelationalQueries.funnelConversion(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "step1_view" -> s1.size.toLong,
+      "step2_click" -> s2.size.toLong,
+      "step3_purchase" -> s3.size.toLong))
+    assert(s1.size > s2.size && s2.size >= s3.size && s3.nonEmpty,
+      s"funnel ${s1.size}/${s2.size}/${s3.size} shows no attrition or no conversions")
+    // strict ordering semantics: step users are subsets of the previous step
+    assert(s2.keySet.subsetOf(s1.keySet) && s3.keySet.subsetOf(s2.keySet))
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
