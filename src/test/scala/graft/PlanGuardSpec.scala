@@ -1,0 +1,73 @@
+package graft
+
+/** Inventory-wide plan linter — the scale-killer guards, run as tests.
+  *
+  * PLANS.md documents each query's intended shape in prose; this spec
+  * asserts the two silent plan catastrophes can never re-enter the
+  * inventory unnoticed:
+  *
+  *   - `CartesianProduct`: quadratic row growth; never acceptable.
+  *   - `BroadcastNestedLoopJoin`: acceptable ONLY as the physical form of
+  *     a crossJoin attaching an O(1)-size broadcast relation (a 1-row
+  *     stats/bounds row or a constant-size codebook — the documented
+  *     pattern in PLANS.md). Any other appearance means a join lost its
+  *     equi-condition or a dimension stopped broadcasting as a hash join.
+  *
+  * The allowlist is EXPLICIT and justified per query, so a new query (or
+  * a regression in an old one) that plans a nested-loop join fails the
+  * suite with its plan attached — the review then either fixes the plan
+  * or consciously extends the allowlist, mirroring PLANS.md.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin —
+    * each is a crossJoin of an O(1)-row broadcast (never corpus-sized):
+    * bounds rows, corpus-stat rows, or fixed-size codebooks/centroids.
+    */
+  private val bnljAllowed: Set[String] = Set(
+    // 1-row corpus-stat broadcasts (N docs / total tokens / day bounds)
+    "bm25_topdocs", // 1-row (N, avgdl) stats
+    "tfidf_topterms", // 1-row doc-count (idf denominator)
+    "cooc_pmi", // 1-row corpus token total (lift numerator)
+    "active_users", // 1-row (dmin, dmax) bounds for the day spine
+    // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
+    "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
+    // bounded-CHUNK broadcast of the query block (cap-sized, never the
+    // corpus side; chunk count from parquet footer metadata)
+    "ann_topk")
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.all.foreach { case (name, q) =>
+      val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin appears only in allowlisted O(1)-broadcast plans") {
+    val offenders = SparkEntry.all.toSeq.flatMap { case (name, q) =>
+      val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unjustified BroadcastNestedLoopJoin in: ${offenders.mkString(", ")} — " +
+        "either restore the equi/broadcast-hash form or extend the allowlist " +
+        "with the O(1)-broadcast justification")
+  }
+
+  test("the allowlist itself is tight: every member still plans a BNLJ") {
+    // an allowlist entry whose query no longer needs it is stale — shrink
+    // it so the guard stays meaningful
+    val stale = bnljAllowed.toSeq.filter { name =>
+      val plan = SparkEntry.all(name).fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      !plan.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning BNLJ (remove them): ${stale.mkString(", ")}")
+  }
+}
