@@ -582,6 +582,87 @@ object TextQueries {
        |WHERE mix_bucket < CASE source $cases ELSE $MixDefaultThreshold END""".stripMargin
   }
 
+  // ------------------------------------------------------------- split_drift
+  /** `split_drift` — the QA audit behind [[dataSplit]]: is the train/test
+    * assignment actually INDEPENDENT of document features, or did the
+    * split key accidentally correlate with content (the classic silent
+    * eval-leak: splitting on an id that encodes crawl batch, which
+    * encodes domain, which encodes length)? Computes the two-sample
+    * chi-square table of the token-length distribution between the train
+    * and test splits: per length bucket, both counts and the bucket's
+    * chi-square contribution `(a·B − b·A)² / (A·B·(a+b))` (the standard
+    * two-sample identity with pooled expectations). Consumers sum the
+    * ≤ [[DriftBuckets]] contributions and compare against the χ²(df)
+    * critical value; per-bucket rows localize WHERE the drift lives.
+    * `val` rows are excluded (two-sample test; extending to k samples is
+    * the same table wider).
+    *
+    * Exactness: counts are BIGINT from one hash agg; A/B totals are
+    * BIGINT window sums over the ≤ 20-bucket table (integer addition —
+    * order-free); each contribution is ONE identical-tree IEEE
+    * expression over exact integers, so rows hash-match the oracle. The
+    * per-bucket TOTAL chi2 is deliberately NOT emitted: it would sum
+    * doubles in engine-dependent order — the consumer sums 10 doubles
+    * driver-side instead.
+    *
+    * Scale shape: one pruned scan (text → token count, split derived
+    * scan-locally from the id hash), ONE partial-final hash agg to the
+    * bucket table; everything after runs on ≤ [[DriftBuckets]] rows.
+    */
+  val DriftBucketWidth = 10L
+  val DriftBuckets = 20L
+
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sbucket = pmod(TextFns.hash60(col("doc_id").cast("string")), lit(SplitBuckets.toLong))
+    val counts = docs(spark, dir)
+      .select(size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        sbucket.as("sb"))
+      .withColumn("bucket",
+        least(expr(s"n_tok div $DriftBucketWidth"), lit(DriftBuckets - 1)))
+      .filter(col("sb") < TrainUpto || col("sb") >= ValUpto) // drop val
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("sb") < TrainUpto, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("sb") >= ValUpto, 1L).otherwise(0L)).as("n_test"))
+    val all = Window.partitionBy() // ≤ DriftBuckets rows; BIGINT sums are order-free
+    val withTot = counts
+      .withColumn("a_tot", sum(col("n_train")).over(all))
+      .withColumn("b_tot", sum(col("n_test")).over(all))
+    val da = col("n_train").cast("double")
+    val db = col("n_test").cast("double")
+    val dA = col("a_tot").cast("double")
+    val dB = col("b_tot").cast("double")
+    val u = da * dB - db * dA
+    withTot.select(
+      col("bucket"), col("n_train"), col("n_test"),
+      (u * u / (dA * dB * (col("n_train") + col("n_test")).cast("double")))
+        .as("chi2_contrib"))
+  }
+
+  val splitDriftSql: String = {
+    val sbucket = s"${Oracle.hash60("CAST(doc_id AS VARCHAR)")} % $SplitBuckets"
+    val u = "CAST(n_train AS DOUBLE) * CAST(b_tot AS DOUBLE) - " +
+      "CAST(n_test AS DOUBLE) * CAST(a_tot AS DOUBLE)"
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |b AS (SELECT least(CAST(len(t) AS BIGINT) // $DriftBucketWidth,
+       |                   ${DriftBuckets - 1}) AS bucket,
+       |             $sbucket AS sb
+       |      FROM toks),
+       |c AS (SELECT bucket,
+       |             CAST(sum(CASE WHEN sb < $TrainUpto THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS n_train,
+       |             CAST(sum(CASE WHEN sb >= $ValUpto THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS n_test
+       |      FROM b WHERE sb < $TrainUpto OR sb >= $ValUpto GROUP BY bucket),
+       |w AS (SELECT *, CAST(sum(n_train) OVER () AS BIGINT) AS a_tot,
+       |               CAST(sum(n_test) OVER () AS BIGINT) AS b_tot FROM c)
+       |SELECT bucket, n_train, n_test,
+       |       ($u) * ($u) /
+       |         (CAST(a_tot AS DOUBLE) * CAST(b_tot AS DOUBLE) *
+       |          CAST(n_train + n_test AS DOUBLE)) AS chi2_contrib
+       |FROM w""".stripMargin
+  }
+
   // ------------------------------------------------------------- approx_topk
   /** `approx_topk` — heavy hitters: the sketch twin of [[topK]] via the
     * frequent-items aggregate ([[graft.functions.FreqItemsAgg]], the
@@ -683,6 +764,7 @@ object TextQueries {
     "data_split" -> QueryDef(dataSplit, Some(dataSplitSql)),
     "domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
     "stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)),
+    "split_drift" -> QueryDef(splitDrift, Some(splitDriftSql)),
     // rows-only like approx_stats: sketch estimates are merge-order
     // dependent; the deterministic bound guarantees are pinned in tests
     "approx_topk" -> QueryDef(approxTopK, None))

@@ -1051,6 +1051,37 @@ class QueriesSpec extends SparkTestBase {
     assert(s2.keySet.subsetOf(s1.keySet) && s3.keySet.subsetOf(s2.keySet))
   }
 
+  test("split_drift: per-bucket chi-square table re-derives; totals partition the corpus") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.splitDrift(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    // re-derive from the split assignment + token counts
+    val split = TextQueries.dataSplit(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val toks = Tables.docs(spark, dir)
+      .select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBucket = toks.filter { case (id, _) => split(id) != "val" }
+      .groupBy { case (_, n) =>
+        math.min(n / TextQueries.DriftBucketWidth, TextQueries.DriftBuckets - 1) }
+    val aTot = byBucket.values.flatten.count { case (id, _) => split(id) == "train" }.toLong
+    val bTot = byBucket.values.flatten.count { case (id, _) => split(id) == "test" }.toLong
+    rows.foreach { case (bucket, a, b, contrib) =>
+      val docsIn = byBucket(bucket)
+      assert(a === docsIn.count { case (id, _) => split(id) == "train" }.toLong)
+      assert(b === docsIn.count { case (id, _) => split(id) == "test" }.toLong)
+      val u = a.toDouble * bTot - b.toDouble * aTot
+      assert(contrib === u * u / (aTot.toDouble * bTot * (a + b)),
+        s"bucket $bucket contrib mismatch")
+    }
+    assert(rows.map(_._2).sum === aTot && rows.map(_._3).sum === bTot,
+      "bucket counts must partition the non-val corpus")
+    // a hash split is independent of content: total drift stays far below
+    // the chi2 critical value at alpha=0.001 for df<=19 (43.8)
+    assert(rows.map(_._4).sum < 43.8, s"hash split drifted: chi2=${rows.map(_._4).sum}")
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
