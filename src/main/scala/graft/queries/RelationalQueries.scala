@@ -1132,6 +1132,64 @@ object RelationalQueries {
        |FROM events GROUP BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- pii_scrub
+  /** `pii_scrub` — the privacy pass every training-data / analytics
+    * pipeline runs before retention or export: direct identifiers are
+    * PSEUDONYMIZED (user_id → salted content-independent hash, so joins
+    * and per-user aggregation still work downstream but the raw id never
+    * leaves this stage) and free-text payloads are SCRUBBED by a regex
+    * chain — emails → `<EMAIL>`, dotted quads → `<IP>`, then residual
+    * digit runs → `<NUM>` (account numbers, phone fragments, quasi-
+    * identifiers). Each pattern's match count is counted on the residual
+    * of the previous scrub, so a digit that was part of an email/IP is
+    * never double-counted and the chain is order-deterministic.
+    *
+    * On this synthetic corpus only the digit-run pattern fires (the JSON
+    * props carry numbers but no emails/IPs — the oracle still compares
+    * the full chain bit-for-bit); the email/IP patterns are exercised on
+    * crafted rows in QueriesSpec, where each chain stage is pinned.
+    *
+    * Scale shape: pure per-row projection — zero shuffles at any corpus
+    * size; the regexes run inside whole-stage codegen. The pattern set is
+    * a constant of the query, so 100 TB costs exactly one scan.
+    */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PiiNumRe = "[0-9]+"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    def nMatches(e: Column, re: String) =
+      size(regexp_extract_all(e, lit(re), lit(0))).cast("long")
+    val s1 = regexp_replace(col("props"), PiiEmailRe, "<EMAIL>")
+    val s2 = regexp_replace(s1, PiiIpv4Re, "<IP>")
+    val s3 = regexp_replace(s2, PiiNumRe, "<NUM>")
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      graft.functions.TextFns
+        .hash60(concat(lit("pseud:"), col("user_id").cast("string")))
+        .as("user_pseud"),
+      nMatches(col("props"), PiiEmailRe).as("n_email"),
+      nMatches(s1, PiiIpv4Re).as("n_ipv4"),
+      nMatches(s2, PiiNumRe).as("n_num"),
+      s3.as("props_scrub"))
+  }
+
+  val piiScrubSql: String = {
+    val pseud = Oracle.hash60("'pseud:' || CAST(user_id AS VARCHAR)")
+    val email = PiiEmailRe // same RE2/Java-compatible pattern text
+    s"""WITH s AS (
+       |  SELECT event_id, user_id, props,
+       |         regexp_replace(props, '$email', '<EMAIL>', 'g') AS s1
+       |  FROM events),
+       |t AS (SELECT *, regexp_replace(s1, '$PiiIpv4Re', '<IP>', 'g') AS s2 FROM s)
+       |SELECT event_id, $pseud AS user_pseud,
+       |       CAST(len(regexp_extract_all(props, '$email')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(s1, '$PiiIpv4Re')) AS BIGINT) AS n_ipv4,
+       |       CAST(len(regexp_extract_all(s2, '$PiiNumRe')) AS BIGINT) AS n_num,
+       |       regexp_replace(s2, '$PiiNumRe', '<NUM>', 'g') AS props_scrub
+       |FROM t""".stripMargin
+  }
+
   // ---------------------------------------------------------- value_quantiles
   /** `value_quantiles` — EXACT p50/p90/p99 of `value` per event type by
     * rank selection: the quantile is the element at row_number
@@ -1384,5 +1442,6 @@ object RelationalQueries {
     "profile_table" -> QueryDef(profileTable, Some(profileTableSql)),
     "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
+    "pii_scrub" -> QueryDef(piiScrub, Some(piiScrubSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
 }
