@@ -92,7 +92,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // asof_join requires UTC (NTZ→epoch)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables requires)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,7 +10,7 @@ object StageProfile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC") // asof_join requires UTC (NTZ→epoch)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables requires)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

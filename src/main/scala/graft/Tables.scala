@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -16,24 +18,53 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-      // it must be read as a raw nanos-since-epoch BIGINT so queries derive
-      // time columns with exact integer arithmetic (no double rounding).
-      // Require, don't set (the asof_join UTC standard): the legacy flag has
-      // no per-read option, and a loader silently mutating shared-session
-      // conf would change how every OTHER reader in the session sees nanos
-      // timestamps, in execution-order-dependent ways. Every entry point
-      // (Verify, Bench, Explain, StageProfile, tests) pins it at session
-      // build instead.
-      require(
-        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-          .contains("true"),
-        "events requires spark.sql.legacy.parquet.nanosAsLong=true " +
-          "(ts is parquet TIMESTAMP(NANOS)); set it at SparkSession build")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(spark, df) else df
   }
+
+  /** Normalize `events.ts` to the engine-wide logical contract: **BIGINT
+    * nanoseconds since the epoch**, whatever physical type the parquet file
+    * carries. Every downstream time-axis query does exact integer bucket
+    * arithmetic (`ts div 86400000000000` etc.) against this contract, so the
+    * conversion must be lossless — and it is for every arrival type:
+    *
+    *  - `LongType`: the file is parquet TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (pinned at session build
+    *    by every entry point) — already nanos, pass through.
+    *  - `TimestampType` (TIMESTAMP(MICROS) adjusted-to-UTC): `unix_micros`
+    *    returns the stored 64-bit micros exactly; `* 1000L` to nanos is an
+    *    exact integer multiply (micros ⊂ nanos).
+    *  - `TimestampNTZType` (TIMESTAMP(MICROS) isAdjustedToUTC=false — what
+    *    pandas/pyarrow write and Spark 4 infers as NTZ): the NTZ→TIMESTAMP
+    *    cast reinterprets the wall-clock in the session zone, which is the
+    *    identity on the stored micros only under UTC — required here, and
+    *    pinned at session build by every entry point (the asof_join UTC
+    *    standard, RelationalQueries.asofJoin).
+    *
+    * The normalization is a projection on the scan output: column pruning
+    * and pushdown of predicates on OTHER columns are unaffected, and a
+    * time-range predicate on the derived `ts` is a monotone function of the
+    * physical column, which Catalyst constant-folds back through the
+    * multiply for literal comparisons.
+    */
+  private[graft] def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) via nanosAsLong: already the contract
+      case TimestampType =>
+        df.withColumn("ts", microsToNanos(unix_micros(col("ts"))))
+      case TimestampNTZType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts arrived as TIMESTAMP_NTZ; the lossless reinterpretation " +
+            "to epoch nanos requires spark.sql.session.timeZone=UTC — set it " +
+            "at SparkSession build (every graft entry point does)")
+        df.withColumn("ts", microsToNanos(unix_micros(col("ts").cast(TimestampType))))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other; expected BIGINT " +
+            "nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+
+  private def microsToNanos(micros: Column): Column = micros * lit(1000L)
 
   /** Spread `df` across the session's parallelism ONLY when the scan
     * itself cannot (fewer split partitions than cores). The test corpus

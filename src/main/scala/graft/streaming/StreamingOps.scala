@@ -17,7 +17,14 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema as read with nanosAsLong (ts = BIGINT nanos; Tables). */
+  /** events schema under the engine's logical contract (ts = BIGINT nanos
+    * after normalization; Tables.normalizeEventTs). The ON-DISK `ts` type
+    * varies by generator (TIMESTAMP(NANOS) / MICROS adjusted / MICROS
+    * naive), so [[eventStream]] does not hard-code it: the file source
+    * requires a user-supplied schema, and supplying the wrong physical
+    * timestamp flavor silently mis-reads — so the schema is sniffed from an
+    * existing footer and the stream is normalized to this contract.
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -26,19 +33,29 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of an events directory (parquet). */
+  /** File-source stream of an events directory (parquet), normalized to the
+    * BIGINT-nanos `ts` contract whatever the files' physical timestamp type.
+    *
+    * The physical schema is sniffed with a one-off STATIC read of the same
+    * glob (footer-only: file listing + schema merge, no job). This is a
+    * planning-time cost paid once at stream construction — not per batch —
+    * and it guarantees the streaming scan decodes exactly what the footers
+    * declare instead of trusting a hard-coded flavor. If the directory has
+    * no matching file yet (a stream started ahead of its producer), falls
+    * back to the micros-NTZ flavor the current generator writes.
+    */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // require-not-set, matching Tables / the asof_join UTC standard: the
-    // session that runs the stream pins the flag at build time.
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "eventStream requires spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(ts is parquet TIMESTAMP(NANOS)); set it at SparkSession build")
-    spark.readStream
-      .schema(eventSchema)
+    val onDisk: StructType =
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        StructType(eventSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+      }
+    val raw = spark.readStream
+      .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    graft.Tables.normalizeEventTs(spark, raw)
   }
 
   /** Streaming form of the `histogram` query: per-day / per-type counts

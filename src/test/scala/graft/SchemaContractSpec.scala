@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types._
+
+/** Drift-proof assertions of each table's LOGICAL contract — what queries
+  * may assume after `Tables.apply` — checked directly against the live
+  * `/root/testdata`, so a driver-side regeneration in a new PHYSICAL type
+  * fails HERE with a pointed message instead of as 14 scattered
+  * `DATATYPE_MISMATCH`es deep inside query plans (the round-7 failure mode:
+  * events.ts flipped parquet TIMESTAMP(NANOS) → TIMESTAMP(MICROS) and every
+  * time-axis query broke at analysis).
+  *
+  * The contract is on the LOADER OUTPUT, not the file: `Tables` owns the
+  * physical→logical normalization (`Tables.normalizeEventTs`), and this
+  * suite is red if the loader stops delivering it — whatever the files say.
+  */
+class SchemaContractSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  private def assertField(df: org.apache.spark.sql.DataFrame, table: String)(
+      name: String, expected: DataType): Unit = {
+    val actual = df.schema.find(_.name == name).getOrElse(
+      fail(s"CONTRACT: $table.$name missing — testdata regenerated with a " +
+        s"new column set? (have: ${df.schema.fieldNames.mkString(", ")})")
+    ).dataType
+    assert(actual == expected,
+      s"CONTRACT: $table.$name must load as $expected, got $actual — if the " +
+        "driver regenerated testdata in a new physical type, teach " +
+        "Tables.apply to normalize it (see Tables.normalizeEventTs)")
+  }
+
+  test("events: ts loads as BIGINT epoch-NANOS whatever the file's physical type") {
+    val e = Tables(spark, dir, "events")
+    val check = assertField(e, "events") _
+    check("ts", LongType)
+    check("event_id", LongType)
+    check("user_id", LongType)
+    check("event_type", StringType)
+    check("value", DoubleType)
+    check("props", StringType)
+
+    // Unit check, not just type check: a micros value mis-labeled as nanos
+    // is ~1000x too small and lands centuries before any plausible event.
+    // Bounds: 2000-01-01 and 2100-01-01 as epoch nanos.
+    val Row = e.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (Row.getLong(0), Row.getLong(1))
+    val y2000 = 946684800L * 1000000000L
+    val y2100 = 4102444800L * 1000000000L
+    assert(lo >= y2000 && hi < y2100,
+      s"CONTRACT: events.ts range [$lo, $hi] is outside [2000, 2100) as " +
+        "epoch-nanos — the loader is mis-scaling the timestamp unit " +
+        "(micros/millis read as nanos, or vice versa)")
+  }
+
+  test("documents: text corpus contract") {
+    val d = Tables(spark, dir, "documents")
+    val check = assertField(d, "documents") _
+    check("doc_id", LongType)
+    check("text", StringType)
+    check("lang", StringType)
+    check("source", StringType)
+    check("n_chars", LongType)
+  }
+
+  test("embeddings: vector contract") {
+    val v = Tables(spark, dir, "embeddings")
+    val check = assertField(v, "embeddings") _
+    check("vec_id", LongType)
+    check("embedding", ArrayType(FloatType))
+    check("label", IntegerType)
+  }
+
+  test("orders/lineitem: date axes load as a timestamp flavor asof can normalize") {
+    // asof_join and the revenue queries accept TIMESTAMP or TIMESTAMP_NTZ
+    // (both cast losslessly to epoch under the UTC session standard); what
+    // they can NOT silently absorb is a flip to STRING or DATE-as-int.
+    val okTs = Set[DataType](TimestampType, TimestampNTZType, DateType)
+    val od = Tables(spark, dir, "orders").schema("o_orderdate").dataType
+    assert(okTs.contains(od),
+      s"CONTRACT: orders.o_orderdate must be a timestamp/date type, got $od")
+    val sd = Tables(spark, dir, "lineitem").schema("l_shipdate").dataType
+    assert(okTs.contains(sd),
+      s"CONTRACT: lineitem.l_shipdate must be a timestamp/date type, got $sd")
+    assertField(Tables(spark, dir, "orders"), "orders")("o_totalprice", DoubleType)
+    assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_extendedprice", DoubleType)
+    assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_quantity", DoubleType)
+  }
+
+  test("streaming eventStream delivers the same BIGINT-nanos contract as batch") {
+    import graft.streaming.StreamingOps
+    val s = StreamingOps.eventStream(spark, dir)
+    assert(s.isStreaming, "eventStream must be a streaming DataFrame")
+    assert(s.schema("ts").dataType == LongType,
+      s"CONTRACT: streaming events.ts must normalize to BIGINT nanos, got " +
+        s"${s.schema("ts").dataType} — StreamingOps.eventStream must sniff " +
+        "the on-disk type and apply Tables.normalizeEventTs")
+  }
+}

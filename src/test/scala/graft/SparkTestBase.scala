@@ -14,7 +14,7 @@ trait SparkTestBase extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables requires)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
     .config("spark.ui.enabled", "false")
     // managed tables (the bucketing capability probe) land outside the repo
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
