@@ -298,6 +298,74 @@ object RelationalQueries {
        |FROM e a JOIN e b
        |  ON b.user_id = a.user_id AND b.us > a.us AND b.us <= a.us + $FunnelGapUs""".stripMargin
 
+  // ------------------------------------------------------------ interval_join
+  /** `interval_join` — the GENERAL bounded-interval equi-join
+    * ([[funnelPairs]] is the symmetric self-join special case): an ANCHOR
+    * relation opening per-row time windows, a PROBE relation matched into
+    * them, aggregated per anchor with zero-fill. Here the incident-impact
+    * staple: for every `error` event, the same user's activity in the
+    * following hour — did the error stall them or did they recover?
+    * The naive plan (`ON user = user AND t BETWEEN t0 AND t0 + Δ`) gives
+    * Spark only the equality key, degenerating to a per-user nested loop
+    * over that user's full history; a RANGE window cannot express it at
+    * all (two relations).
+    *
+    * Scale shape — the funnel_pairs axis-bucketing generalized to
+    * asymmetric relations: bucket width = window length Δ, so a window
+    * spans AT MOST 2 buckets. The anchor side — the sparse side, where a
+    * constant fan-out belongs — explodes to its ≤2 covered buckets; the
+    * probe side computes its single bucket scan-local; the join is then a
+    * plain equi-join on (user, bucket) + residual range predicate: ONE
+    * user-keyed shuffle per side, work bounded by per-(user, Δ) event
+    * density, never per-user history. The zero-fill join back onto
+    * anchors is anchor-keyed (event_id — unique, skew-free); a
+    * pathological hot user splits by the same salting discipline as
+    * ngram_jaccard's hot shingles.
+    *
+    * Axis: integer µs (the funnel convention, BIGINT arithmetic
+    * throughout), follower semantics strictly-after: (t0, t0 + Δ].
+    */
+  val ImpactWindowUs: Long = 3600000000L // 1-hour impact window
+  val AnchorType = "error"
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = ImpactWindowUs
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+    val anchors = e.filter(col("event_type") === AnchorType)
+      .select(col("user_id"), col("event_id"), col("us").as("t0"))
+    val probes = e.select(col("user_id").as("ub"), col("us"), col("value"))
+      .withColumn("bk", expr(s"us div $W"))
+    val matched = anchors
+      .withColumn("pb", explode(array(expr(s"t0 div $W"), expr(s"t0 div $W") + 1L)))
+      .join(probes,
+        col("ub") === col("user_id") && col("bk") === col("pb") &&
+          col("us") > col("t0") && col("us") <= col("t0") + W)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_follow"), intSum(col("value"), 2).as("cents"))
+    anchors.select(col("event_id"), col("user_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+        (coalesce(col("cents"), lit(0L)) / 100.0).as("total_value"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_ns(ts) // 1000 AS us, value FROM events),
+       |a AS (SELECT user_id, event_id, us AS t0 FROM e
+       |      WHERE event_type = '$AnchorType'),
+       |m AS (SELECT a.event_id, count(*) AS n_follow,
+       |             ${sqlIntSum("b.value", 2)} AS cents
+       |      FROM a JOIN e b ON b.user_id = a.user_id
+       |                     AND b.us > a.t0 AND b.us <= a.t0 + $ImpactWindowUs
+       |      GROUP BY a.event_id)
+       |SELECT a.event_id, a.user_id,
+       |       coalesce(m.n_follow, 0) AS n_follow,
+       |       coalesce(m.cents, 0) / 100.0 AS total_value
+       |FROM a LEFT JOIN m USING (event_id)""".stripMargin
+
   // -------------------------------------------------------- funnel_conversion
   /** `funnel_conversion` — the ordered MULTI-STEP funnel ([[funnelPairs]]
     * counts adjacent pairs; this one answers the actual product question):
@@ -1287,6 +1355,51 @@ object RelationalQueries {
 
   val cubeAggSql: String = multiLevelSql("CUBE")
 
+  // ------------------------------------------------------------ grouping_sets
+  /** `grouping_sets` — the USER-DECLARED member of the GROUPING SETS
+    * family ([[rollupAgg]] and [[cubeAgg]] are its two canned lattices):
+    * exactly the levels asked for, here ((event_type, day), (day),
+    * (event_type)) — both single-column marginals but NO grand total, a
+    * set neither ROLLUP nor CUBE can express. Catalyst compiles declared
+    * sets to the identical single Expand + partial-final hash aggregate as
+    * rollup/cube with fan-out exactly \|sets\| = 3: each input row expands
+    * to its declared levels map-side and partials collapse before the one
+    * exchange, so aggregate state stays bounded by key cardinality × 3 at
+    * any corpus size — where the hand-rolled alternative (one grouped
+    * query per level, unioned) scans the corpus once per level.
+    *
+    * `grouping_id` disambiguates a NULL key value from a rolled-up level
+    * (identical bit semantics in Spark and DuckDB: leftmost grouping
+    * column = most significant bit), and rolled-up keys surface as the
+    * 'ALL' sentinel — the rollup_agg null-free output convention.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val day = date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd")
+    Tables(spark, dir, "events")
+      .select(col("event_type"), day.as("day"), col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("day")), Seq(col("event_type"))),
+        col("event_type"), col("day"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        (intSum(col("value"), 2) / 100.0).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("gid"), col("cnt"), col("total_value"))
+  }
+
+  val groupingSetsAggSql: String =
+    s"""WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+       |SELECT coalesce(event_type, 'ALL') AS event_type,
+       |       coalesce(day, 'ALL') AS day,
+       |       CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+       |       count(*) AS cnt,
+       |       ${sqlIntSum("value", 2)} / 100.0 AS total_value
+       |FROM e
+       |GROUP BY GROUPING SETS ((event_type, day), (day), (event_type))""".stripMargin
+
   // -------------------------------------------------------------- pivot_daily
   /** `pivot_daily` — the PIVOT operator family: one row per day, one
     * count column per event type. The pivot values are DECLARED (the
@@ -1421,11 +1534,13 @@ object RelationalQueries {
     "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
     "rollup_agg" -> QueryDef(rollupAgg, Some(rollupAggSql)),
     "cube_agg" -> QueryDef(cubeAgg, Some(cubeAggSql)),
+    "grouping_sets" -> QueryDef(groupingSetsAgg, Some(groupingSetsAggSql)),
     "set_ops" -> QueryDef(setOps, Some(setOpsSql)),
     "pivot_daily" -> QueryDef(pivotDaily, Some(pivotDailySql)),
     "approx_stats" -> QueryDef(approxStats, None),
     "rolling_counts" -> QueryDef(rollingCounts, Some(rollingCountsSql)),
     "funnel_pairs" -> QueryDef(funnelPairs, Some(funnelPairsSql)),
+    "interval_join" -> QueryDef(intervalJoin, Some(intervalJoinSql)),
     "peak_concurrency" -> QueryDef(peakConcurrency, Some(peakConcurrencySql)),
     "funnel_conversion" -> QueryDef(funnelConversion, Some(funnelConversionSql)),
     "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),

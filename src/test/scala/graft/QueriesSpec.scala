@@ -1092,4 +1092,57 @@ class QueriesSpec extends SparkTestBase {
     assert(out(0).getStruct(1) != null)
     assert(out(1).isNullAt(1), "null payload must yield null media_meta, not NPE")
   }
+
+  test("grouping_sets: one Expand pass; declared levels mutually consistent") {
+    val df = graft.queries.RelationalQueries.groupingSetsAgg(spark, dir)
+    // the scale property: ONE Expand + hash aggregate, not one scan per level
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand in:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exactly the 3 declared levels, tagged by grouping_id (event_type is
+    // the leftmost grouping column = most significant bit)
+    val detail = rows.filter(_._3 == 0L) // (event_type, day)
+    val byType = rows.filter(_._3 == 1L) // day rolled up
+    val byDay = rows.filter(_._3 == 2L)  // event_type rolled up
+    assert(rows.map(_._3).toSet === Set(0L, 1L, 2L), "exactly the 3 declared sets")
+    // no grand-total level: that's the set rollup/cube can't express
+    assert(!rows.exists(r => r._1 == "ALL" && r._2 == "ALL"))
+    // sentinel placement follows the rolled-up bit
+    assert(byType.forall(_._2 == "ALL") && byDay.forall(_._1 == "ALL"))
+    assert(detail.forall(r => r._1 != "ALL" && r._2 != "ALL"))
+    // each marginal is the exact contraction of the detail level
+    val detailByType = detail.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val detailByDay = detail.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byType.map(r => r._1 -> r._4).toMap === detailByType)
+    assert(byDay.map(r => r._2 -> r._4).toMap === detailByDay)
+    // and the detail level accounts for every event exactly once
+    assert(detail.map(_._4).sum === Tables(spark, dir, "events").count())
+  }
+
+  test("interval_join: equals a driver-side recompute of per-error 1-hour windows") {
+    import graft.queries.RelationalQueries
+    val W = RelationalQueries.ImpactWindowUs
+    val events = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val byUser = events.groupBy(_._1)
+    // unbucketed recompute: the bucket decomposition must not lose boundary
+    // followers (window length == bucket width -> <= 2 covered buckets)
+    val want = events.filter(_._3 == RelationalQueries.AnchorType)
+      .map { case (u, eid, _, t0, _) =>
+        val hits = byUser(u).filter(e => e._4 > t0 && e._4 <= t0 + W)
+        eid -> (u, hits.length.toLong,
+          hits.map(e => math.round(e._5 * 100)).sum / 100.0)
+      }.toMap
+    val got = graft.queries.RelationalQueries.intervalJoin(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got === want)
+    assert(got.values.exists(_._2 > 0L), "no error had any follower: broken join")
+    assert(got.values.exists(_._2 == 0L),
+      "every error had followers: window predicate probably not applied")
+  }
 }
