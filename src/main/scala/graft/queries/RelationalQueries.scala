@@ -426,6 +426,100 @@ object RelationalQueries {
        |UNION ALL
        |SELECT 'step3_purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
 
+  // ------------------------------------------------------------- scd2_history
+  /** `scd2_history` — changelog → SLOWLY-CHANGING-DIMENSION (type 2)
+    * interval history: collapse each user's event stream to the runs of
+    * consecutive equal `event_type`, each run a row with
+    * [valid_from_us, valid_to_us) — the dimension-table build every
+    * warehouse runs on its CDC feed ([[latestByKey]] is the degenerate
+    * "current state only" form; this keeps the full validity history).
+    * The open (current) run carries Long.MaxValue as its sentinel end —
+    * the standard SCD2 "no end date yet" convention, and it keeps the
+    * output null-free (the oracle harness compares sorted multisets and
+    * NULL has no portable sort position).
+    *
+    * Scale shape: ONE user-keyed shuffle total. The change-point filter
+    * (lag over (user, time)) and the run-closing lead BOTH partition by
+    * user_id, and the second window's (valid_from_us, event_id) order is
+    * a subsequence of the first's (us, event_id) order on the filtered
+    * rows — Catalyst reuses the exchange AND the sort, so the corpus is
+    * shuffled once and the surviving change points (≤ corpus, typically
+    * ≪) never re-shuffle. Ties at the same microsecond are broken by
+    * event_id in BOTH windows, so run boundaries — and the hash — are
+    * deterministic.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val byStart = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("us").as("valid_from_us"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byStart), lit(Long.MaxValue)))
+      .select(col("user_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"))
+  }
+
+  val scd2HistorySql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_ns(ts) // 1000 AS us FROM events),
+       |x AS (SELECT user_id, event_id, event_type, us,
+       |             lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+       |      FROM e),
+       |c AS (SELECT user_id, event_id, event_type, us AS valid_from_us FROM x
+       |      WHERE prev_type IS NULL OR prev_type <> event_type)
+       |SELECT user_id, event_type, valid_from_us,
+       |       coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, event_id),
+       |                ${Long.MaxValue}) AS valid_to_us
+       |FROM c""".stripMargin
+
+  // -------------------------------------------------------- transition_matrix
+  /** `transition_matrix` — the first-order Markov transition counts of the
+    * event stream: for every (event_type → next event_type) adjacency
+    * within a user's time-ordered stream, the transition count and its
+    * row-normalized probability — session-path analysis ("what do users
+    * do after an error?"), and the input to any sequence model baseline.
+    * `share` is one BIGINT÷BIGINT division in an identical IEEE tree both
+    * engines, computed over exact counts — hash-safe.
+    *
+    * Scale shape: the lead window shuffles on user_id once (same axis as
+    * [[sessionize]]), the pair count is a partial-final hash agg to
+    * ≤ \|types\|² rows, and the row normalization is a window over THAT
+    * tiny aggregate — the codebook-window adjudication, never the corpus.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val byFrom = Window.partitionBy(col("event_type"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  epoch_ns(ts) // 1000 AS us FROM events),
+      |p AS (SELECT event_type,
+      |             lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |      FROM e),
+      |t AS (SELECT event_type, next_type, count(*) AS n FROM p
+      |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+      |FROM t""".stripMargin
+
   // --------------------------------------------------------- peak_concurrency
   /** `peak_concurrency` — max concurrent activity presences per day, the
     * classic SWEEP-LINE / interval-overlap query (capacity planning,
@@ -1546,6 +1640,8 @@ object RelationalQueries {
     "order_revenue" -> QueryDef(orderRevenue, Some(orderRevenueSql)),
     "regional_revenue" -> QueryDef(regionalRevenue, Some(regionalRevenueSql)),
     "latest_by_key" -> QueryDef(latestByKey, Some(latestByKeySql)),
+    "scd2_history" -> QueryDef(scd2History, Some(scd2HistorySql)),
+    "transition_matrix" -> QueryDef(transitionMatrix, Some(transitionMatrixSql)),
     "anti_join" -> QueryDef(antiJoin, Some(antiJoinSql)),
     "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
     "outlier_events" -> QueryDef(outlierEvents, Some(outlierEventsSql)),

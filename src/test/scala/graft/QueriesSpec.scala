@@ -1120,6 +1120,65 @@ class QueriesSpec extends SparkTestBase {
     assert(detail.map(_._4).sum === Tables(spark, dir, "events").count())
   }
 
+  test("scd2_history: one shuffle; runs tile each user's stream exactly") {
+    val df = graft.queries.RelationalQueries.scd2History(spark, dir)
+    // the scale property: both windows share ONE user-keyed exchange
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // driver-side recompute: run-length encode each user's ordered stream
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val starts = ordered.zipWithIndex.filter { case (e, i) =>
+        i == 0 || ordered(i - 1)._4 != e._4 }.map(_._1)
+      starts.zipWithIndex.map { case (s, i) =>
+        val to = if (i + 1 < starts.length) starts(i + 1)._2 else Long.MaxValue
+        (u, s._4, s._2, to)
+      }
+    }.toSet
+    assert(rows.toSet === want)
+    assert(rows.length === rows.distinct.length)
+    // intervals tile: per user, exactly one open run, starts == change points
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.count(_._4 == Long.MaxValue) == 1, s"user $u: open runs != 1")
+      val sorted = rs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"user $u: gap/overlap at ${b._3}")
+        case _ =>
+      }
+    }
+  }
+
+  test("transition_matrix: rows normalize to 1; counts equal a driver recompute") {
+    val df = graft.queries.RelationalQueries.transitionMatrix(spark, dir)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val t = es.sortBy(e => (e._2, e._3)).map(_._4)
+      t.zip(t.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === want)
+    // each from-type's shares sum to exactly 1 (n/tot over exact BIGINTs)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val tot = rs.map(_._3).sum
+      rs.foreach(r => assert(r._4 === r._3.toDouble / tot.toDouble))
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9, s"$t shares don't normalize")
+    }
+    // every transition's endpoints are observed event types
+    val types = evs.map(_._4).toSet
+    assert(rows.forall(r => types(r._1) && types(r._2)))
+  }
+
   test("interval_join: equals a driver-side recompute of per-error 1-hour windows") {
     import graft.queries.RelationalQueries
     val W = RelationalQueries.ImpactWindowUs
