@@ -395,6 +395,45 @@ object StreamingOps {
         })
   }
 
+  case class TransEv(user_id: Long, us: Long, event_id: Long, event_type: String)
+  case class TransState(us: Long, eventId: Long, eventType: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String, us: Long)
+
+  /** Streaming form of the `transition_matrix` edge stream: each newly
+    * observed (previous event → this event) adjacency within a user's
+    * time-ordered stream is emitted as one row the moment it completes —
+    * the real-time Markov feed (live session-path dashboards, next-action
+    * models); the batch query's counts are exactly the GROUP BY of this
+    * stream. `flatMapGroupsWithState` keeps only each user's LAST event
+    * (us, event_id, type) — state is O(live users), never event volume,
+    * same bound as [[latestByKey]]. Within a trigger the group's rows are
+    * processed in (us, event_id) order — the batch tie-break — so on a
+    * closed input the emitted multiset equals the batch lead-window
+    * pairs exactly (StreamingSpec); across triggers the contract is the
+    * sessionize one: event-time-ordered arrival between triggers.
+    */
+  def transitions(spark: SparkSession, events: DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        col("event_type")).as[TransEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[TransEv], state: GroupState[TransState]) => {
+          val sorted = evs.toArray.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption
+          val out = Array.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l =>
+              out += Transition(user, l.eventType, e.event_type, e.us))
+            last = Some(TransState(e.us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Session gap, nanos — 30 minutes, matching the batch sessionize. */
   val GapNanos: Long = 1800L * 1000000000L
 

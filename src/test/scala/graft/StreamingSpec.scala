@@ -64,6 +64,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSet === batch.toSet)
   }
 
+  test("streaming transitions: GROUP BY of the edge stream equals batch transition_matrix") {
+    val stream = StreamingOps.transitions(spark, StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("stream_transitions")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("stream_transitions")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = graft.queries.RelationalQueries.transitionMatrix(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
   test("streaming sessionize equals batch sessionize") {
     val stream = StreamingOps.sessionize(spark, StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
