@@ -36,7 +36,11 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
     // bounded-CHUNK broadcast of the query block (cap-sized, never the
     // corpus side; chunk count from parquet footer metadata)
-    "ann_topk")
+    "ann_topk",
+    // the declared non-equi range lookup: a CONSTANT 4-row band table
+    // broadcast per-row into the scan stage — the BNLJ here IS the
+    // intended operator (see bandJoin's scaladoc), never corpus-sized
+    "band_join")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.all.foreach { case (name, q) =>

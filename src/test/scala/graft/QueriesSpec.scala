@@ -1179,6 +1179,47 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => types(r._1) && types(r._2)))
   }
 
+  test("session_stats: no exchange beyond the window's; sessions reconcile with sessionize") {
+    val df = graft.queries.RelationalQueries.sessionStats(spark, dir)
+    // both windows AND the (user, session_idx) aggregate ride ONE
+    // user-keyed exchange (hash partitioning on user_id clusters the
+    // superset key, so EnsureRequirements adds nothing)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // reconciliation with sessionize: same gap rule -> same session counts
+    val bySessionize = graft.queries.RelationalQueries.sessionize(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byStats = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).max, rs.map(_._3).sum)).toMap
+    assert(byStats === bySessionize,
+      "session population/event totals disagree with sessionize")
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val idxs = rs.map(_._2).sorted
+      assert(idxs.toSeq === (1L to idxs.length).toSeq, s"user $u: ordinals not dense")
+    }
+    // sessions are bounded by their events: duration = end - start >= 0,
+    // and a 1-event session has zero duration
+    rows.foreach { case (u, s, n, st, en, d) =>
+      assert(d == en - st && d >= 0)
+      if (n == 1L) assert(d == 0L, s"user $u session $s: 1 event but duration $d")
+    }
+  }
+
+  test("band_join: bands partition the corpus; totals reconcile with distinct_count") {
+    val df = graft.queries.RelationalQueries.bandJoin(spark, dir)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // disjoint bands covering (0, inf): every event lands exactly once
+    assert(rows.map(_._2).sum === Tables(spark, dir, "events").count())
+    // integer-cents totals across bands == the per-type totals' grand sum
+    val totalCents = graft.queries.RelationalQueries.distinctCount(spark, dir)
+      .collect().map(r => math.round(r.getDouble(3) * 100)).sum
+    assert(rows.map(r => math.round(r._3 * 100)).sum === totalCents)
+    assert(rows.length > 1, "degenerate: all events in one band")
+  }
+
   test("interval_join: equals a driver-side recompute of per-error 1-hour windows") {
     import graft.queries.RelationalQueries
     val W = RelationalQueries.ImpactWindowUs
