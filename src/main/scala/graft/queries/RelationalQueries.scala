@@ -1489,6 +1489,125 @@ object RelationalQueries {
       |       max(CASE WHEN rk = (n*99+99)//100 THEN value END) AS p99
       |FROM r GROUP BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- anomaly_mad
+  /** `anomaly_mad` — ROBUST outlier detection by the median/MAD rule:
+    * flag events whose value deviates from the per-type MEDIAN by more
+    * than 3× the MEDIAN ABSOLUTE DEVIATION. The robust complement of
+    * [[outlierEvents]]' mean/3σ test — mean and σ are themselves dragged
+    * by the outliers they hunt (masking), while the 50% breakdown point
+    * of median/MAD survives heavy contamination; running both and
+    * diffing the flag sets is the standard anomaly-triage practice.
+    *
+    * EXACT, like the σ form: the median is [[valueQuantiles]]' rank
+    * selection (element at ceil(n/2) under the total (cents, event_id)
+    * order), MAD the same selection over |cents − med_cents|, and the
+    * flag `|cents − med| > 3·mad` compares BIGINTs — no float anywhere,
+    * so the flag set hash-matches the oracle bit-for-bit.
+    *
+    * Scale shape: TWO corpus exchanges — one rank sort per pass (median,
+    * then deviation); the per-type median and MAD tables are ≤\|type\|
+    * rows and attach as broadcasts, and the final flag evaluates
+    * scan-locally against them (the corpus is never shuffled for the
+    * flag). The median table is memoized so its corpus pass runs once
+    * even though two branches (the deviation window and the final flag)
+    * consume it. Same exact-form caveat as value_quantiles: at 100 TB
+    * with a low-cardinality key this is the sort-based exact path; the
+    * sketch path (approx_percentile of deviations) drops the sorts when
+    * approximation is acceptable.
+    */
+  private val madMedMemo = Memo.table()
+
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    val wDev = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev").asc, col("event_id").asc)
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val med = Memo.memoize(madMedMemo, spark, dir)(e
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rk") === expr("(n * 50 + 99) div 100"),
+        col("cents"))).as("med_cents")))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = dev
+      .withColumn("rk", row_number().over(wDev).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rk") === expr("(n * 50 + 99) div 100"),
+        col("dev"))).as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("dev") > lit(3L) * col("mad_cents"))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT *,
+      |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rk,
+      |             count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM e),
+      |med AS (SELECT event_type,
+      |               max(CASE WHEN rk = (n*50+99)//100 THEN cents END) AS med_cents
+      |        FROM r GROUP BY event_type),
+      |d AS (SELECT e.*, abs(e.cents - med.med_cents) AS dev
+      |      FROM e JOIN med USING (event_type)),
+      |dr AS (SELECT *,
+      |              CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS BIGINT) AS rk,
+      |              count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM d),
+      |mad AS (SELECT event_type,
+      |               max(CASE WHEN rk = (n*50+99)//100 THEN dev END) AS mad_cents
+      |        FROM dr GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.value
+      |FROM d JOIN mad USING (event_type)
+      |WHERE d.dev > 3 * mad.mad_cents""".stripMargin
+
+  // ------------------------------------------------------------- decile_stats
+  /** `decile_stats` — the NTILE window family: each event assigned to its
+    * per-type value decile (deterministic under the total (cents,
+    * event_id) order — NTILE's first `n mod 10` buckets take the extra
+    * row, the standard definition both engines share), then per
+    * (type, decile) count, value bounds, and integer-cents total — the
+    * equal-frequency binning behind score calibration, price-tier
+    * discovery, and monotonicity checks (bounds must be non-decreasing
+    * across deciles, test-pinned).
+    *
+    * Scale shape: one event_type shuffle + one in-partition sort (the
+    * NTILE window), then a partial-final hash agg to ≤ \|type\|·10 rows.
+    * Same exact-form caveat as value_quantiles.
+    */
+  def decileStats(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("decile", ntile(10).over(wOrd).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        (intSum(col("value"), 2) / 100.0).as("total_value"))
+  }
+
+  val decileStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, value, event_id,
+       |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |d AS (SELECT *,
+       |             CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS decile
+       |      FROM e)
+       |SELECT event_type, decile, count(*) AS n,
+       |       min(value) AS lo, max(value) AS hi,
+       |       ${sqlIntSum("value", 2)} / 100.0 AS total_value
+       |FROM d GROUP BY event_type, decile""".stripMargin
+
   // --------------------------------------------------------------- rollup_agg
   /** `rollup_agg` — the multi-level aggregate family (ROLLUP/CUBE/GROUPING
     * SETS): lineitem pricing totals at (returnflag, linestatus), per
@@ -1752,5 +1871,7 @@ object RelationalQueries {
     "hourly_gapfill" -> QueryDef(hourlyGapfill, Some(hourlyGapfillSql)),
     "props_stats" -> QueryDef(propsStats, Some(propsStatsSql)),
     "pii_scrub" -> QueryDef(piiScrub, Some(piiScrubSql)),
-    "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)))
+    "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)),
+    "anomaly_mad" -> QueryDef(anomalyMad, Some(anomalyMadSql)),
+    "decile_stats" -> QueryDef(decileStats, Some(decileStatsSql)))
 }

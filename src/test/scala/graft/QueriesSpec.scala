@@ -1179,6 +1179,55 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => types(r._1) && types(r._2)))
   }
 
+  test("anomaly_mad: flag set equals a driver-side exact median/MAD recompute") {
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def rankSelect(sorted: Array[(Long, Long)]): Long = {
+      // element at ceil(n/2) under (value, event_id) order — (v, id) pairs
+      val n = sorted.length.toLong
+      sorted(((n * 50 + 99) / 100 - 1).toInt)._1
+    }
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val cents = rows.map(r => (math.round(r._3 * 100), r._1))
+      val med = rankSelect(cents.sortBy(identity))
+      val devs = cents.map { case (c, id) => (math.abs(c - med), id) }
+      val mad = rankSelect(devs.sortBy(identity))
+      rows.filter(r => math.abs(math.round(r._3 * 100) - med) > 3 * mad)
+    }.map(_._1).toSet
+    val got = graft.queries.RelationalQueries.anomalyMad(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "no MAD outlier in a 10k-event corpus means a broken filter")
+    // robustness sanity: the MAD rule flags a set that overlaps but need
+    // not equal the 3-sigma set — both present means both tests are live
+    val sigma = graft.queries.RelationalQueries.outlierEvents(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert((got & sigma).nonEmpty, "MAD and sigma flag sets are disjoint: suspicious")
+  }
+
+  test("decile_stats: deciles partition each type; bounds monotone across deciles") {
+    val df = graft.queries.RelationalQueries.decileStats(spark, dir)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byType = Tables(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to 10L), s"$t: missing deciles")
+      assert(rs.map(_._3).sum === byType(t), s"$t: deciles don't partition the type")
+      // NTILE balance: bucket sizes differ by at most 1
+      assert(rs.map(_._3).max - rs.map(_._3).min <= 1, s"$t: unbalanced deciles")
+      // equal-frequency bins over a sorted axis: bounds non-decreasing
+      val ordered = rs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4 + 1e-9, s"$t: bounds not monotone")
+        case _ =>
+      }
+      ordered.foreach(r => assert(r._4 <= r._5))
+    }
+  }
+
   test("session_stats: no exchange beyond the window's; sessions reconcile with sessionize") {
     val df = graft.queries.RelationalQueries.sessionStats(spark, dir)
     // both windows AND the (user, session_idx) aggregate ride ONE
