@@ -1489,6 +1489,71 @@ object RelationalQueries {
       |       max(CASE WHEN rk = (n*99+99)//100 THEN value END) AS p99
       |FROM r GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- ewma_daily
+  /** `ewma_daily` — EXACT exponentially-decayed daily aggregate per event
+    * type, as of the corpus's latest day: decayed event mass
+    * Σ 2^−age and decayed value Σ value·2^−age with half-life = 1 day —
+    * the trend/recency signal behind alerting baselines and "what's hot"
+    * rankings, where a plain 7-day window forgets shape and a mean
+    * forgets time.
+    *
+    * The exactness trick, in the house cross-multiplied-integer
+    * tradition: with a 2^−age decay every weight is a POWER OF TWO, so
+    * scaling by 2^29 makes every weight an exact BIGINT (`1L << (29 −
+    * age)`; age > 29 underflows the scale to an exact 0 — stated in both
+    * engines identically). All sums are then associative BIGINT
+    * arithmetic — partial-agg merge order can never flip a bit — and the
+    * two output doubles are each ONE division by the power-of-two scale
+    * (exact in IEEE) and one by 100.0, identical trees both engines.
+    *
+    * Scale shape: one partial-final hash agg collapses the corpus to
+    * ≤ \|type\|·30 (type, age) rows (the only corpus-sized stage; the
+    * age filter prunes everything older than the 29-day horizon at the
+    * scan once dmax is known); the scaled fold runs over that tiny
+    * aggregate. `dmax` attaches as a 1-row broadcast (the active_users
+    * bounds pattern, PlanGuard-allowlisted). BIGINT headroom: the scaled
+    * fold needs Σ day_cents·2^29 < 2^63 ≈ decayed-window volume of
+    * $1.7×10⁸ per type — beyond that, drop EwmaScaleBits (each bit
+    * halves precision floor and doubles headroom) or fold the ≤30-row
+    * aggregate in DOUBLE (the corr_stats adjudication).
+    */
+  val EwmaScaleBits = 29
+  private val EwmaScale = (1L << EwmaScaleBits).toDouble
+
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val e = Tables(spark, dir, "events").select(col("event_type"),
+      expr(s"ts div $dayNs").as("d"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val dmax = e.agg(max(col("d")).as("dmax"))
+    e.crossJoin(broadcast(dmax))
+      .withColumn("age", col("dmax") - col("d"))
+      .filter(col("age") <= EwmaScaleBits)
+      .groupBy(col("event_type"), col("age"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .withColumn("w",
+        expr(s"shiftleft(1L, cast($EwmaScaleBits - age AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(col("n") * col("w")) / lit(EwmaScale)).as("eff_n"),
+        (sum(col("c") * col("w")) / lit(EwmaScale) / lit(100.0)).as("ewma_value"))
+  }
+
+  val ewmaDailySql: String =
+    s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+       |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |m AS (SELECT max(d) AS dmax FROM e),
+       |a AS (SELECT event_type, dmax - d AS age,
+       |             count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+       |      FROM e, m WHERE dmax - d <= $EwmaScaleBits GROUP BY 1, 2),
+       |w AS (SELECT event_type, n, c,
+       |             (CAST(1 AS BIGINT) << CAST($EwmaScaleBits - age AS INT)) AS wt
+       |      FROM a)
+       |SELECT event_type,
+       |       CAST(sum(n * wt) AS BIGINT) / ${1L << EwmaScaleBits}.0 AS eff_n,
+       |       CAST(sum(c * wt) AS BIGINT) / ${1L << EwmaScaleBits}.0 / 100.0 AS ewma_value
+       |FROM w GROUP BY event_type""".stripMargin
+
   // -------------------------------------------------------------- anomaly_mad
   /** `anomaly_mad` — ROBUST outlier detection by the median/MAD rule:
     * flag events whose value deviates from the per-type MEDIAN by more
@@ -1873,5 +1938,6 @@ object RelationalQueries {
     "pii_scrub" -> QueryDef(piiScrub, Some(piiScrubSql)),
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)),
     "anomaly_mad" -> QueryDef(anomalyMad, Some(anomalyMadSql)),
-    "decile_stats" -> QueryDef(decileStats, Some(decileStatsSql)))
+    "decile_stats" -> QueryDef(decileStats, Some(decileStatsSql)),
+    "ewma_daily" -> QueryDef(ewmaDaily, Some(ewmaDailySql)))
 }

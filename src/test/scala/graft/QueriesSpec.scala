@@ -1179,6 +1179,31 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => types(r._1) && types(r._2)))
   }
 
+  test("ewma_daily: equals a driver-side exact power-of-two-scaled recompute") {
+    import graft.queries.RelationalQueries
+    val bits = RelationalQueries.EwmaScaleBits
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val dmax = ev.map(_._2).max
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      val in = rows.filter(r => dmax - r._2 <= bits)
+      val wN = in.map(r => 1L << (bits - (dmax - r._2)).toInt).sum
+      val wC = in.map(r => math.round(r._3 * 100) * (1L << (bits - (dmax - r._2)).toInt)).sum
+      (wN / (1L << bits).toDouble, wC / (1L << bits).toDouble / 100.0)
+    }.toMap
+    val got = RelationalQueries.ewmaDaily(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got === want) // exact: BIGINT sums + power-of-two divisions
+    got.foreach { case (t, (effN, _)) =>
+      val total = ev.count(_._1 == t).toDouble
+      val today = ev.count(r => r._1 == t && r._2 == dmax).toDouble
+      // decayed mass is bounded by the corpus and dominated by recency
+      assert(effN <= total && effN >= today, s"$t: eff_n $effN outside [$today, $total]")
+    }
+  }
+
   test("anomaly_mad: flag set equals a driver-side exact median/MAD recompute") {
     val ev = Tables(spark, dir, "events")
       .select("event_id", "event_type", "value").collect()
