@@ -88,6 +88,41 @@ class SchemaContractSpec extends SparkTestBase {
     assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_quantity", DoubleType)
   }
 
+  test("dimension tables: every join key and queried column keeps its type") {
+    // the columns the inventory actually joins/filters/aggregates on —
+    // a silent INT32/INT64 flip on a join key would break every query
+    // downstream of it with far murkier symptoms than this message
+    // nation/region keys ship as INT32 (and their foreign refs with them);
+    // the corpus-sized keys are INT64 — joins coerce, but a flip WIDENING
+    // would silently change join/agg hash behavior, so both are pinned
+    val contracts: Seq[(String, String, DataType)] = Seq(
+      ("region", "r_regionkey", IntegerType), ("region", "r_name", StringType),
+      ("nation", "n_nationkey", IntegerType), ("nation", "n_regionkey", IntegerType),
+      ("nation", "n_name", StringType),
+      ("customer", "c_custkey", LongType), ("customer", "c_nationkey", IntegerType),
+      ("customer", "c_name", StringType), ("customer", "c_mktsegment", StringType),
+      ("supplier", "s_suppkey", LongType), ("supplier", "s_nationkey", IntegerType),
+      ("part", "p_partkey", LongType),
+      ("orders", "o_orderkey", LongType), ("orders", "o_custkey", LongType),
+      ("orders", "o_orderpriority", StringType),
+      ("lineitem", "l_orderkey", LongType), ("lineitem", "l_partkey", LongType),
+      ("lineitem", "l_suppkey", LongType),
+      ("lineitem", "l_returnflag", StringType), ("lineitem", "l_linestatus", StringType),
+      ("lineitem", "l_discount", DoubleType), ("lineitem", "l_tax", DoubleType))
+    contracts.groupBy(_._1).foreach { case (table, cols) =>
+      val df = Tables(spark, dir, table)
+      cols.foreach { case (_, name, t) => assertField(df, table)(name, t) }
+    }
+  }
+
+  test("events: exact column set (a driver-side add/drop surfaces here first)") {
+    val have = Tables(spark, dir, "events").schema.fieldNames.toSet
+    val want = Set("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(have == want,
+      s"CONTRACT: events columns changed — extra: ${have -- want}, " +
+        s"missing: ${want -- have}; audit every events query before trusting green")
+  }
+
   test("streaming eventStream delivers the same BIGINT-nanos contract as batch") {
     import graft.streaming.StreamingOps
     val s = StreamingOps.eventStream(spark, dir)
