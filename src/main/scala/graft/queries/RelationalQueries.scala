@@ -1581,15 +1581,21 @@ object RelationalQueries {
     * approximation is acceptable.
     */
   private val madMedMemo = Memo.table()
+  private val madModelMemo = Memo.table()
 
-  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-type (med_cents, mad_cents) MODEL TABLE behind [[anomalyMad]]
+    * — memoized as a session index artifact so the batch flagger and the
+    * streaming scorer (`StreamingOps.anomalyStream`, the offline-model /
+    * online-inference pattern) share one build.
+    */
+  def madModel(spark: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy(col("event_type"))
       .orderBy(col("cents").asc, col("event_id").asc)
     val wAll = Window.partitionBy(col("event_type"))
     val wDev = Window.partitionBy(col("event_type"))
       .orderBy(col("dev").asc, col("event_id").asc)
     val e = Tables(spark, dir, "events")
-      .select(col("event_id"), col("event_type"), col("value"),
+      .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
     val med = Memo.memoize(madMedMemo, spark, dir)(e
       .withColumn("rk", row_number().over(wOrd).cast("long"))
@@ -1597,18 +1603,24 @@ object RelationalQueries {
       .groupBy(col("event_type"))
       .agg(max(when(col("rk") === expr("(n * 50 + 99) div 100"),
         col("cents"))).as("med_cents")))
-    val dev = e.join(broadcast(med), Seq("event_type"))
+    Memo.memoize(madModelMemo, spark, dir)(e
+      .join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("cents") - col("med_cents")))
-    val mad = dev
       .withColumn("rk", row_number().over(wDev).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll))
       .groupBy(col("event_type"))
-      .agg(max(when(col("rk") === expr("(n * 50 + 99) div 100"),
-        col("dev"))).as("mad_cents"))
-    dev.join(broadcast(mad), Seq("event_type"))
-      .filter(col("dev") > lit(3L) * col("mad_cents"))
-      .select(col("event_id"), col("event_type"), col("value"))
+      .agg(max(col("med_cents")).as("med_cents"), // constant within the type
+        max(when(col("rk") === expr("(n * 50 + 99) div 100"),
+          col("dev"))).as("mad_cents")))
   }
+
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(broadcast(madModel(spark, dir)), Seq("event_type"))
+      .filter(abs(col("cents") - col("med_cents")) > lit(3L) * col("mad_cents"))
+      .select(col("event_id"), col("event_type"), col("value"))
 
   val anomalyMadSql: String =
     """WITH e AS (

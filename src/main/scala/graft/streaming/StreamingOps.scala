@@ -395,6 +395,32 @@ object StreamingOps {
         })
   }
 
+  /** Stream-STATIC anomaly scoring — the offline-model / online-inference
+    * pattern: a live event stream is scored against the BATCH-built
+    * per-type median/MAD model table (`RelationalQueries.madModel`, the
+    * session-memoized index artifact the batch `anomaly_mad` flagger also
+    * reads), emitting rows whose value deviates from the type median by
+    * more than 3×MAD the moment they arrive. The model side is a static
+    * ≤\|type\|-row broadcast re-read per micro-batch — a model refresh
+    * (rebuilding the table for a new training window) reaches the stream
+    * on the next trigger with no restart, which is exactly how a
+    * production scorer consumes a periodically retrained baseline.
+    * Stateless per event (broadcast join + filter): no watermark, no
+    * state store, unbounded throughput. On a closed input the flag set
+    * equals the batch flagger's exactly (BIGINT-cents compare both
+    * paths) — pinned in StreamingSpec.
+    */
+  def anomalyStream(spark: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val model = graft.queries.RelationalQueries.madModel(spark, dir)
+    events
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(broadcast(model), Seq("event_type"))
+      .filter(abs(col("cents") - col("med_cents")) >
+        lit(3L) * col("mad_cents"))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
   case class TransEv(user_id: Long, us: Long, event_id: Long, event_type: String)
   case class TransState(us: Long, eventId: Long, eventType: String)
   case class Transition(user_id: Long, from_type: String, to_type: String, us: Long)

@@ -64,6 +64,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSet === batch.toSet)
   }
 
+  test("streaming anomalyStream: flags equal batch anomaly_mad (stream-static model join)") {
+    val stream = StreamingOps.anomalyStream(
+      spark, StreamingOps.eventStream(spark, dir), dir)
+    val q = stream.writeStream
+      .format("memory").queryName("stream_anomalies")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("stream_anomalies")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.queries.RelationalQueries.anomalyMad(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === batch)
+    assert(got.nonEmpty, "no anomaly on the closed input: broken model join")
+  }
+
   test("streaming transitions: GROUP BY of the edge stream equals batch transition_matrix") {
     val stream = StreamingOps.transitions(spark, StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
