@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.RelationalQueries
+
+/** Boundary semantics of the time-axis operators on CRAFTED event streams —
+  * the cases the synthetic corpus cannot be relied on to contain: gaps
+  * exactly AT the session threshold, same-microsecond ties, and
+  * window-edge inclusion/exclusion. Each case pins the documented rule so
+  * an off-by-one in a refactor fails here with a named scenario instead of
+  * as an oracle hash flip.
+  *
+  * Inputs are written as BIGINT-nanos parquet (the loader's LongType
+  * pass-through branch), so these tests also exercise the nanos leg of
+  * `Tables.normalizeEventTs` that the current micros testdata no longer
+  * reaches.
+  */
+class EventEdgeSpec extends SparkTestBase {
+
+  private val GapNs = 1800L * 1000000000L // 30-min session gap
+  private val HourUs = RelationalQueries.ImpactWindowUs
+
+  /** Write (event_id, ts_ns, user_id, event_type, value) rows as an
+    * events.parquet the Tables loader accepts; returns the sf-style dir.
+    */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge").toString
+    rows.map { case (id, ts, u, t, v) => (id, ts, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("sessionize: a gap of exactly 30 min continues the session; +1 ns starts a new one") {
+    val t0 = 1700000000000000000L
+    val dir = eventsDir(Seq(
+      (1L, t0, 7L, "view", 1.0),
+      (2L, t0 + GapNs, 7L, "view", 1.0),          // == gap: same session
+      (3L, t0 + 2 * GapNs + 1L, 7L, "view", 1.0), // gap + 1 ns: new session
+      (4L, t0, 8L, "view", 1.0)))                 // single-event user
+    val got = RelationalQueries.sessionize(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(7L -> ((2L, 3L)), 8L -> ((1L, 1L))))
+  }
+
+  test("session_stats: boundary sessions materialize with exact durations") {
+    val t0 = 1700000000000000000L
+    val dir = eventsDir(Seq(
+      (1L, t0, 7L, "view", 1.0),
+      (2L, t0 + GapNs, 7L, "view", 1.0),
+      (3L, t0 + 2 * GapNs + 1L, 7L, "view", 1.0)))
+    val got = RelationalQueries.sessionStats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    // session 1: both boundary events, duration exactly the gap;
+    // session 2: the +1 ns event alone, duration 0
+    assert(got === Map((7L, 1L) -> ((2L, GapNs)), (7L, 2L) -> ((1L, 0L))))
+  }
+
+  test("scd2_history: same-microsecond ties order by event_id; runs tile exactly") {
+    val t0 = 1700000000000000000L
+    val dir = eventsDir(Seq(
+      (2L, t0, 7L, "click", 1.0), // same ts, higher id: SECOND in the order
+      (1L, t0, 7L, "view", 1.0),  // same ts, lower id: run starts here
+      (3L, t0 + 1000L, 7L, "click", 1.0))) // continues id-2's click run
+    val t0us = t0 / 1000 // scd2's validity axis is integer MICROSECONDS
+    val got = RelationalQueries.scd2History(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val sorted = got.sortBy(r => (r._2, r._3))
+    assert(sorted.toSeq === Seq(
+      ("view", t0us, t0us),               // zero-width: closed by the same-µs click
+      ("click", t0us, Long.MaxValue)))    // click run: ids 2 then 3, still open
+  }
+
+  test("transition_matrix: tie order by event_id defines the adjacency chain") {
+    val t0 = 1700000000000000000L
+    val dir = eventsDir(Seq(
+      (2L, t0, 7L, "click", 1.0),
+      (1L, t0, 7L, "view", 1.0),
+      (3L, t0 + 1000L, 7L, "purchase", 1.0)))
+    val got = RelationalQueries.transitionMatrix(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // chain under (ts, event_id) order: view -> click -> purchase
+    assert(got === Map(("view", "click") -> 1L, ("click", "purchase") -> 1L))
+  }
+
+  test("interval_join: (t0, t0+1h] — edge followers in, the anchor instant out") {
+    val t0 = 1700000000000000000L
+    val usNs = 1000L
+    val dir = eventsDir(Seq(
+      (1L, t0, 7L, "error", 1.0),                       // anchor
+      (2L, t0, 7L, "view", 2.0),                        // same µs as anchor: OUT
+      (3L, t0 + HourUs * usNs, 7L, "view", 3.0),        // exactly +1 h: IN
+      (4L, t0 + (HourUs + 1) * usNs, 7L, "view", 4.0),  // +1 h + 1 µs: OUT
+      (5L, t0 + GapNs, 7L, "view", 5.0)))               // mid-window (cross-bucket): IN
+    val got = RelationalQueries.intervalJoin(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(1L -> ((2L, 8.0)))) // events 3 (3.0) + 5 (5.0)
+  }
+
+  test("ewma_daily: weights halve per day and the 29-day horizon zeroes exactly") {
+    val dayNs = 86400000000000L
+    val t0 = 1700006400000000000L // mid-day anchor
+    val dir = eventsDir(Seq(
+      (1L, t0, 7L, "view", 1.0),              // dmax day: weight 1
+      (2L, t0 - dayNs, 7L, "view", 1.0),      // age 1: weight 1/2
+      (3L, t0 - 29 * dayNs, 7L, "view", 1.0), // age 29: smallest nonzero
+      (4L, t0 - 30 * dayNs, 7L, "view", 1.0)))// age 30: exact 0
+    val got = RelationalQueries.ewmaDaily(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scale = (1L << RelationalQueries.EwmaScaleBits).toDouble
+    assert(got("view") === (scale + scale / 2 + 1L) / scale) // 1 + 1/2 + 2^-29
+  }
+}
