@@ -132,4 +132,17 @@ class SchemaContractSpec extends SparkTestBase {
         s"${s.schema("ts").dataType} — StreamingOps.eventStream must sniff " +
         "the on-disk type and apply Tables.normalizeEventTs")
   }
+
+  test("eventStream on a not-yet-produced directory still normalizes (sniff fallback)") {
+    // a stream started ahead of its producer has no footer to sniff: the
+    // fallback schema must assume the current generator's micros flavor
+    // and the normalized contract must hold unchanged
+    import graft.streaming.StreamingOps
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty-stream")
+    val s = StreamingOps.eventStream(spark, empty.toString)
+    assert(s.isStreaming)
+    assert(s.schema("ts").dataType == LongType,
+      "CONTRACT: the empty-dir fallback schema must still normalize ts to " +
+        "BIGINT nanos")
+  }
 }
