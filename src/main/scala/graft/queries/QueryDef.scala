@@ -52,4 +52,8 @@ object Oracle {
   /** Word 3-gram list of token list `t` (mirror of TextFns.wordNgrams). */
   def ngrams3(t: String): String =
     s"[array_to_string($t[i:i+2], ' ') for i in generate_series(1, len($t) - 2)]"
+
+  /** Word 2-gram (bigram) list of token list `t`. */
+  def ngrams2(t: String): String =
+    s"[array_to_string($t[i:i+1], ' ') for i in generate_series(1, len($t) - 1)]"
 }

@@ -1910,6 +1910,200 @@ object RelationalQueries {
         element_at(col("ps"), 2).as("p90"),
         element_at(col("ps"), 3).as("p99"))
 
+  // -------------------------------------------------------- incremental_merge
+  /** `incremental_merge` — INCREMENTAL MATERIALIZATION / CDC upsert apply
+    * (MERGE INTO semantics): the latest-per-user snapshot computed the way
+    * a daily production job actually computes it — merge yesterday's
+    * materialized BASE snapshot with today's DELTA partition — rather than
+    * re-scanning the full history like [[latestByKey]]. The declared
+    * result is identical to the full recompute, and the ORACLE IS the full
+    * recompute: the driver's hash compare itself certifies
+    * `merge(state(<T), state(≥T)) ≡ state(all)` — the invariant that makes
+    * incremental pipelines trustworthy (plus an in-spec equality against
+    * latestByKey). The cut T is derived from the data (midpoint day
+    * boundary, exact integer arithmetic both engines) so the split stays
+    * meaningful whenever the driver regenerates testdata.
+    *
+    * Scale shape: each half collapses to ≤|users| rows via the
+    * latest_by_key plan (a row_number window whose `WindowGroupLimit` runs
+    * partial BEFORE the exchange); the merge is one `hint("merge")`-pinned
+    * FULL OUTER SortMergeJoin of two snapshot-sized sides on user_id —
+    * neither side of a full outer can broadcast (reconcile_totals
+    * adjudication), and both windows' hashpartitioning(user_id) already
+    * satisfies the join's distribution so EnsureRequirements adds sorts
+    * only. At 100 TB the base side is a STORED snapshot (no history
+    * re-scan) and the delta scan prunes to the new partitions — the whole
+    * point: per-run cost ∝ |delta|, not |history|. Delta wins ties by
+    * construction: base `us` < cut_us ≤ delta `us` strictly (the cut is a
+    * nanos day boundary, micros truncation preserves the strict split).
+    */
+  val MergeDayNs = 86400000000000L
+
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), expr("ts div 1000").as("us"),
+        col("event_id"), col("event_type"), col("value"))
+    // midpoint day boundary: exact integer arithmetic, oracle-reproducible
+    val bounds = ev.agg(
+      min(expr(s"ts div $MergeDayNs")).as("dmin"),
+      max(expr(s"ts div $MergeDayNs")).as("dmax"))
+      .select(expr(s"((dmin + dmax) div 2 + 1) * $MergeDayNs").as("cut_ns"))
+    val tagged = ev.crossJoin(broadcast(bounds)) // 1-row bounds attach
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    def snapshot(half: DataFrame): DataFrame = half
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("us"), col("event_id"),
+        col("event_type"), col("value"))
+    val base = snapshot(tagged.filter(col("ts") < col("cut_ns")))
+      .withColumnRenamed("us", "b_us").withColumnRenamed("event_id", "b_eid")
+      .withColumnRenamed("event_type", "b_type").withColumnRenamed("value", "b_val")
+    val delta = snapshot(tagged.filter(col("ts") >= col("cut_ns")))
+      .withColumnRenamed("us", "d_us").withColumnRenamed("event_id", "d_eid")
+      .withColumnRenamed("event_type", "d_type").withColumnRenamed("value", "d_val")
+    base.hint("merge").join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("d_us"), col("b_us")).as("last_ts_us"),
+        coalesce(col("d_eid"), col("b_eid")).as("last_event_id"),
+        coalesce(col("d_type"), col("b_type")).as("last_event_type"),
+        coalesce(col("d_val"), col("b_val")).as("last_value"))
+  }
+
+  /** The oracle is deliberately the FULL RECOMPUTE (latest over the whole
+    * history): hash-matching it certifies incremental ≡ batch.
+    */
+  val incrementalMergeSql: String =
+    """SELECT user_id, epoch_ns(ts) // 1000 AS last_ts_us,
+      |       event_id AS last_event_id,
+      |       event_type AS last_event_type,
+      |       value AS last_value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // -------------------------------------------------------------- first_touch
+  /** `first_touch` — FIRST-TOUCH ATTRIBUTION: each `purchase` event
+    * attributed to the same user's EARLIEST touchpoint (`view`/`click`)
+    * in the 24 hours strictly before it ([t0−24h, t0) — marketing
+    * attribution's "which touchpoint started this conversion").
+    * Completes the temporal-join family: [[asofJoin]] is
+    * latest-before-UNBOUNDED, [[intervalJoin]] is forward-window
+    * AGGREGATION, this is backward-bounded-window ARGMIN RETRIEVAL.
+    * Window membership is exact integer nanos both engines; the argmin
+    * order is (us, event_id) — the latest_by_key micros convention, so
+    * nano-resolution ordering can't diverge from the micros-truncated
+    * oracle. Purchases with no touch in window survive with NULL
+    * attribution (zero-fill).
+    *
+    * Scale shape: the intervalJoin axis-bucket trick with the window on
+    * the BACKWARD side — bucket width = window length, so each anchor
+    * (purchase) explodes into exactly its 2 covered buckets on the
+    * SPARSE side; touch events carry their single bucket; the (user,
+    * bucket) EQUI-join + residual range predicate bounds work by
+    * per-(user, window) density — never a per-user nested loop. Both
+    * scans prune with a pushed `event_type` filter. The per-purchase
+    * argmin is a `row_number`=1 window on the unique anchor event_id
+    * (skew-free, WindowGroupLimit partials below the exchange);
+    * zero-fill is an anchor-keyed left join.
+    */
+  val TouchWindowNs = 86400000000000L // 24 h
+  val ConversionType = "purchase"
+  val TouchTypes: Seq[String] = Seq("view", "click")
+
+  def firstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === ConversionType)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("t0"))
+    val anchors = purchases.withColumn("b",
+      explode(array(expr(s"(t0 - $TouchWindowNs) div $TouchWindowNs"),
+        expr(s"t0 div $TouchWindowNs")))) // always 2 consecutive buckets
+    val touches = ev.filter(col("event_type").isin(TouchTypes: _*))
+      .select(col("user_id").as("t_user"), col("ts"),
+        expr("ts div 1000").as("us"), col("event_id"), col("event_type"))
+      .withColumn("b", expr(s"ts div $TouchWindowNs"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val first = anchors.join(touches,
+      anchors("user_id") === touches("t_user") && anchors("b") === touches("b"))
+      .filter(col("ts") >= col("t0") - TouchWindowNs && col("ts") < col("t0"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("us").as("first_ts_us"),
+        col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"))
+    purchases.select(col("purchase_id"), col("user_id"))
+      .join(first, Seq("purchase_id"), "left")
+  }
+
+  val firstTouchSql: String = {
+    val touchList = TouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS t0
+       |           FROM events WHERE event_type = '$ConversionType'),
+       |t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tn,
+       |             epoch_ns(ts) // 1000 AS us
+       |      FROM events WHERE event_type IN ($touchList)),
+       |m AS (SELECT p.purchase_id, t.event_id, t.event_type, t.us
+       |      FROM p JOIN t ON t.user_id = p.user_id
+       |       AND t.tn >= p.t0 - $TouchWindowNs AND t.tn < p.t0),
+       |r AS (SELECT purchase_id, us, event_id, event_type,
+       |             row_number() OVER (PARTITION BY purchase_id
+       |                                ORDER BY us, event_id) AS rn
+       |      FROM m)
+       |SELECT p.purchase_id, p.user_id,
+       |       r.us AS first_ts_us,
+       |       r.event_id AS first_event_id,
+       |       r.event_type AS first_event_type
+       |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (purchase_id)""".stripMargin
+  }
+
+  // -------------------------------------------------------------- global_rank
+  /** `global_rank` — the TOTAL-ORDER SORT family (the OSDI 2004 §2.3
+    * "Distributed Sort" benchmark — TeraSort's shape): every event ranked
+    * globally by (value cents DESC, event_id ASC), a strict total order.
+    * Global ranking is what a naive `row_number() OVER (ORDER BY …)`
+    * cannot do at scale — one task sorts the whole corpus (Spark even
+    * warns). The scalable decomposition mirrors the range-partitioned
+    * sort: (1) assign each row a deterministic, data-independent value
+    * bucket (`vc div` [[RankBucketCents]] — fixed width, so bucket ids
+    * are reproducible at any parallelism; a production TeraSort samples
+    * bounds, trading determinism for balance); (2) per-bucket counts
+    * collapse to a TINY table whose running sum over buckets-above gives
+    * each bucket's global OFFSET (the only unpartitioned window —
+    * |buckets| rows, the codebook-window adjudication); (3) offsets
+    * broadcast back and each bucket ranks internally in parallel
+    * (`row_number` partitioned BY bucket) — global rank = offset +
+    * local rank. One corpus exchange (on bucket, which IS the range
+    * partitioning), one tiny aggregate exchange.
+    */
+  val RankBucketCents = 500L // 112 buckets over the [0, 560.21] value range
+
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("bkt", expr(s"vc div $RankBucketCents"))
+    val above = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(above), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val local = Window.partitionBy(col("bkt"))
+      .orderBy(col("vc").desc, col("event_id").asc)
+    ev.join(broadcast(offsets), "bkt")
+      .withColumn("rnk", row_number().over(local).cast("long") + col("off"))
+      .select(col("event_id"), col("vc"), col("rnk"))
+  }
+
+  val globalRankSql: String =
+    """WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+      |SELECT event_id, vc,
+      |       CAST(row_number() OVER (ORDER BY vc DESC, event_id) AS BIGINT) AS rnk
+      |FROM e""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -1951,5 +2145,8 @@ object RelationalQueries {
     "value_quantiles" -> QueryDef(valueQuantiles, Some(valueQuantilesSql)),
     "anomaly_mad" -> QueryDef(anomalyMad, Some(anomalyMadSql)),
     "decile_stats" -> QueryDef(decileStats, Some(decileStatsSql)),
-    "ewma_daily" -> QueryDef(ewmaDaily, Some(ewmaDailySql)))
+    "ewma_daily" -> QueryDef(ewmaDaily, Some(ewmaDailySql)),
+    "global_rank" -> QueryDef(globalRank, Some(globalRankSql)),
+    "incremental_merge" -> QueryDef(incrementalMerge, Some(incrementalMergeSql)),
+    "first_touch" -> QueryDef(firstTouch, Some(firstTouchSql)))
 }

@@ -745,6 +745,180 @@ object TextQueries {
        |FROM r WHERE sample_rank <= $StratK""".stripMargin
   }
 
+  // --------------------------------------------------------- distributed_grep
+  /** `distributed_grep` — the FIRST canonical application of the MapReduce
+    * paper (Dean & Ghemawat, OSDI 2004 §2.3: "Distributed Grep"), whose
+    * miniature the reference implements: scan the corpus for a pattern,
+    * emit the matching documents with their match counts. The pattern is a
+    * disjoint-literal alternation, on which Java-regex (leftmost-first)
+    * and RE2 (leftmost-longest) agree — a prefix-overlapping alternation
+    * like `(spark|sparkly)` would NOT be engine-portable.
+    *
+    * Scale shape: a pure scan-local projection + filter — `ReadSchema`
+    * prunes to 3 columns and the regex runs inside whole-stage codegen;
+    * zero shuffles at any corpus size (grep is the map-only job).
+    */
+  val GrepPattern = "(spark|merge)"
+
+  def distributedGrep(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(GrepPattern), lit(0)))
+          .cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+
+  val distributedGrepSql: String =
+    s"""SELECT doc_id, source,
+       |       CAST(len(regexp_extract_all(text, '$GrepPattern', 0)) AS BIGINT) AS n_matches
+       |FROM documents
+       |WHERE len(regexp_extract_all(text, '$GrepPattern', 0)) > 0""".stripMargin
+
+  // ------------------------------------------------------------- term_vector
+  /** `term_vector` — OSDI 2004 §2.3's "Term-Vector per Host": the top
+    * [[TermVecK]] terms of each source (host/domain) by total occurrence
+    * count, ties broken by term — the per-domain vocabulary summary used
+    * for corpus triage and domain-weighting decisions (which crawl hosts
+    * are boilerplate farms, which are prose).
+    *
+    * Scale shape: the memoized per-doc (doc_id, term, tf) table joins the
+    * 2-column documents projection on doc_id (co-partitioned corpus-keyed
+    * join), collapses to the per-(source, term) VOCABULARY in a
+    * partial-final hash agg (sublinear, Heaps' law), and only that
+    * vocab-sized aggregate meets the per-source top-k window — the corpus
+    * never enters a window.
+    */
+  val TermVecK = 5
+
+  def termVector(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("term").asc)
+    tf.join(src, "doc_id")
+      .groupBy(col("source"), col("term"))
+      .agg(sum(col("tf")).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TermVecK)
+      .select(col("source"), col("term"), col("cnt"), col("rnk"))
+  }
+
+  val termVectorSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |st AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS cnt
+       |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |r AS (SELECT source, term, cnt,
+       |             CAST(row_number() OVER (PARTITION BY source
+       |                                     ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+       |      FROM st)
+       |SELECT source, term, cnt, rnk FROM r WHERE rnk <= $TermVecK""".stripMargin
+
+  // -------------------------------------------------------- rare_bigram_rate
+  /** `rare_bigram_rate` — the exact-arithmetic stand-in for the classic
+    * LM-perplexity quality filter (CCNet/Gopher): score each document by
+    * the fraction of its word bigrams that are RARE in the corpus
+    * (corpus count < [[RareBigramMin]]). Degenerate or garbled text pairs
+    * words never seen together — a high rare-bigram fraction is the
+    * integer-exact proxy for high LM perplexity (a true LM score is a sum
+    * of libm logs, which can never hash-match across engines; this rank
+    * signal can, bit-for-bit: the only double is one division of two
+    * exact BIGINTs).
+    *
+    * Scale shape: one corpus bigram pass (native [[TextFns.wordNgrams]]
+    * kernel) collapsing to the bigram VOCABULARY in a partial-final hash
+    * agg; the count-attach is a bigram-keyed join (the tfidf tf⋈df
+    * shape — at 100 TB both sides shuffle on the bigram key; no unbounded
+    * broadcast); the per-doc rollup is a second partial-final agg; the
+    * zero-fill join back to documents is doc_id-keyed. The corpus never
+    * meets a window.
+    */
+  val RareBigramMin = 5L
+
+  def rareBigramRate(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docs(spark, dir).select(col("doc_id"),
+      explode(TextFns.wordNgrams(TextFns.tokens(col("text")), 2)).as("bg"))
+    val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val per = bg.join(cnt, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") < RareBigramMin, 1L).otherwise(0L)).as("n_rare"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_bigrams").isNotNull,
+          col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("rare_rate"))
+  }
+
+  val rareBigramRateSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |bg AS (SELECT doc_id, unnest(${Oracle.ngrams2("t")}) AS bg FROM toks WHERE len(t) >= 2),
+       |c AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+       |per AS (SELECT doc_id, count(*) AS n_bigrams,
+       |               CAST(sum(CASE WHEN c.c < $RareBigramMin THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |        FROM bg JOIN c USING (bg) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       |       coalesce(per.n_rare, 0) AS n_rare,
+       |       CASE WHEN per.n_bigrams IS NOT NULL
+       |            THEN CAST(per.n_rare AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
+       |            ELSE 0.0 END AS rare_rate
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------------- lexical_diversity
+  /** `lexical_diversity` — exact Simpson/Herfindahl lexical diversity per
+    * document: `1 − Σ tf² / n²`, the probability that two independently
+    * drawn tokens differ. The entropy-free diversity index: Shannon
+    * entropy needs libm logs (not engine-portable — the cooc_pmi
+    * adjudication), while Simpson's collision form is BIGINT second
+    * moments and ONE double division of exact integers, bit-identical
+    * cross-engine. Complements [[repetitionScore]]: that flags the single
+    * dominant token (max tf); this catches distributed repetition (a doc
+    * cycling over 3 phrases has unremarkable max tf but a collapsed
+    * second moment). Integer headroom: Σtf² ≤ n² overflows BIGINT only
+    * past ~3 G tokens per single document — document chunking bounds are
+    * far below that at any corpus size.
+    *
+    * Scale shape: one per-doc rollup (Σtf, Σtf², count) over the memoized
+    * (doc_id, term, tf) table — a partial-final hash agg; the zero-fill
+    * left join back to documents is doc_id-keyed. No window, no explode
+    * beyond the shared tokenization.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val per = termFreq(spark, dir).groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("s2"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_tokens").isNotNull,
+          (col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"))
+          .otherwise(lit(0.0)).as("simpson"))
+  }
+
+  val lexicalDiversitySql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |               count(*) AS n_distinct,
+       |               CAST(sum(tf * tf) AS BIGINT) AS s2
+       |        FROM tf GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(per.n_tokens, 0) AS n_tokens,
+       |       coalesce(per.n_distinct, 0) AS n_distinct,
+       |       CASE WHEN per.n_tokens IS NOT NULL
+       |            THEN CAST(per.n_tokens * per.n_tokens - per.s2 AS DOUBLE) /
+       |                 CAST(per.n_tokens * per.n_tokens AS DOUBLE)
+       |            ELSE 0.0 END AS simpson
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
     "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
@@ -765,6 +939,10 @@ object TextQueries {
     "domain_mix" -> QueryDef(domainMix, Some(domainMixSql)),
     "stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)),
     "split_drift" -> QueryDef(splitDrift, Some(splitDriftSql)),
+    "distributed_grep" -> QueryDef(distributedGrep, Some(distributedGrepSql)),
+    "term_vector" -> QueryDef(termVector, Some(termVectorSql)),
+    "rare_bigram_rate" -> QueryDef(rareBigramRate, Some(rareBigramRateSql)),
+    "lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     // rows-only like approx_stats: sketch estimates are merge-order
     // dependent; the deterministic bound guarantees are pinned in tests
     "approx_topk" -> QueryDef(approxTopK, None))

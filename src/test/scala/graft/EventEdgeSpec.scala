@@ -115,4 +115,53 @@ class EventEdgeSpec extends SparkTestBase {
     val scale = (1L << RelationalQueries.EwmaScaleBits).toDouble
     assert(got("view") === (scale + scale / 2 + 1L) / scale) // 1 + 1/2 + 2^-29
   }
+
+  test("incremental_merge: base-only, delta-only, and both-halves users coalesce right") {
+    val dayNs = 86400000000000L
+    val d0 = 19700L * dayNs // day-aligned epoch anchor
+    // span days 0..10 -> cut day = (0 + 10)/2 + 1 = 6 (events below are
+    // labeled by day offset; user 4 pins dmin/dmax)
+    val dir = eventsDir(Seq(
+      (1L, d0 + 1 * dayNs, 1L, "view", 1.0),  // u1: BASE only
+      (2L, d0 + 8 * dayNs, 2L, "view", 2.0),  // u2: DELTA only
+      (3L, d0 + 2 * dayNs, 3L, "view", 3.0),  // u3: base half...
+      (4L, d0 + 9 * dayNs, 3L, "view", 4.0),  //     ...and delta half: delta wins
+      (5L, d0, 4L, "view", 5.0),              // u4: dmin pin (base)
+      (6L, d0 + 10 * dayNs, 4L, "view", 6.0)))// u4: dmax pin (delta wins)
+    val got = RelationalQueries.incrementalMerge(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 1.0)), // survives from the base snapshot (no delta row)
+      2L -> ((2L, 2.0)), // delta-only user materializes
+      3L -> ((4L, 4.0)), // delta overrides base
+      4L -> ((6L, 6.0))))
+  }
+
+  test("first_touch: window edges inclusive/exclusive; same-microsecond tie by event_id") {
+    val W = RelationalQueries.TouchWindowNs
+    val t0 = 1700000000000000000L + 3L * 3600L * 1000000000L // NOT bucket-aligned
+    val t1 = t0 + 7L * 3600L * 1000000000L
+    val dir = eventsDir(Seq(
+      // user 7: boundary semantics around purchase at t0
+      (100L, t0, 7L, "purchase", 0.0),
+      (1L, t0 - W, 7L, "view", 0.0),      // exactly t0-W: IN (earliest)
+      (2L, t0 - W - 1L, 7L, "click", 0.0),// 1 ns before the window: OUT
+      (3L, t0, 7L, "view", 0.0),          // at t0: OUT (strictly before)
+      (4L, t0 - 1000L, 7L, "click", 0.0), // in-window but later than 1
+      // user 8: two touches in the SAME microsecond -> lower event_id wins
+      (200L, t1, 8L, "purchase", 0.0),
+      (11L, t1 - 6000L + 500L, 8L, "click", 0.0), // same us as 10, higher id
+      (10L, t1 - 6000L + 1L, 8L, "view", 0.0),
+      // user 9: purchase with no touches -> NULL attribution survives
+      (300L, t1, 9L, "purchase", 0.0),
+      (20L, t1 + 1L, 9L, "view", 0.0)))   // after the purchase: OUT
+    val got = RelationalQueries.firstTouch(spark, dir).collect().map { r =>
+      val f = if (r.isNullAt(2)) None else Some((r.getLong(3), r.getString(4)))
+      r.getLong(0) -> ((r.getLong(1), f))
+    }.toMap
+    assert(got === Map(
+      100L -> ((7L, Some((1L, "view")))),
+      200L -> ((8L, Some((10L, "view")))),
+      300L -> ((9L, None))))
+  }
 }

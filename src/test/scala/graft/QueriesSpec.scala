@@ -1319,4 +1319,145 @@ class QueriesSpec extends SparkTestBase {
     assert(got.values.exists(_._2 == 0L),
       "every error had followers: window predicate probably not applied")
   }
+
+  test("incremental_merge: merge(base, delta) equals the full latest_by_key recompute") {
+    val merged = graft.queries.RelationalQueries.incrementalMerge(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    val direct = graft.queries.RelationalQueries.latestByKey(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(merged === direct)
+    // non-vacuous split: events exist on both sides of the cut (the
+    // base-only / delta-only COALESCE paths are pinned on crafted streams
+    // in EventEdgeSpec — the synthetic corpus has every user active in
+    // both halves, so real data can't exercise them)
+    val cut = {
+      val ev = Tables(spark, dir, "events")
+        .select(expr("ts div 86400000000000").as("d"))
+        .agg(min("d").as("dmin"), max("d").as("dmax")).collect()(0)
+      ((ev.getLong(0) + ev.getLong(1)) / 2 + 1) * 86400000000000L
+    }
+    val counts = Tables(spark, dir, "events")
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("nd")).collect()(0)
+    assert(counts.getLong(0) > 0, "vacuous: no events before the cut")
+    assert(counts.getLong(1) > 0, "vacuous: no events after the cut")
+  }
+
+  test("first_touch: equals a driver-side recompute; zero-fill purchases survive") {
+    import graft.queries.RelationalQueries
+    val W = RelationalQueries.TouchWindowNs
+    val events = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val touchesByUser = events
+      .filter(e => RelationalQueries.TouchTypes.contains(e._4)).groupBy(_._1)
+    val want = events.filter(_._4 == RelationalQueries.ConversionType)
+      .map { case (u, t0, pid, _) =>
+        val hits = touchesByUser.getOrElse(u, Array.empty)
+          .filter(e => e._2 >= t0 - W && e._2 < t0)
+        val first = if (hits.isEmpty) None
+          else Some(hits.minBy(e => (e._2 / 1000, e._3)))
+        pid -> ((u, first.map(e => (e._2 / 1000, e._3, e._4))))
+      }.toMap
+    val got = RelationalQueries.firstTouch(spark, dir).collect().map { r =>
+      val f = if (r.isNullAt(2)) None
+        else Some((r.getLong(2), r.getLong(3), r.getString(4)))
+      r.getLong(0) -> ((r.getLong(1), f))
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_._2.isDefined), "no purchase had any touch: broken join")
+    assert(got.values.exists(_._2.isEmpty),
+      "every purchase attributed: window predicate probably not applied")
+  }
+
+  test("global_rank: bucket-decomposed rank equals the one-task global sort") {
+    val got = graft.queries.RelationalQueries.globalRank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = got.length.toLong
+    // rank is a permutation of 1..N (no gaps, no dupes — the offsets and
+    // per-bucket ranks compose exactly)
+    assert(got.map(_._3).sorted.toSeq === (1L to n))
+    // and matches the naive global sort the decomposition replaces
+    val want = got.map(t => (t._1, t._2)).sortBy { case (eid, vc) => (-vc, eid) }
+      .zipWithIndex.map { case ((eid, vc), i) => (eid, vc, i + 1L) }.toSet
+    assert(got.toSet === want)
+  }
+
+  test("distributed_grep: counts equal a driver-side regex scan; misses dropped") {
+    import graft.queries.TextQueries
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val re = TextQueries.GrepPattern.r
+    val want = docs.map { case (d, t) => d -> re.findAllIn(t).length.toLong }
+      .filter(_._2 > 0).toMap
+    val got = TextQueries.distributedGrep(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "vacuous: pattern matched nothing")
+    assert(want.size < docs.length, "vacuous: pattern matched every document")
+  }
+
+  test("term_vector: per-source top-k re-derives from the tokenizer; ranks contiguous") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.termVector(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables(spark, dir, "documents").select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val counts = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2.split("[^\\p{L}]+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    }
+    val want = counts.flatMap { case (s, m) =>
+      m.toSeq.sortBy { case (w, c) => (-c, w) }.take(TextQueries.TermVecK)
+        .zipWithIndex.map { case ((w, c), i) => (s, w, c, i + 1L) }
+    }.toSet
+    assert(rows.toSet === want)
+    // every source present with exactly k rows, ranked 1..k
+    counts.keys.foreach { s =>
+      assert(rows.filter(_._1 == s).map(_._4).sorted.toSeq ===
+        (1L to TextQueries.TermVecK.toLong), s"source $s ranks not contiguous")
+    }
+  }
+
+  test("rare_bigram_rate: equals a driver-side bigram recompute; zero-fill present") {
+    import graft.queries.TextQueries
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bigrams = docs.map { case (d, t) =>
+      d -> t.split("[^\\p{L}]+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+    }
+    val corpus = bigrams.flatMap(_._2).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val want = bigrams.map { case (d, bs) =>
+      val nRare = bs.count(b => corpus(b) < TextQueries.RareBigramMin).toLong
+      val rate = if (bs.nonEmpty) nRare.toDouble / bs.length.toDouble else 0.0
+      d -> ((bs.length.toLong, nRare, rate))
+    }.toMap
+    val got = TextQueries.rareBigramRate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    assert(got.size === docs.length, "every document must appear (zero-fill)")
+    assert(got.values.exists(_._2 > 0L), "vacuous: no rare bigrams in the corpus")
+  }
+
+  test("lexical_diversity: equals an exact driver-side Simpson recompute") {
+    import graft.queries.TextQueries
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.map { case (d, t) =>
+      val tf = t.split("[^\\p{L}]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+      val n = tf.sum
+      val s2 = tf.map(f => f * f).sum
+      val simpson = if (n > 0) (n * n - s2).toDouble / (n * n).toDouble else 0.0
+      d -> ((n, tf.size.toLong, simpson))
+    }.toMap
+    val got = TextQueries.lexicalDiversity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    // Simpson is a probability; strictly below 1 for finite docs
+    got.values.foreach { case (_, _, s) => assert(s >= 0.0 && s < 1.0) }
+  }
 }
