@@ -852,6 +852,88 @@ object DedupQueries {
       |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
 
+  // ----------------------------------------------------------- triangle_count
+  /** `triangle_count` — graph analytics over the verified near-dup pair
+    * graph (the classic MapReduce-era graph benchmark, and
+    * [[dedupCluster]]'s structural complement: components say WHICH docs
+    * connect, triangle density says HOW tightly): one summary row with
+    * vertex/edge/wedge/triangle counts and the global clustering
+    * coefficient `3·T / W` — near-dup components that are cliques
+    * (true duplicate groups) score ~1, chain-shaped false-positive
+    * bridges score ~0, so the coefficient is a dedup-graph QUALITY
+    * metric, not just a curiosity.
+    *
+    * Algorithm: degree-ordered triangle enumeration (the MapReduce
+    * standard, Suri & Vassilvitskii's node-iterator++): orient every
+    * edge from its (degree, id)-smaller endpoint, enumerate wedges at
+    * each vertex over its OUT-neighbors only, and close each wedge
+    * against the edge set. The orientation bounds out-degree by
+    * O(√m), so per-vertex wedge generation is O(√m)-bounded where the
+    * naive node-iterator explodes on hubs — the skew story at 100 TB.
+    * Each triangle {u,v,w} is counted EXACTLY once: at its rank-minimum
+    * vertex. The ORACLE is deliberately the orientation-free 3-way
+    * self-join on id-ordered edges — hash-matching it proves the
+    * orientation trick loses/duplicates nothing.
+    *
+    * Scale shape: degree table = one partial-final hash agg over the
+    * exploded edge list (O(V)); orientation = two vertex-keyed joins;
+    * wedge generation = `groupBy(src)` + the lazy [[graft.functions.PairsExpr]]
+    * generator (pairs stream, no n² buffer — and |out(v)| ≤ O(√m) by
+    * the orientation); closing = one (da, db)-keyed equi-join against
+    * the edge list; the summary is three 1-row aggregates crossJoined
+    * (O(1) broadcasts, PlanGuard-allowlisted). The corpus-sized text
+    * pipeline behind the edges is the SHARED memoized minhash index.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = dedupMinhash(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val srcIsA = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ed.select(
+      when(srcIsA, col("a")).otherwise(col("b")).as("src"),
+      when(srcIsA, col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(graft.functions.PairsExpr(col("ds"))) // -> (da, db), da < db
+    val tri = wedges.join(e,
+      wedges("da") === e("a") && wedges("db") === e("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    val degStats = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        ((col("n_triangles") * 3L).cast("double") /
+          col("n_wedges").cast("double")).as("global_cc"))
+  }
+
+  /** Orientation-free oracle: triangles = id-ordered 3-way edge self-join
+    * (every triangle x<y<z appears exactly once as (x,y),(y,z),(x,z)).
+    */
+  val triangleCountSql: String =
+    s"""WITH $minhashPairsCtes,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM mhpairs),
+       |deg AS (SELECT v, count(*) AS d
+       |        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |        GROUP BY v),
+       |tri AS (SELECT count(*) AS n_tri
+       |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+       |       (SELECT count(*) FROM e) AS n_edges,
+       |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       |       (SELECT CAST(n_tri AS BIGINT) FROM tri) AS n_triangles,
+       |       CAST(3 * (SELECT n_tri FROM tri) AS DOUBLE) /
+       |         CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE) AS global_cc""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "fuzzy_dedup" -> QueryDef(fuzzyDedup, Some(fuzzyDedupSql)),
@@ -867,5 +949,6 @@ object DedupQueries {
     // same oracle as decontaminate: the Bloom pre-filter has no false
     // negatives and the exact join rejects its false positives, so the
     // hash-match proves the pruning lossless per round
-    "decontaminate_bloom" -> QueryDef(decontaminateBloom, Some(decontaminateSql)))
+    "decontaminate_bloom" -> QueryDef(decontaminateBloom, Some(decontaminateSql)),
+    "triangle_count" -> QueryDef(triangleCount, Some(triangleCountSql)))
 }

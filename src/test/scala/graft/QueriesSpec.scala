@@ -1372,6 +1372,24 @@ class QueriesSpec extends SparkTestBase {
       "every purchase attributed: window predicate probably not applied")
   }
 
+  test("triangle_count: degree-ordered enumeration equals a brute-force recompute") {
+    val edges = graft.queries.DedupQueries.dedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = verts.map(v => v -> edges.count(e => e._1 == v || e._2 == v)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val vs = verts.toSeq.sorted
+    val tris = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length; k <- (j + 1) until vs.length
+      if edges((vs(i), vs(j))) && edges((vs(j), vs(k))) && edges((vs(i), vs(k)))
+    } yield 1).size.toLong
+    val r = graft.queries.DedupQueries.triangleCount(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((verts.size.toLong, edges.size.toLong, wedges, tris)))
+    assert(r.getDouble(4) === 3.0 * tris / wedges)
+  }
+
   test("global_rank: bucket-decomposed rank equals the one-task global sort") {
     val got = graft.queries.RelationalQueries.globalRank(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
