@@ -62,4 +62,63 @@ object MediaDecode {
       }
     }(enc)
   }
+
+  /** Bytes per stub "frame": a payload of n bytes decodes to
+    * `1 + n / FrameBytes` frames.
+    */
+  val FrameBytes = 64
+
+  private def md5Hex(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Top-60-bits md5 hash of a string — the JVM mirror of the text
+    * kernels' `hash60` (first 15 md5 hex digits as an integer), so the
+    * DuckDB oracle reproduces frame fingerprints exactly.
+    */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    h >>> 4
+  }
+
+  /** FRAME-SAMPLE stage: each payload row explodes into every `stride`-th
+    * frame of its stub-decoded frame sequence, with a per-frame
+    * fingerprint (the feature-extract placeholder — a real deployment
+    * puts the decoded-frame embedding here). Emits the input columns plus
+    * `(frame_idx, frame_fp)`.
+    *
+    * The frame count (`1 + bytes/FrameBytes`) and fingerprint
+    * (`hash60(md5hex(payload) ':' frame_idx)`) are pure functions of the
+    * bytes, so the whole stage sits on the oracle-checked CORRECTNESS
+    * path like [[withMetadata]]. Frames STREAM out of the flatMap one at
+    * a time (no per-row frame array is materialized — a long video would
+    * otherwise buffer its whole frame list in one row), and the decoder
+    * context is per-partition. NULL payloads emit no frames.
+    */
+  def frameSample(df: DataFrame, payloadCol: String, stride: Int): DataFrame = {
+    val schema = df.schema
+      .add(StructField("frame_idx", LongType, nullable = false))
+      .add(StructField("frame_fp", LongType, nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // per-partition decoder setup would go here (open codec context once)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        if (payload == null) Iterator.empty
+        else {
+          val nFrames = 1 + payload.length / FrameBytes
+          val base = md5Hex(payload)
+          Iterator.range(0, nFrames, stride).map { f =>
+            Row.fromSeq(r.toSeq :+ f.toLong :+ hash60(s"$base:$f"))
+          }
+        }
+      }
+    }(enc)
+  }
 }

@@ -46,6 +46,34 @@ object MultimodalQueries {
        |       CASE WHEN ${Oracle.hash60("text")} % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
        |FROM documents""".stripMargin
 
+  /** `media_framesample` — the FRAME-SAMPLE stage of a video pipeline:
+    * every payload explodes into its stride-2 sampled frames with a
+    * per-frame fingerprint (the feature-extract placeholder), through the
+    * REAL per-partition streaming flatMap stage
+    * (`MediaDecode.frameSample`) — frames never buffer as a per-row
+    * array, the shape that matters when one payload is a 2-hour video.
+    * Frame count and fingerprints are pure functions of the payload
+    * bytes, so the mapPartitions stage is oracle-checked end-to-end.
+    */
+  val FrameStride = 2
+
+  def mediaFramesample(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.docs(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.operators.MediaDecode.frameSample(base, "payload", FrameStride)
+      .select(col("doc_id"), col("frame_idx"), col("frame_fp"))
+  }
+
+  val mediaFramesampleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |         unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // ${graft.operators.MediaDecode.FrameBytes}, $FrameStride)) AS i
+       |  FROM documents)
+       |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       |       ${Oracle.hash60("h || ':' || CAST(i AS VARCHAR)")} AS frame_fp
+       |FROM f""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
-    "multimodal_meta" -> QueryDef(multimodalMeta, Some(multimodalMetaSql)))
+    "multimodal_meta" -> QueryDef(multimodalMeta, Some(multimodalMetaSql)),
+    "media_framesample" -> QueryDef(mediaFramesample, Some(mediaFramesampleSql)))
 }

@@ -1082,6 +1082,33 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_._4).sum < 43.8, s"hash split drifted: chi2=${rows.map(_._4).sum}")
   }
 
+  test("media_framesample: frames re-derive from payload bytes; stride respected") {
+    import graft.queries.MultimodalQueries
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L
+      (0 until 8).foreach(j => h = (h << 8) | (d(j) & 0xffL))
+      h >>> 4
+    }
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+    val want = docs.flatMap { case (d, bytes) =>
+      val n = 1 + bytes.length / graft.operators.MediaDecode.FrameBytes
+      (0 until n by MultimodalQueries.FrameStride)
+        .map(i => (d, i.toLong, h60(s"${md5hex(bytes)}:$i")))
+    }.toSet
+    val got = MultimodalQueries.mediaFramesample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // stride drops the odd frames: multi-frame docs exist and no odd index
+    assert(got.exists(_._2 > 0L), "vacuous: every payload single-frame")
+    assert(!got.exists(_._2 % 2 == 1L), "stride 2 must skip odd frames")
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
