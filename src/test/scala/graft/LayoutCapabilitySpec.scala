@@ -98,6 +98,61 @@ class LayoutCapabilitySpec extends SparkTestBase {
     assert(pruned.count() === want)
   }
 
+  test("CSV ingest: explicit schema round-trips types; no inference scan") {
+    val out = freshDir("csv")
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+
+    // explicit schema: no inferSchema (which would cost a FULL extra pass
+    // over 100 TB before the real scan), exact types preserved
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(out)
+    assert(back.schema === schema)
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("JSONL ingest: schema round-trip; malformed rows quarantine, not crash") {
+    val out = freshDir("jsonl")
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite").json(out)
+
+    // drop a malformed file into the ingest dir the way a real crawl
+    // delivery arrives: one truncated JSON line (a fresh file, not an
+    // edit of Spark's own part file — those carry .crc sidecars)
+    Files.write(Paths.get(out, "part-truncated.json"),
+      java.util.Arrays.asList("{\"doc_id\": 999999, \"source\": \"src0\", \"n_ch"))
+
+    val schema = docs.schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out).cache()
+    try {
+      // every good row survives with exact types...
+      val good = back.filter(col("_corrupt_record").isNull)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(good === want)
+      // ...and the malformed line lands in the quarantine column (a
+      // 100 TB ingest must never abort on one truncated record)
+      val bad = back.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length === 1)
+      assert(bad(0).getAs[String]("_corrupt_record").contains("n_ch"))
+    } finally back.unpersist()
+  }
+
   test("repartitionByRange + sortWithinPartitions exports globally ordered files") {
     val out = freshDir("sorted")
     val docs = Tables(spark, sf("sf0.001"), "documents")
