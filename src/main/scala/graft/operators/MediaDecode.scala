@@ -86,6 +86,33 @@ object MediaDecode {
     h >>> 4
   }
 
+  /** RESIZE stage: append a `resized` binary column — the stub "thumbnail"
+    * is the payload truncated to `targetBytes` (a real deployment decodes,
+    * scales, and re-encodes here; the byte-truncation stand-in keeps the
+    * stage a pure function of the input bytes so it sits on the
+    * oracle-checked CORRECTNESS path). Payloads already at or under the
+    * target pass through UNCHANGED (same object, no copy) — the
+    * skip-if-small fast path a real thumbnailer needs at 100 TB, where
+    * most assets are already small. Per-partition batching as in
+    * [[withMetadata]]; NULL payloads resize to NULL.
+    */
+  def withResized(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame = {
+    val schema = df.schema.add(StructField("resized", BinaryType, nullable = true))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // per-partition codec context would initialize here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val resized =
+          if (payload == null) null
+          else if (payload.length <= targetBytes) payload
+          else java.util.Arrays.copyOfRange(payload, 0, targetBytes)
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
   /** FRAME-SAMPLE stage: each payload row explodes into every `stride`-th
     * frame of its stub-decoded frame sequence, with a per-frame
     * fingerprint (the feature-extract placeholder — a real deployment

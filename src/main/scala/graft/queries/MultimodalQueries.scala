@@ -73,7 +73,42 @@ object MultimodalQueries {
        |       ${Oracle.hash60("h || ':' || CAST(i AS VARCHAR)")} AS frame_fp
        |FROM f""".stripMargin
 
+  /** `media_resize` — the RESIZE/thumbnail stage: payloads above
+    * [[ResizeBytes]] truncate to the stub thumbnail, smaller ones pass
+    * through untouched (the skip-if-small fast path), all via the real
+    * per-partition batch stage (`MediaDecode.withResized`). Emits the
+    * before/after byte sizes, a was-resized flag, and the content hash of
+    * the RESIZED payload — pure functions of the input bytes, so the
+    * stage is oracle-checked end-to-end like the decode and frame-sample
+    * stages.
+    */
+  val ResizeBytes = 256
+
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.docs(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.operators.MediaDecode.withResized(base, "payload", ResizeBytes)
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("orig_bytes"),
+        octet_length(col("resized")).cast("long").as("resized_bytes"),
+        (octet_length(col("payload")) > lit(ResizeBytes)).as("was_resized"),
+        // hash the HEX encoding of the resized bytes: DuckDB has no BLOB
+        // slicing, but hex() is byte-aligned (2 chars/byte), so
+        // left(hex(payload), 2·target) is exactly hex(resized) — the
+        // oracle checks the stage's output bytes through the encoding
+        sha2(lower(hex(col("resized"))), 256).as("resized_hash"))
+  }
+
+  val mediaResizeSql: String =
+    s"""SELECT doc_id,
+       |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_bytes,
+       |       CAST(least(octet_length(CAST(text AS BLOB)), $ResizeBytes) AS BIGINT) AS resized_bytes,
+       |       octet_length(CAST(text AS BLOB)) > $ResizeBytes AS was_resized,
+       |       sha256(lower(left(hex(CAST(text AS BLOB)), ${2 * ResizeBytes}))) AS resized_hash
+       |FROM documents""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "multimodal_meta" -> QueryDef(multimodalMeta, Some(multimodalMetaSql)),
-    "media_framesample" -> QueryDef(mediaFramesample, Some(mediaFramesampleSql)))
+    "media_framesample" -> QueryDef(mediaFramesample, Some(mediaFramesampleSql)),
+    "media_resize" -> QueryDef(mediaResize, Some(mediaResizeSql)))
 }

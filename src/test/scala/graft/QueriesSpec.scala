@@ -1109,6 +1109,25 @@ class QueriesSpec extends SparkTestBase {
     assert(!got.exists(_._2 % 2 == 1L), "stride 2 must skip odd frames")
   }
 
+  test("media_resize: stage output bytes equal driver-side truncation; passthrough intact") {
+    import graft.queries.MultimodalQueries
+    val target = MultimodalQueries.ResizeBytes
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val staged = graft.operators.MediaDecode.withResized(base, "payload", target)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)))
+    assert(staged.nonEmpty)
+    staged.foreach { case (id, payload, resized) =>
+      val want =
+        if (payload.length <= target) payload
+        else java.util.Arrays.copyOfRange(payload, 0, target)
+      assert(java.util.Arrays.equals(resized, want), s"doc $id bytes differ")
+    }
+    // both branches non-vacuous on this corpus
+    assert(staged.exists(_._2.length > target), "vacuous: nothing above target")
+    assert(staged.exists(_._2.length <= target), "vacuous: nothing passes through")
+  }
+
   test("multimodal decode: NULL payload -> NULL metadata (SQL null propagation)") {
     import graft.operators.MediaDecode
     import spark.implicits._
