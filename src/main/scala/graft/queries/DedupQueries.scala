@@ -945,6 +945,146 @@ object DedupQueries {
        |       CAST(3 * (SELECT n_tri FROM tri) AS DOUBLE) /
        |         CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE) AS global_cc""".stripMargin
 
+  // --------------------------------------------------------------- pagerank
+  /** Scale factor for the integer PageRank arithmetic: scores are BIGINT
+    * multiples of 1/PrScale. 10⁹ keeps 9 decimal digits of rank precision
+    * while leaving 2⁶³ headroom for the hottest vertex's received sum:
+    * total score mass is ≤ V·PrScale at every iteration (the damped
+    * update redistributes, floors only shrink), so `85 · Σ contribs`
+    * stays under 2⁶³ up to V ≈ 10⁸ graph vertices. Past that, shrink the
+    * scale (10⁶ buys V ≈ 10¹¹) — rank ORDER is what downstream consumes.
+    */
+  val PrScale = 1000000000L
+  val PrIters = 3
+  private val PrBase = 15L * PrScale / 100 // (1 − 0.85) · PrScale
+
+  /** `pagerank` — vertex centrality over the verified near-dup pair graph
+    * (the third member of the graph family: [[dedupCluster]] = WHICH docs
+    * connect, [[triangleCount]] = HOW tightly, pagerank = WHO is central).
+    * On a dedup graph, high-rank documents are the hubs that near-match
+    * many others (template/boilerplate carriers) — a keep-priority /
+    * review-priority signal the flat duplicate flag can't give.
+    *
+    * EXACT fixed-point-free formulation: [[PrIters]] damped iterations in
+    * scaled BIGINT arithmetic — score₀ = PrScale; each round every vertex
+    * emits `score div degree` along each edge and re-scores to
+    * `0.15·PrScale + (85 · Σ incoming) div 100`. Every op is an
+    * associative BIGINT sum or a positive integer floor division, so the
+    * result is bit-identical across partial-aggregation orders and
+    * engines — the libm-free discipline that lets an iterative numeric
+    * algorithm hash-match a different engine. (True PageRank's float
+    * division differs only below the scale quantum; ranking is preserved.)
+    * The undirected graph has no dangling vertices by construction (every
+    * vertex carries ≥ 1 edge), so no sink-mass term is needed.
+    *
+    * Scale shape: each iteration is ONE vertex-keyed equi-join (scores ⋈
+    * degree-annotated edges) + ONE partial-final sum aggregation — O(E)
+    * per round, the standard Pregel/MapReduce PageRank step. The edge
+    * list derives from the memoized minhash index ([[dedupMinhash]]);
+    * iteration count is fixed and small, so the unrolled lineage stays
+    * shallow (no checkpoint needed, unlike [[propagateMinLabels]]'s
+    * data-dependent loop).
+    */
+  private val prMemo = Memo.table()
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    // The O(V) score table is an iterative index-BUILD artifact (exactly
+    // like [[dedupCluster]]'s label table): the unrolled-iteration jobs run
+    // once per (session, dir); steady-state invocations read the cache.
+    memoize(prMemo, spark, dir)(
+      pagerankScores(
+        dedupMinhash(spark, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("v").as("doc_id"), col("d").as("degree"),
+          col("s").as("pr_scaled"),
+          (col("s").cast("double") / lit(PrScale.toDouble)).as("pr")))
+
+  /** The damped integer-PageRank core over any undirected 2-column (a, b)
+    * edge list: returns (v, d = degree, s = scaled score after
+    * [[PrIters]] rounds). Factored for property tests on crafted graphs
+    * (the corpus graph's components happen to be regular, where PageRank
+    * is uniform by symmetry — discrimination must be pinned on an
+    * irregular one).
+    */
+  private[graft] def pagerankScores(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edges = und.join(deg, "src") // (src, dst, d = out-degree of src)
+    var s = deg.select(col("src").as("v"), lit(PrScale).as("s"))
+    for (_ <- 1 to PrIters) {
+      s = edges.join(s, edges("src") === s("v"))
+        .select(col("dst"), expr("s div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("r"))
+        .select(col("dst").as("v"),
+          (lit(PrBase) + expr("(85 * r) div 100")).as("s"))
+    }
+    s.join(deg, s("v") === deg("src")).select(col("v"), col("d"), col("s"))
+  }
+
+  /** Oracle: the same damped integer recurrence unrolled as a CTE chain
+    * (s0 → s1 → … — DuckDB's recursive CTEs can't aggregate in the
+    * recursive term, and unrolling keeps the oracle a plain join/GROUP BY
+    * pipeline). `//` on positive BIGINTs floors exactly like Spark's
+    * `div`; the HUGEINT sum is cast back to BIGINT before the damping
+    * multiply so both engines do the identical 64-bit arithmetic.
+    */
+  val pagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""s$i AS (SELECT ed.dst AS v,
+         |             $PrBase + (85 * CAST(sum(s${i - 1}.s // ed.d) AS BIGINT)) // 100 AS s
+         |      FROM ed JOIN s${i - 1} ON s${i - 1}.v = ed.src GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashPairsCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mhpairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+       |s0 AS (SELECT src AS v, CAST($PrScale AS BIGINT) AS s FROM deg),
+       |$iters
+       |SELECT deg.src AS doc_id, deg.d AS degree, s$PrIters.s AS pr_scaled,
+       |       CAST(s$PrIters.s AS DOUBLE) / $PrScale.0 AS pr
+       |FROM s$PrIters JOIN deg ON deg.src = s$PrIters.v""".stripMargin
+  }
+
+  // ---------------------------------------------------- dup_ngram_coverage
+  /** `dup_ngram_coverage` — per-document duplicated-shingle fraction: of a
+    * doc's distinct 3-gram shingles, how many occur in at least one OTHER
+    * document (df ≥ 2). This is the RefinedWeb/Dolma-style "duplicate
+    * n-gram coverage" quality signal: a PAIRWISE dedup pass only removes
+    * near-twins, while a doc stitched together from many sources carries
+    * high coverage without any single near-duplicate partner — the
+    * mosaic-boilerplate case the pair graph misses. Exact arithmetic:
+    * both counts are BIGINTs off the shared shingle index, the fraction
+    * is one IEEE division of exact integers.
+    *
+    * Scale shape: ZERO new corpus passes — a filter + doc-keyed
+    * partial-final count over the memoized df-annotated pair table
+    * ([[shinglePairsDf]]) and one doc_id-keyed zero-fill join against the
+    * memoized size table ([[shingleSizes]]). Documents under 3 tokens
+    * have no shingles and are out of scope on both engines.
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val dup = shinglePairsDf(spark, dir).filter(col("df") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    shingleSizes(spark, dir)
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n").cast("double")).as("dup_frac"))
+  }
+
+  val dupNgramCoverageSql: String =
+    s"""WITH $shinglePairsCte,
+       |freq AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
+       |dup AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+       |        FROM ex e JOIN freq f ON f.h = e.h WHERE f.df >= 2 GROUP BY 1),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1)
+       |SELECT sz.doc_id, sz.n AS n_shingles,
+       |       COALESCE(dup.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+       |       CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE) AS dup_frac
+       |FROM sz LEFT JOIN dup ON dup.doc_id = sz.doc_id""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "fuzzy_dedup" -> QueryDef(fuzzyDedup, Some(fuzzyDedupSql)),
@@ -961,5 +1101,7 @@ object DedupQueries {
     // negatives and the exact join rejects its false positives, so the
     // hash-match proves the pruning lossless per round
     "decontaminate_bloom" -> QueryDef(decontaminateBloom, Some(decontaminateSql)),
-    "triangle_count" -> QueryDef(triangleCount, Some(triangleCountSql)))
+    "triangle_count" -> QueryDef(triangleCount, Some(triangleCountSql)),
+    "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
+    "dup_ngram_coverage" -> QueryDef(dupNgramCoverage, Some(dupNgramCoverageSql)))
 }

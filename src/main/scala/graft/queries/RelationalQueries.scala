@@ -2104,6 +2104,66 @@ object RelationalQueries {
       |       CAST(row_number() OVER (ORDER BY vc DESC, event_id) AS BIGINT) AS rnk
       |FROM e""".stripMargin
 
+  // ------------------------------------------------------------ pareto_front
+  /** `pareto_front` — the SKYLINE operator family: per event type, the
+    * Pareto-optimal events under (value, recency) — an event is on the
+    * frontier iff no same-type event has value ≥ AND ts ≥ with at least
+    * one strict. The classic multi-criteria shortlist ("best trade-offs"),
+    * a shape plain top-k/window ranking can't express: the frontier is
+    * jointly defined, not per-column.
+    *
+    * Dominance is evaluated on exact integer axes (value in BIGINT cents,
+    * ts in BIGINT nanos), so membership is discrete — no float epsilon.
+    * Equal (value, ts) points don't dominate each other: all co-located
+    * optima are kept, tie semantics pinned in-spec.
+    *
+    * Scale shape (NOT the naive all-pairs dominance test): one
+    * partial-final hash agg collapses the corpus to the per-(type, cents)
+    * max-ts table — vocabulary-sized, like cooc_pmi's collapse — and the
+    * single window (running max-ts over strictly-higher cents) runs over
+    * THAT table, never the corpus. Frontier groups (running-max argmax
+    * chain, expected O(log n) per type) survive; the corpus meets only a
+    * (type, cents) equi-join against that tiny table (AQE broadcasts it —
+    * the corpus never shuffles) plus a scan-local `ts = group max`
+    * filter. The ORACLE is the orientation-opposite decomposition — a
+    * raw-row DESC RANGE-frame window — so the hash-match proves the
+    * collapse loses/invents no frontier point.
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontOf(Tables(spark, dir, "events").select(
+      col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"), col("ts")))
+
+  /** The skyline core over any (event_type, event_id, value_cents, ts)
+    * point set — factored so tie/dominance semantics can be pinned on
+    * crafted points (the corpus rarely produces exact co-located optima).
+    */
+  private[graft] def paretoFrontOf(pts: DataFrame): DataFrame = {
+    val am = pts.groupBy(col("event_type"), col("value_cents"))
+      .agg(max(col("ts")).as("mts"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = am.withColumn("thr", max(col("mts")).over(w))
+      .filter(col("thr").isNull || col("thr") < col("mts"))
+    pts.join(sky, Seq("event_type", "value_cents"))
+      .filter(col("ts") === col("mts"))
+      .select(col("event_type"), col("event_id"), col("value_cents"), col("ts"))
+  }
+
+  val paretoFrontSql: String =
+    """WITH pts AS (SELECT event_type, event_id,
+      |               CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |               epoch_ns(ts) AS ts
+      |             FROM events),
+      |w AS (SELECT event_type, event_id, value_cents, ts,
+      |        max(ts) OVER (PARTITION BY event_type ORDER BY value_cents DESC
+      |                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+      |        max(ts) OVER (PARTITION BY event_type, value_cents) AS m2
+      |      FROM pts)
+      |SELECT event_type, event_id, value_cents, ts FROM w
+      |WHERE (m1 IS NULL OR m1 < ts) AND m2 <= ts""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -2148,5 +2208,6 @@ object RelationalQueries {
     "ewma_daily" -> QueryDef(ewmaDaily, Some(ewmaDailySql)),
     "global_rank" -> QueryDef(globalRank, Some(globalRankSql)),
     "incremental_merge" -> QueryDef(incrementalMerge, Some(incrementalMergeSql)),
-    "first_touch" -> QueryDef(firstTouch, Some(firstTouchSql)))
+    "first_touch" -> QueryDef(firstTouch, Some(firstTouchSql)),
+    "pareto_front" -> QueryDef(paretoFront, Some(paretoFrontSql)))
 }

@@ -272,4 +272,26 @@ class DedupPropertySpec extends SparkTestBase {
         s"$pair: minhash jaccard $j != brute force ${exact.get(pair)}")
     }
   }
+
+  test("pagerank: star graph — hub outranks leaves, exact damped integer recurrence") {
+    // The corpus graph's components are regular (pairs/triangles), where
+    // PageRank is uniform by symmetry — so discrimination and the exact
+    // integer recurrence are pinned here on the smallest irregular graph.
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val got = DedupQueries.pagerankScores(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // driver-side model of the identical recurrence
+    val S = DedupQueries.PrScale
+    val deg = Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L)
+    var s: Map[Long, Long] = deg.map { case (v, _) => v -> S }
+    for (_ <- 1 to DedupQueries.PrIters) {
+      val recv = Map(
+        0L -> (s(1L) + s(2L) + s(3L)), // leaves have degree 1
+        1L -> s(0L) / 3, 2L -> s(0L) / 3, 3L -> s(0L) / 3)
+      s = recv.map { case (v, r) => v -> (15L * S / 100 + (85L * r) / 100) }
+    }
+    assert(got === deg.map { case (v, d) => v -> ((d, s(v))) })
+    assert(s(0L) > s(1L), "hub must outrank leaves")
+  }
 }

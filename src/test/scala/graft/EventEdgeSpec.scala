@@ -164,4 +164,20 @@ class EventEdgeSpec extends SparkTestBase {
       200L -> ((8L, Some((10L, "view")))),
       300L -> ((9L, None))))
   }
+
+  test("pareto_front: dominance is strict-in-one-axis; co-located optima all kept") {
+    import spark.implicits._
+    val pts = Seq(
+      ("a", 1L, 5L, 10L), ("a", 2L, 5L, 10L), // co-located optima: BOTH kept
+      ("a", 3L, 5L, 9L), // same value, lower ts: dominated by 1/2
+      ("a", 4L, 4L, 20L), // kept: every higher-value point is older (max ts 10)
+      ("a", 5L, 3L, 5L), // dominated by (4, 20)
+      ("a", 6L, 2L, 30L), // kept: newest overall
+      ("a", 7L, 6L, 1L), // kept: highest value
+      ("b", 8L, 1L, 1L)) // separate partition: its only point is optimal
+      .toDF("event_type", "event_id", "value_cents", "ts")
+    val got = RelationalQueries.paretoFrontOf(pts)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got === Set(1L, 2L, 4L, 6L, 7L, 8L))
+  }
 }

@@ -1524,4 +1524,54 @@ class QueriesSpec extends SparkTestBase {
     // Simpson is a probability; strictly below 1 for finite docs
     got.values.foreach { case (_, _, s) => assert(s >= 0.0 && s < 1.0) }
   }
+
+  test("pareto_front: vocabulary-collapsed skyline equals the brute-force dominance scan") {
+    val pts = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = pts.filter { case (t, _, v, ts) =>
+      !pts.exists { case (t2, _, v2, ts2) =>
+        t2 == t && v2 >= v && ts2 >= ts && (v2 > v || ts2 > ts) }
+    }.map(_._2).toSet
+    val got = graft.queries.RelationalQueries.paretoFront(spark, dir)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < pts.length)
+  }
+
+  test("dup_ngram_coverage: fractions re-derive from the shared shingle index") {
+    val pairs = graft.queries.DedupQueries.shinglePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val df = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = pairs.groupBy(_._1).map { case (d, hs) =>
+      val n = hs.length.toLong
+      val dup = hs.count(p => df(p._2) >= 2).toLong
+      (d, n, dup, dup.toDouble / n)
+    }.toSet
+    val got = graft.queries.DedupQueries.dupNgramCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    assert(want.exists(_._3 > 0), "no duplicated shingle anywhere: vacuous")
+    assert(want.exists(t => t._3 < t._2), "every shingle duplicated: vacuous")
+  }
+
+  test("pagerank: degrees re-derive from the pair graph; score mass is bounded") {
+    val edges = graft.queries.DedupQueries.dedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantDeg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.queries.DedupQueries.pagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(g => g._1 -> g._2).toMap === wantDeg)
+    val S = graft.queries.DedupQueries.PrScale
+    got.foreach { g =>
+      // every score carries at least the damping base and the pr double
+      // is exactly the scaled score over S (one IEEE division)
+      assert(g._3 >= 15L * S / 100, s"doc ${g._1} below damping base")
+      assert(g._4 === g._3.toDouble / S)
+    }
+    // floors only shed mass: total never exceeds the initial V·S
+    assert(got.map(_._3).sum <= wantDeg.size.toLong * S)
+  }
 }
