@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1085,6 +1086,100 @@ object DedupQueries {
        |       CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE) AS dup_frac
        |FROM sz LEFT JOIN dup ON dup.doc_id = sz.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- dup_spans
+  /** Width of the duplicated-span gram (tokens). 10 mirrors the exact
+    * substring-dedup literature's "long enough that a shared run is
+    * copying, not coincidence" setting, scaled to this corpus's ~50-token
+    * documents.
+    */
+  val DupSpanK = 10
+
+  /** `dup_spans` — POSITIONAL duplicate-span extraction (the exact
+    * substring-dedup shape of Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, the maximal
+    * contiguous token ranges covered by at least one [[DupSpanK]]-token
+    * gram that also occurs in ANOTHER document. Where the shingle family
+    * answers "are these two DOCS near-dups?", this answers "WHICH PART of
+    * this doc is copied?" — the span list is what a surgical span-removal
+    * pass (cut the boilerplate, keep the original prose) consumes.
+    * Gram identity is `hash60(gram) % P` — same collision posture as the
+    * whole shingle family: deterministic and engine-identical, with a
+    * ~2⁻³¹ per-pair false-merge probability that a 100 TB pass accepts.
+    *
+    * Span merging is the GAPS-AND-ISLANDS window family (its first
+    * position-axis member here; `sessionize` is the time-axis one): grams
+    * sort per doc by position, a gram starts a new island iff its covered
+    * interval [pos, pos+K−1] neither overlaps nor touches the running
+    * max end of its predecessors, and the island id is the running sum of
+    * those starts. All arithmetic is BIGINT positions — engine-exact.
+    *
+    * Scale shape: the positional gram table is one scan-local
+    * explode (native tokenize/ngram kernels); duplicated-gram selection
+    * is a partial-final distinct-count agg collapsing to the gram
+    * VOCABULARY; the hit join is h-keyed (the tf⋈df shape — both sides
+    * shuffle on the key, no broadcast of an unbounded side); the island
+    * windows partition by doc_id, whose partition size is bounded by
+    * document LENGTH (not corpus size) — skew-free by construction.
+    */
+  /** Memo for the positional gram table (doc_id, pos, h) — dup_spans
+    * references it twice (df aggregation + hit join); one persisted copy
+    * serves both, so the corpus is tokenized/exploded once per
+    * (session, dir), not once per plan reference.
+    */
+  private val posGramMemo = Memo.table()
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = DupSpanK
+    val pg = memoize(posGramMemo, spark, dir)(
+      Tables.docs(spark, dir)
+        .select(col("doc_id"),
+          posexplode(TextFns.wordNgrams(TextFns.tokens(col("text")), k)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          (TextFns.hash60(col("col")) % P).as("h")))
+    val dup = pg.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hits = pg.join(dup, "h").select(col("doc_id"), col("pos"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = hits
+      .withColumn("pe", max(col("pos") + lit(k - 1).cast("long")).over(wPrev))
+      .withColumn("ni",
+        when(col("pe").isNull || col("pos") > col("pe") + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wRun))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  val dupSpansSql: String = {
+    val k = DupSpanK
+    val km1 = k - 1
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |pg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |              ${Oracle.hash60(s"array_to_string(t[i:i+$km1], ' ')")} % $P AS h
+       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - $km1)) AS i
+       |             FROM toks WHERE len(t) >= $k)),
+       |dup AS (SELECT h FROM pg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (h)),
+       |fl AS (SELECT doc_id, pos,
+       |         CASE WHEN max(pos + $km1) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |              OR pos > max(pos + $km1) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |              THEN 1 ELSE 0 END AS ni
+       |       FROM hits),
+       |isl AS (SELECT doc_id, pos,
+       |               CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+       |        FROM fl)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $km1 AS span_end,
+       |       CAST(count(*) AS BIGINT) AS n_grams
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "fuzzy_dedup" -> QueryDef(fuzzyDedup, Some(fuzzyDedupSql)),
@@ -1103,5 +1198,6 @@ object DedupQueries {
     "decontaminate_bloom" -> QueryDef(decontaminateBloom, Some(decontaminateSql)),
     "triangle_count" -> QueryDef(triangleCount, Some(triangleCountSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
-    "dup_ngram_coverage" -> QueryDef(dupNgramCoverage, Some(dupNgramCoverageSql)))
+    "dup_ngram_coverage" -> QueryDef(dupNgramCoverage, Some(dupNgramCoverageSql)),
+    "dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql)))
 }

@@ -294,4 +294,35 @@ class DedupPropertySpec extends SparkTestBase {
     assert(got === deg.map { case (v, d) => v -> ((d, s(v))) })
     assert(s(0L) > s(1L), "hub must outrank leaves")
   }
+
+  test("dup_spans: touching runs merge into one island; gapped runs split; " +
+    "positions are exact") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dup-spans").toString
+    // distinct letter-only vocabularies; only the c* runs repeat across docs
+    val c1 = "conea coneb conec coned conee conef coneg coneh conei conej conek conel"
+    val c2 = "ctwoa ctwob ctwoc ctwod ctwoe ctwof ctwog ctwoh ctwoi ctwoj"
+    val c3 = "cthra cthrb cthrc cthrd cthre cthrf cthrg cthrh cthri cthrj"
+    val c4 = "cfoura cfourb cfourc cfourd cfoure cfourf cfourg cfourh cfouri cfourj"
+    Seq(
+      (0L, s"ua ub uc $c1 ud ue uf $c2 ug"), // two shared runs, 3-token gap
+      (1L, s"va $c1 vb vc"), // c1 partner
+      (2L, s"wa wb $c2"), // c2 partner
+      (3L, s"xa $c3 $c4 xb"), // c3/c4 back-to-back: runs TOUCH
+      (4L, s"$c3 ya"), // c3 partner (run starts at position 1)
+      (5L, s"za zb $c4")) // c4 partner
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = DedupQueries.dupSpans(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (0L, 4L, 15L, 3L), (0L, 19L, 28L, 1L), // gap at tokens 16-18 splits
+      (1L, 2L, 13L, 3L),
+      (2L, 3L, 12L, 1L),
+      (3L, 2L, 21L, 2L), // [2,11] and [12,21] touch -> ONE island
+      (4L, 1L, 10L, 1L),
+      (5L, 3L, 12L, 1L)))
+  }
 }
