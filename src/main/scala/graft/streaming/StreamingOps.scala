@@ -460,6 +460,59 @@ object StreamingOps {
         })
   }
 
+  case class SkyEv(event_type: String, event_id: Long, value_cents: Long, ts: Long)
+  case class SkyPoint(event_id: Long, value_cents: Long, ts: Long)
+  case class SkyState(seq: Long, points: List[SkyPoint])
+  case class SkySnapshot(event_type: String, seq: Long, event_id: Long,
+      value_cents: Long, ts: Long)
+
+  /** Streaming SKYLINE — the continuously maintained Pareto frontier, the
+    * twin of batch `pareto_front`: per event type, the live set of events
+    * no other same-type event dominates on (value, recency). Each trigger
+    * folds the new points into the frontier held in state (a dominated
+    * arrival is dropped; a surviving arrival evicts the frontier points it
+    * now dominates; co-located equal optima all stay — the batch tie rule)
+    * and re-emits the key's FULL refreshed frontier stamped with a
+    * monotonically increasing `seq`, so the sink holds a versioned
+    * snapshot history and `seq = max` per key is the current view.
+    *
+    * The fold is ORDER-INSENSITIVE (dominance is transitive, so
+    * eliminating dominated points in any arrival order yields the true
+    * frontier of the union) and replay-IDEMPOTENT (an event_id already on
+    * the frontier is skipped), so on a closed input the final snapshot
+    * equals batch `pareto_front` exactly, for any trigger partitioning —
+    * pinned by StreamingSpec. State is O(frontier) per type — expected
+    * O(log n) points (worst case the distinct-cents staircase), the same
+    * "state is the view, not the history" bound as [[latestByKey]]; no
+    * watermark, since a frontier point may be evicted by an arrival
+    * arbitrarily far in the future.
+    */
+  def skylineStream(spark: SparkSession, events: DataFrame): Dataset[SkySnapshot] = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"), col("ts"))
+      .as[SkyEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (typ: String, evs: Iterator[SkyEv], state: GroupState[SkyState]) => {
+          def dominates(a: SkyPoint, b: SkyPoint): Boolean =
+            a.value_cents >= b.value_cents && a.ts >= b.ts &&
+              (a.value_cents > b.value_cents || a.ts > b.ts)
+          var frontier = state.getOption.map(_.points).getOrElse(Nil)
+          evs.foreach { e =>
+            val p = SkyPoint(e.event_id, e.value_cents, e.ts)
+            val replay = frontier.exists(_.event_id == p.event_id)
+            if (!replay && !frontier.exists(q => dominates(q, p)))
+              frontier = p :: frontier.filterNot(q => dominates(p, q))
+          }
+          val seq = state.getOption.map(_.seq).getOrElse(0L) + 1
+          state.update(SkyState(seq, frontier))
+          frontier.iterator.map(p =>
+            SkySnapshot(typ, seq, p.event_id, p.value_cents, p.ts))
+        })
+  }
+
   /** Session gap, nanos — 30 minutes, matching the batch sessionize. */
   val GapNanos: Long = 1800L * 1000000000L
 

@@ -282,4 +282,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming skyline's final snapshot equals batch pareto_front") {
+    val stream = StreamingOps.skylineStream(spark, StreamingOps.eventStream(spark, dir))
+    val q = stream.toDF().writeStream
+      .format("memory").queryName("skyline_stream")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // each trigger re-emits a key's full frontier stamped with seq; the
+    // current view is the rows at each key's max seq
+    val rows = spark.table("skyline_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val lastSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val got = rows.filter(r => r._2 == lastSeq(r._1))
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    val expected = graft.queries.RelationalQueries.paretoFront(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
