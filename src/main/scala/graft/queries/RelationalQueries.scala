@@ -2164,6 +2164,190 @@ object RelationalQueries {
       |SELECT event_type, event_id, value_cents, ts FROM w
       |WHERE (m1 IS NULL OR m1 < ts) AND m2 <= ts""".stripMargin
 
+  // ---------------------------------------------------------------- path_topk
+  /** `path_topk` — the most frequent length-3 event-type paths across all
+    * user timelines (sequence mining's "what do users actually do", one
+    * step past [[transitionMatrix]]'s first-order pairs). Each user's
+    * events are ordered by the (us, event_id) convention; every window of
+    * 3 consecutive events contributes one (t1, t2, t3) path; paths are
+    * counted corpus-wide and the top [[PathTopK]] returned with a
+    * deterministic rank (count desc, then path lexicographic — integer
+    * count ties can't diverge across engines).
+    *
+    * Scale shape: ONE per-user window (two `lead`s share the same
+    * partition+order spec → one sort, partitions bounded by per-user
+    * activity), then a partial-final hash agg that collapses the corpus to
+    * at most |types|³ path rows — the only unpartitioned Sort+Window runs
+    * over that vocabulary-sized aggregate, never the corpus.
+    */
+  val PathTopK = 20
+
+  def pathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ranked = Window.orderBy(
+      col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("t1"), expr("ts div 1000").as("us"))
+      .withColumn("t2", lead(col("t1"), 1).over(byTime))
+      .withColumn("t3", lead(col("t1"), 2).over(byTime))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(ranked).cast("long"))
+      .filter(col("rnk") <= PathTopK)
+  }
+
+  val pathTopkSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type AS t1,
+       |                  epoch_ns(ts) // 1000 AS us FROM events),
+       |p AS (SELECT t1,
+       |        lead(t1, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2,
+       |        lead(t1, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t3
+       |      FROM e),
+       |c AS (SELECT t1, t2, t3, count(*) AS n FROM p
+       |      WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+       |r AS (SELECT t1, t2, t3, n,
+       |        row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rnk FROM c)
+       |SELECT t1, t2, t3, n, rnk FROM r WHERE rnk <= $PathTopK""".stripMargin
+
+  // -------------------------------------------------------- time_weighted_avg
+  /** `time_weighted_avg` — per-type time-weighted mean of `value`: each
+    * event's value is held until the same user's NEXT event (any type), and
+    * weighted by that holding duration in whole seconds. The metric every
+    * state-valued telemetry pipeline wants ("average balance", "average
+    * queue depth") where a plain `avg` over-counts bursty samplers.
+    * EXACT: weights are integer seconds (micros difference `div` 10⁶),
+    * values integer cents, so `Σ(cents·dur)` and `Σdur` accumulate as
+    * BIGINT — associative and order-free across any partial-agg plan; the
+    * final mean is one identical double division on both engines.
+    * (BIGINT headroom: cents ≤ 10⁵, dur ≤ 10⁷ s ⇒ ≤ 10¹² per row — a
+    * per-type partial sum overflows only past ~10⁶ row-equivalents × 10¹²,
+    * i.e. ~9·10¹⁸; at that corpus scale the same query runs with the
+    * sums cast to DECIMAL(38,0), an order-free exact type as well.)
+    * Each user's LAST event has no successor and carries no weight —
+    * excluded, like zero-duration (same-second) successors which
+    * contribute 0 to both sums.
+    *
+    * Scale shape: one per-user window sort (bounded by per-user
+    * activity) → partial-final hash agg to |event_type| rows; the
+    * division runs on those 5 rows.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("nxt_us", lead(col("us"), 1).over(byTime))
+      .filter(col("nxt_us").isNotNull)
+      .withColumn("dur_s", expr("(nxt_us - us) div 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dur_s")).as("weight_s"),
+        sum(col("cents") * col("dur_s")).as("wsum_cents"))
+      .withColumn("twa_value",
+        col("wsum_cents").cast("double") / col("weight_s").cast("double") / lit(100.0))
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  epoch_ns(ts) // 1000 AS us,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |d AS (SELECT event_type, cents,
+      |        (lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+      |          // 1000000 AS dur_s
+      |      FROM e),
+      |a AS (SELECT event_type, count(*) AS n,
+      |             CAST(sum(dur_s) AS BIGINT) AS weight_s,
+      |             CAST(sum(cents * dur_s) AS BIGINT) AS wsum_cents
+      |      FROM d WHERE dur_s IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n, weight_s, wsum_cents,
+      |       CAST(wsum_cents AS DOUBLE) / CAST(weight_s AS DOUBLE) / 100.0
+      |         AS twa_value
+      |FROM a""".stripMargin
+
+  // ----------------------------------------------------------------- dq_audit
+  /** `dq_audit` — cross-table data-quality report: one labeled row per
+    * invariant with its violation count (0 = clean), the admission gate a
+    * production warehouse runs before publishing a snapshot. Checks span
+    * the three violation families: REFERENTIAL (orphan foreign keys, via
+    * anti-join), DOMAIN (nulls / out-of-range / empty payloads, scan-local
+    * predicates), and UNIQUENESS (duplicate primary keys, via group-count).
+    *
+    * Scale shape: every check is an independent partial-final COUNT — the
+    * scan-local checks read only their predicate columns (pruned scans);
+    * the two referential checks are key-only anti-joins (shuffle or
+    * broadcast by dim size under AQE); `events_dup_id` collapses by key
+    * map-side before the exchange. Nothing ever materializes violating
+    * ROWS — only counts cross the network, so a 100 TB audit moves KBs.
+    * The final result is a fixed 9-row union of 1-row aggregates.
+    */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame =
+    dqAuditOf(
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "events"),
+      Tables(spark, dir, "documents"), Tables(spark, dir, "embeddings"))
+
+  /** The audit core over any six table-shaped inputs — factored so the
+    * crafted-violation test can inject one violation per family and pin
+    * that every check actually FIRES (the clean corpus only proves they
+    * don't false-positive).
+    */
+  private[graft] def dqAuditOf(li: DataFrame, ord: DataFrame, cust: DataFrame,
+      ev: DataFrame, docs: DataFrame, emb: DataFrame): DataFrame = {
+    def one(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check_name"), col("n"))
+    val cnt = count(lit(1)).as("n")
+    val checks = Seq(
+      one("lineitem_orphan_order",
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti").agg(cnt)),
+      one("orders_orphan_customer",
+        ord.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti").agg(cnt)),
+      one("orders_null_key",
+        ord.filter(col("o_orderkey").isNull || col("o_custkey").isNull).agg(cnt)),
+      one("lineitem_nonpositive_price",
+        li.filter(col("l_extendedprice") <= 0 || col("l_quantity") <= 0).agg(cnt)),
+      one("lineitem_discount_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 1).agg(cnt)),
+      one("events_dup_id",
+        ev.groupBy(col("event_id")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(cnt)),
+      one("events_null_user",
+        ev.filter(col("user_id").isNull || col("ts").isNull).agg(cnt)),
+      one("docs_empty_text",
+        docs.filter(col("text").isNull || length(col("text")) === 0).agg(cnt)),
+      one("embeddings_empty_vec",
+        emb.filter(col("embedding").isNull || size(col("embedding")) === 0).agg(cnt)))
+    checks.reduce(_.union(_))
+  }
+
+  val dqAuditSql: String =
+    """SELECT 'lineitem_orphan_order' AS check_name, count(*) AS n FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL SELECT 'orders_orphan_customer', count(*) FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL SELECT 'orders_null_key', count(*) FROM orders
+      |  WHERE o_orderkey IS NULL OR o_custkey IS NULL
+      |UNION ALL SELECT 'lineitem_nonpositive_price', count(*) FROM lineitem
+      |  WHERE l_extendedprice <= 0 OR l_quantity <= 0
+      |UNION ALL SELECT 'lineitem_discount_range', count(*) FROM lineitem
+      |  WHERE l_discount < 0 OR l_discount > 1
+      |UNION ALL SELECT 'events_dup_id', count(*) FROM
+      |  (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+      |UNION ALL SELECT 'events_null_user', count(*) FROM events
+      |  WHERE user_id IS NULL OR ts IS NULL
+      |UNION ALL SELECT 'docs_empty_text', count(*) FROM documents
+      |  WHERE text IS NULL OR length(text) = 0
+      |UNION ALL SELECT 'embeddings_empty_vec', count(*) FROM embeddings
+      |  WHERE embedding IS NULL OR len(embedding) = 0""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -2209,5 +2393,8 @@ object RelationalQueries {
     "global_rank" -> QueryDef(globalRank, Some(globalRankSql)),
     "incremental_merge" -> QueryDef(incrementalMerge, Some(incrementalMergeSql)),
     "first_touch" -> QueryDef(firstTouch, Some(firstTouchSql)),
-    "pareto_front" -> QueryDef(paretoFront, Some(paretoFrontSql)))
+    "pareto_front" -> QueryDef(paretoFront, Some(paretoFrontSql)),
+    "path_topk" -> QueryDef(pathTopk, Some(pathTopkSql)),
+    "time_weighted_avg" -> QueryDef(timeWeightedAvg, Some(timeWeightedAvgSql)),
+    "dq_audit" -> QueryDef(dqAudit, Some(dqAuditSql)))
 }

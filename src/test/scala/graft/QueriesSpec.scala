@@ -1574,4 +1574,82 @@ class QueriesSpec extends SparkTestBase {
     // floors only shed mass: total never exceeds the initial V·S
     assert(got.map(_._3).sum <= wantDeg.size.toLong * S)
   }
+
+  test("path_topk: equals a driver-side sequence recompute; rank is dense and count-monotone") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._4, r._2)).map(_._3).sliding(3).filter(_.size == 3)
+        .map(p => (p(0), p(1), p(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }
+      .take(graft.queries.RelationalQueries.PathTopK)
+    val got = graft.queries.RelationalQueries.pathTopk(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getAs[Long]("n")))
+    assert(got.toSeq === want)
+    val ranks = graft.queries.RelationalQueries.pathTopk(spark, dir)
+      .collect().map(_.getAs[Long]("rnk")).sorted
+    assert(ranks.toSeq === (1L to ranks.length).toSeq)
+  }
+
+  test("time_weighted_avg: equals a driver-side hold-until-next recompute") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val held = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._4, r._2))
+      s.zip(s.tail).map { case (a, b) => (a._3, a._5, (b._4 - a._4) / 1000000L) }
+    }.toSeq
+    val want = held.groupBy(_._1).view.mapValues { rs =>
+      (rs.size.toLong, rs.map(_._3).sum, rs.map(r => r._2 * r._3).sum)
+    }.toMap
+    val got = graft.queries.RelationalQueries.timeWeightedAvg(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("weight_s"),
+          r.getAs[Long]("wsum_cents"), r.getAs[Double]("twa_value")))
+      .toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap === want)
+    got.foreach { case (_, (_, w, c, twa)) =>
+      assert(twa === c.toDouble / w.toDouble / 100.0) }
+  }
+
+  test("dq_audit: clean corpus is all-zero; every check fires on one injected violation") {
+    import spark.implicits._
+    val clean = graft.queries.RelationalQueries.dqAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.size === 9)
+    assert(clean.values.forall(_ === 0L), s"clean corpus flagged: $clean")
+
+    // one violation per check: the audit must count each exactly once
+    val li = Seq(
+      (999999L, 10.0, 1.0, 0.05),  // orphan order key
+      (1L, -5.0, 1.0, 0.05),       // nonpositive price
+      (1L, 10.0, 1.0, 1.5))        // discount out of range
+      .toDF("l_orderkey", "l_extendedprice", "l_quantity", "l_discount")
+    val ord = Seq((Some(1L), Some(77777L)), (None, Some(1L)))
+      .toDF("o_orderkey", "o_custkey") // orphan cust + null key
+    val cust = Seq(Tuple1(1L)).toDF("c_custkey")
+    val ev = Seq((Some(5L), Some(1L), Some(1L)), (Some(5L), Some(2L), Some(2L)),
+      (Some(6L), None, Some(3L)))
+      .toDF("event_id", "user_id", "ts") // dup id + null user
+    val docs = Seq((1L, ""), (2L, "ok")).toDF("doc_id", "text")
+    val emb = Seq((1L, Seq.empty[Float]), (2L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val audit = graft.queries.RelationalQueries
+      .dqAuditOf(li, ord, cust, ev, docs, emb)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit === Map(
+      "lineitem_orphan_order" -> 1L, "orders_orphan_customer" -> 1L,
+      "orders_null_key" -> 1L, "lineitem_nonpositive_price" -> 1L,
+      "lineitem_discount_range" -> 1L, "events_dup_id" -> 1L,
+      "events_null_user" -> 1L, "docs_empty_text" -> 1L,
+      "embeddings_empty_vec" -> 1L))
+  }
 }
