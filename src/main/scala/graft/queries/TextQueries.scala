@@ -789,13 +789,24 @@ object TextQueries {
     */
   val TermVecK = 5
 
+  /** Memoized per-(source, term) occurrence counts — the host-level term
+    * index shared by [[termVector]] (top terms) and [[chi2Keywords]]
+    * (distinctive terms): one corpus-keyed tf⋈source join + one
+    * partial-final hash agg per (session, dir), cached at vocabulary
+    * scale (sublinear in the corpus, Heaps' law).
+    */
+  private val sourceTermMemo = Memo.table()
+
+  private def sourceTermFreq(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(sourceTermMemo, spark, dir)(
+      termFreq(spark, dir)
+        .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("term"))
+        .agg(sum(col("tf")).as("cnt")))
+
   def termVector(spark: SparkSession, dir: String): DataFrame = {
-    val tf = termFreq(spark, dir)
-    val src = docs(spark, dir).select(col("doc_id"), col("source"))
     val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("term").asc)
-    tf.join(src, "doc_id")
-      .groupBy(col("source"), col("term"))
-      .agg(sum(col("tf")).as("cnt"))
+    sourceTermFreq(spark, dir)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TermVecK)
       .select(col("source"), col("term"), col("cnt"), col("rnk"))
@@ -812,6 +823,88 @@ object TextQueries {
        |                                     ORDER BY cnt DESC, term) AS BIGINT) AS rnk
        |      FROM st)
        |SELECT source, term, cnt, rnk FROM r WHERE rnk <= $TermVecK""".stripMargin
+
+  // ---------------------------------------------------------- chi2_keywords
+  /** `chi2_keywords` — per-source DISTINCTIVE terms: the top [[Chi2K]]
+    * terms of each source by chi-square association between "token is in
+    * this source" and "token is this term" (the keyword-extraction /
+    * domain-characterization statistic — `term_vector`'s raw top-k
+    * surfaces stopwords; chi² surfaces what makes a source DIFFERENT).
+    * Over-represented terms only (positive association) with in-source
+    * count ≥ [[Chi2MinCount]].
+    *
+    * EXACT cross-engine: the contingency table (a = in-source count,
+    * ta = term total, sa = source total, nn = corpus total) is pure
+    * BIGINT; chi² = nn·(ad−bc)² / (ta·(nn−ta)·sa·(nn−sa)) is evaluated
+    * as ONE identical left-associated IEEE-754 double expression over
+    * those exact integers on both engines (counts < 2⁵³ are
+    * double-exact; products/divisions are correctly rounded, so the
+    * bits — and hence the rank order — cannot diverge; no libm, the
+    * square is an explicit self-multiply).
+    *
+    * Scale shape: everything derives from the memoized vocabulary-scale
+    * (source, term, cnt) table — term totals and source totals are two
+    * partial-final rollups of it; the 20-row source-totals and 1-row
+    * corpus-total sides broadcast; the only window runs per-source over
+    * the vocabulary. The corpus is never re-scanned.
+    */
+  val Chi2K = 5
+  val Chi2MinCount = 5L
+
+  def chi2Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val st = sourceTermFreq(spark, dir).withColumnRenamed("cnt", "a")
+    val tt = st.groupBy(col("term")).agg(sum(col("a")).as("ta"))
+    val ss = st.groupBy(col("source")).agg(sum(col("a")).as("sa"))
+    val nn = ss.agg(sum(col("sa")).as("nn"))
+    val aD = col("a").cast("double")
+    val bD = (col("ta") - col("a")).cast("double")
+    val cD = (col("sa") - col("a")).cast("double")
+    val dD = (col("nn") - col("ta") - col("sa") + col("a")).cast("double")
+    val diff = aD * dD - bD * cD
+    val num = col("nn").cast("double") * diff * diff
+    val den = col("ta").cast("double") * (col("nn") - col("ta")).cast("double") *
+      col("sa").cast("double") * (col("nn") - col("sa")).cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("term").asc)
+    st.join(tt, "term")
+      .join(broadcast(ss), "source")
+      .crossJoin(broadcast(nn))
+      .filter(col("a") >= Chi2MinCount && diff > lit(0.0d))
+      .withColumn("chi2", num / den)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Chi2K)
+      .select(col("source"), col("term"), col("a").as("cnt"),
+        col("chi2"), col("rnk"))
+  }
+
+  val chi2KeywordsSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |st AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS a
+       |       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS ta FROM st GROUP BY 1),
+       |ss AS (SELECT source, CAST(sum(a) AS BIGINT) AS sa FROM st GROUP BY 1),
+       |n AS (SELECT CAST(sum(sa) AS BIGINT) AS nn FROM ss),
+       |j AS (SELECT st.source, st.term, st.a,
+       |             CAST(st.a AS DOUBLE) * CAST(n.nn - tt.ta - ss.sa + st.a AS DOUBLE)
+       |               - CAST(tt.ta - st.a AS DOUBLE) * CAST(ss.sa - st.a AS DOUBLE)
+       |               AS diff,
+       |             CAST(n.nn AS DOUBLE) AS nn_d,
+       |             CAST(tt.ta AS DOUBLE) AS ta_d,
+       |             CAST(n.nn - tt.ta AS DOUBLE) AS nta_d,
+       |             CAST(ss.sa AS DOUBLE) AS sa_d,
+       |             CAST(n.nn - ss.sa AS DOUBLE) AS nsa_d
+       |      FROM st JOIN tt USING (term) JOIN ss USING (source) CROSS JOIN n
+       |      WHERE st.a >= $Chi2MinCount),
+       |c AS (SELECT source, term, a AS cnt,
+       |             nn_d * diff * diff / (ta_d * nta_d * sa_d * nsa_d) AS chi2
+       |      FROM j WHERE diff > 0.0),
+       |r AS (SELECT source, term, cnt, chi2,
+       |             CAST(row_number() OVER (PARTITION BY source
+       |                                     ORDER BY chi2 DESC, term) AS BIGINT) AS rnk
+       |      FROM c)
+       |SELECT source, term, cnt, chi2, rnk FROM r WHERE rnk <= $Chi2K""".stripMargin
 
   // -------------------------------------------------------- rare_bigram_rate
   /** `rare_bigram_rate` — the exact-arithmetic stand-in for the classic
@@ -941,6 +1034,7 @@ object TextQueries {
     "split_drift" -> QueryDef(splitDrift, Some(splitDriftSql)),
     "distributed_grep" -> QueryDef(distributedGrep, Some(distributedGrepSql)),
     "term_vector" -> QueryDef(termVector, Some(termVectorSql)),
+    "chi2_keywords" -> QueryDef(chi2Keywords, Some(chi2KeywordsSql)),
     "rare_bigram_rate" -> QueryDef(rareBigramRate, Some(rareBigramRateSql)),
     "lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     // rows-only like approx_stats: sketch estimates are merge-order

@@ -1575,6 +1575,39 @@ class QueriesSpec extends SparkTestBase {
     assert(got.map(_._3).sum <= wantDeg.size.toLong * S)
   }
 
+  test("chi2_keywords: re-derives from the tokenizer contingency table; over-represented only") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.chi2Keywords(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val toks = Tables(spark, dir, "documents").select("source", "text").collect()
+      .flatMap(r => r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val st = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ta = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sa = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nn = toks.length.toLong
+    def chi2(s: String, t: String): Option[Double] = {
+      val a = st.getOrElse((s, t), 0L)
+      if (a < TextQueries.Chi2MinCount) None else {
+        val diff = a.toDouble * (nn - ta(t) - sa(s) + a).toDouble -
+          (ta(t) - a).toDouble * (sa(s) - a).toDouble
+        if (diff <= 0.0) None
+        else Some(nn.toDouble * diff * diff /
+          (ta(t).toDouble * (nn - ta(t)).toDouble *
+            sa(s).toDouble * (nn - sa(s)).toDouble))
+      }
+    }
+    val want = sa.keys.flatMap { s =>
+      ta.keys.flatMap(t => chi2(s, t).map(x => (s, t, st((s, t)), x))).toSeq
+        .sortBy { case (_, t, _, x) => (-x, t) }.take(TextQueries.Chi2K)
+        .zipWithIndex.map { case ((src, t, c, x), i) => (src, t, c, x, i + 1L) }
+    }.toSet
+    assert(rows.toSet === want)
+    rows.foreach { case (_, _, c, x, _) =>
+      assert(c >= TextQueries.Chi2MinCount && x > 0.0) }
+  }
+
   test("path_topk: equals a driver-side sequence recompute; rank is dense and count-monotone") {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
