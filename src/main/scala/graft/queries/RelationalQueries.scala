@@ -2269,6 +2269,54 @@ object RelationalQueries {
       |         AS twa_value
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------------- user_journey
+  /** `user_journey` — per-user ORDERED event-type sequence as an ARRAY
+    * column plus summary stats (event count, first/last micros). The
+    * "full customer journey" export behind sequence models and
+    * journey-map UIs — and the inventory's nested-output member: every
+    * other query emits scalars; this one proves array-valued results
+    * hash-match a different engine too.
+    *
+    * Determinism: `collect_list` gives no ordering guarantee (partial
+    * buffers merge in task-completion order), so the journey is built as
+    * `array_sort(collect_list(struct(us, event_id, event_type)))` — the
+    * (us, event_id) prefix is unique per user, so the sorted struct array
+    * is a total order and the projected type sequence is reproducible on
+    * any partitioning; the oracle's `list(... ORDER BY us, event_id)`
+    * states the same order declaratively.
+    *
+    * Scale shape: ONE user-keyed ObjectHashAggregate (no window, no
+    * sort of the corpus); per-group state is bounded by per-user
+    * activity — the same bound sessionize/path_topk already rely on.
+    * At 100 TB the journey column is the per-user payload a sequence
+    * trainer reads; exporting it partitioned by user bucket is the
+    * intended layout.
+    */
+  def userJourney(spark: SparkSession, dir: String): DataFrame =
+    userJourneyOf(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us")))
+
+  /** The journey aggregation over any (user_id, event_id, event_type, us)
+    * rows — factored so the partitioning-invariance test can feed the
+    * same input under adversarial repartitionings.
+    */
+  private[graft] def userJourneyOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        expr("transform(array_sort(collect_list(struct(us, event_id, event_type)))," +
+          " x -> x.event_type)").as("journey"))
+
+  val userJourneySql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       min(epoch_ns(ts) // 1000) AS first_us,
+      |       max(epoch_ns(ts) // 1000) AS last_us,
+      |       list(event_type ORDER BY epoch_ns(ts) // 1000, event_id) AS journey
+      |FROM events GROUP BY user_id""".stripMargin
+
   // ----------------------------------------------------------------- dq_audit
   /** `dq_audit` — cross-table data-quality report: one labeled row per
     * invariant with its violation count (0 = clean), the admission gate a
@@ -2396,5 +2444,6 @@ object RelationalQueries {
     "pareto_front" -> QueryDef(paretoFront, Some(paretoFrontSql)),
     "path_topk" -> QueryDef(pathTopk, Some(pathTopkSql)),
     "time_weighted_avg" -> QueryDef(timeWeightedAvg, Some(timeWeightedAvgSql)),
-    "dq_audit" -> QueryDef(dqAudit, Some(dqAuditSql)))
+    "dq_audit" -> QueryDef(dqAudit, Some(dqAuditSql)),
+    "user_journey" -> QueryDef(userJourney, Some(userJourneySql)))
 }

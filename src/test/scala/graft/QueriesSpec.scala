@@ -1653,6 +1653,34 @@ class QueriesSpec extends SparkTestBase {
       assert(twa === c.toDouble / w.toDouble / 100.0) }
   }
 
+  test("user_journey: ordered sequence equals a driver-side recompute on any partitioning") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      val s = rows.sortBy(r => (r._4, r._2))
+      (rows.size.toLong, s.head._4, s.last._4, s.map(_._3).toSeq)
+    }.toMap
+    val got = graft.queries.RelationalQueries.userJourney(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("first_us"), r.getAs[Long]("last_us"),
+        r.getSeq[String](r.fieldIndex("journey")).toSeq)).toMap
+    assert(got === want)
+    // collect_list order is partitioning-dependent; the sorted-struct
+    // projection must not be — re-aggregate the same input shuffled into
+    // 7 partitions by a key UNRELATED to the group key
+    val shuffled = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .repartition(7, col("event_id"))
+    val again = graft.queries.RelationalQueries.userJourneyOf(shuffled)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("journey")).toSeq)
+      .toMap
+    assert(again === want.view.mapValues(_._4).toMap)
+  }
+
   test("dq_audit: clean corpus is all-zero; every check fires on one injected violation") {
     import spark.implicits._
     val clean = graft.queries.RelationalQueries.dqAudit(spark, dir).collect()
