@@ -906,6 +906,52 @@ object TextQueries {
        |      FROM c)
        |SELECT source, term, cnt, chi2, rnk FROM r WHERE rnk <= $Chi2K""".stripMargin
 
+  // ---------------------------------------------------------------- bpe_pairs
+  /** `bpe_pairs` — the first iteration of BYTE-PAIR-ENCODING tokenizer
+    * training: corpus-wide counts of adjacent character pairs inside
+    * words, top [[BpeK]] merge candidates (count desc, pair asc). The
+    * subword companion to `ngram_freq`'s word-level phrase mining — what
+    * an LLM tokenizer-training job computes per merge round; one round is
+    * the representative kernel (the loop re-runs it on the merged vocab).
+    * In-word pair multiplicity counts ("aaa" contributes "aa" twice),
+    * exactly as BPE requires. All-integer counts; cross-engine slicing
+    * agreement (1-based, by character) is oracle-verified.
+    *
+    * Scale shape: VOCABULARY COLLAPSE FIRST — the corpus collapses to
+    * (word, count) in one partial-final hash agg (sublinear, Heaps' law),
+    * so the pair explode runs over the vocabulary, never the corpus
+    * (the production BPE-training layout: Sennrich's original implementation
+    * iterates a word-count dictionary for the same reason). Pair counts
+    * collapse again to the alphabet² pair vocabulary; only that meets the
+    * final top-k window.
+    */
+  val BpeK = 30
+
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wc = words(spark, dir).groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    wc.filter(length(col("word")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= BpeK)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT unnest(t) AS word FROM toks),
+       |wc AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+       |p AS (SELECT c, unnest([word[i:i+1]
+       |                        for i in generate_series(1, length(word) - 1)]) AS pair
+       |      FROM wc WHERE length(word) >= 2),
+       |a AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY 1),
+       |r AS (SELECT pair, n,
+       |             CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+       |      FROM a)
+       |SELECT pair, n, rnk FROM r WHERE rnk <= $BpeK""".stripMargin
+
   // -------------------------------------------------------- rare_bigram_rate
   /** `rare_bigram_rate` — the exact-arithmetic stand-in for the classic
     * LM-perplexity quality filter (CCNet/Gopher): score each document by
@@ -1035,6 +1081,7 @@ object TextQueries {
     "distributed_grep" -> QueryDef(distributedGrep, Some(distributedGrepSql)),
     "term_vector" -> QueryDef(termVector, Some(termVectorSql)),
     "chi2_keywords" -> QueryDef(chi2Keywords, Some(chi2KeywordsSql)),
+    "bpe_pairs" -> QueryDef(bpePairs, Some(bpePairsSql)),
     "rare_bigram_rate" -> QueryDef(rareBigramRate, Some(rareBigramRateSql)),
     "lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     // rows-only like approx_stats: sketch estimates are merge-order

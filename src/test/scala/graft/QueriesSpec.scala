@@ -1608,6 +1608,21 @@ class QueriesSpec extends SparkTestBase {
       assert(c >= TextQueries.Chi2MinCount && x > 0.0) }
   }
 
+  test("bpe_pairs: equals a driver-side recompute incl. in-word pair multiplicity") {
+    import graft.queries.TextQueries
+    val words = Tables(spark, dir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty))
+    val want = words.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2)) // sliding keeps duplicates: "aaa" -> aa, aa
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(TextQueries.BpeK)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1L) }
+    val got = graft.queries.TextQueries.bpePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(got.toSeq === want)
+  }
+
   test("path_topk: equals a driver-side sequence recompute; rank is dense and count-monotone") {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
