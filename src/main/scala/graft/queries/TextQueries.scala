@@ -952,6 +952,70 @@ object TextQueries {
        |      FROM a)
        |SELECT pair, n, rnk FROM r WHERE rnk <= $BpeK""".stripMargin
 
+  // ------------------------------------------------------------- pack_windows
+  /** `pack_windows` — SEQUENCE PACKING for LM training: documents are
+    * concatenated in doc_id order into one token stream and chopped into
+    * fixed [[PackCap]]-token context windows (the concatenate-and-chunk
+    * packing GPT-style pretraining uses); each surviving doc reports its
+    * global token offset and the window range it lands in — the map a
+    * packing/attention-masking stage consumes. Zero-token docs occupy no
+    * window and are excluded. All-integer arithmetic (whitespace token
+    * counts, the `token_count` convention).
+    *
+    * The hard part at scale is the GLOBAL ORDERED PREFIX SUM — a naive
+    * `sum() OVER (ORDER BY doc_id)` sorts the corpus in ONE task. Same
+    * cure as `global_rank` (the TeraSort decomposition): doc_id-range
+    * buckets; per-bucket token sums collapse to a TINY table whose
+    * running sum gives each bucket's global offset (the only
+    * unpartitioned window — |buckets| rows); offsets broadcast back and
+    * the within-bucket prefix sum runs per-bucket in parallel. ONE
+    * corpus exchange (the bucket partitioning).
+    */
+  val PackCap = 1024L
+  val PackBucketDocs = 1024L
+
+  def packWindows(spark: SparkSession, dir: String): DataFrame = {
+    val tc = docs(spark, dir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
+        .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bkt", expr(s"doc_id div $PackBucketDocs"))
+    val above = Window.orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tc.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("s"))
+      .withColumn("boff", coalesce(sum(col("s")).over(above), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val local = Window.partitionBy(col("bkt")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tc.join(broadcast(offsets), "bkt")
+      .withColumn("start_offset",
+        col("boff") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .withColumn("first_window", expr(s"start_offset div $PackCap"))
+      .withColumn("last_window",
+        expr(s"(start_offset + n_tokens - 1) div $PackCap"))
+      .withColumn("n_windows", col("last_window") - col("first_window") + lit(1L))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("first_window"), col("last_window"), col("n_windows"))
+  }
+
+  val packWindowsSql: String =
+    s"""WITH tc AS (SELECT doc_id,
+       |              CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |                                   w -> length(w) > 0)) AS BIGINT) AS n_tokens
+       |            FROM documents),
+       |p AS (SELECT doc_id, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |             AS BIGINT) AS start_offset
+       |      FROM tc WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, start_offset,
+       |       start_offset // $PackCap AS first_window,
+       |       (start_offset + n_tokens - 1) // $PackCap AS last_window,
+       |       (start_offset + n_tokens - 1) // $PackCap
+       |         - start_offset // $PackCap + 1 AS n_windows
+       |FROM p""".stripMargin
+
   // -------------------------------------------------------- rare_bigram_rate
   /** `rare_bigram_rate` — the exact-arithmetic stand-in for the classic
     * LM-perplexity quality filter (CCNet/Gopher): score each document by
@@ -1082,6 +1146,7 @@ object TextQueries {
     "term_vector" -> QueryDef(termVector, Some(termVectorSql)),
     "chi2_keywords" -> QueryDef(chi2Keywords, Some(chi2KeywordsSql)),
     "bpe_pairs" -> QueryDef(bpePairs, Some(bpePairsSql)),
+    "pack_windows" -> QueryDef(packWindows, Some(packWindowsSql)),
     "rare_bigram_rate" -> QueryDef(rareBigramRate, Some(rareBigramRateSql)),
     "lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     // rows-only like approx_stats: sketch estimates are merge-order

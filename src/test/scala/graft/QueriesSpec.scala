@@ -1623,6 +1623,25 @@ class QueriesSpec extends SparkTestBase {
     assert(got.toSeq === want)
   }
 
+  test("pack_windows: offsets are the contiguous doc_id-order prefix sum; window math consistent") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.packWindows(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // contiguity: each doc starts exactly where the previous one ended
+    rows.foldLeft(0L) { case (expectOff, (id, n, off, fw, lw, nw)) =>
+      assert(off === expectOff, s"doc $id offset $off != running sum $expectOff")
+      assert(fw === off / TextQueries.PackCap)
+      assert(lw === (off + n - 1) / TextQueries.PackCap)
+      assert(nw === lw - fw + 1 && nw >= 1)
+      expectOff + n
+    }
+    // stream covers ceil(total/C) windows with no gaps
+    val total = rows.map(_._2).sum
+    assert(rows.last._5 === (total - 1) / TextQueries.PackCap)
+  }
+
   test("path_topk: equals a driver-side sequence recompute; rank is dense and count-monotone") {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
