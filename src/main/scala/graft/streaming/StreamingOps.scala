@@ -266,6 +266,50 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** The event-type domain the [[dqMonitor]] check validates against —
+    * the admission contract of the events table.
+    */
+  val KnownEventTypes: Seq[String] =
+    Seq("view", "click", "purchase", "signup", "error")
+
+  /** Streaming twin of `dq_audit`'s DOMAIN family — CONTINUOUS data-quality
+    * monitoring: per-check running violation counts over the event stream
+    * (the ingestion-time gate that pages before a bad producer poisons a
+    * day of downstream tables, where the batch audit only catches it at
+    * publish time). Four checks per event, evaluated scan-locally as a
+    * labeled flag-struct explode:
+    *
+    *  - `null_user` / `null_ts`: missing required fields;
+    *  - `unknown_type`: event_type outside [[KnownEventTypes]] (NULL
+    *    counts as unknown — `coalesce` pins the three-valued `isin`);
+    *  - `negative_value`: domain violation on the measure.
+    *
+    * Like [[propsStats]], state is bounded by KEY CARDINALITY alone —
+    * one count row per check (4 rows), no watermark needed; a clean
+    * stream emits nothing (counts appear only once a violation arrives).
+    * The uniqueness family (dup event_id) is deliberately NOT here: its
+    * exact streaming form needs per-key state over the full id space —
+    * that's [[latestByKey]]'s shape with an unbounded horizon; the
+    * production answer is `dropDuplicatesWithinWatermark` upstream
+    * (demonstrated in [[dailyActiveUsers]]) plus the batch audit.
+    */
+  def dqMonitor(events: DataFrame): DataFrame = {
+    val flags = array(
+      struct(lit("null_user").as("check_name"),
+        col("user_id").isNull.as("bad")),
+      struct(lit("null_ts").as("check_name"), col("ts").isNull.as("bad")),
+      struct(lit("unknown_type").as("check_name"),
+        (!coalesce(col("event_type").isin(KnownEventTypes: _*), lit(false)))
+          .as("bad")),
+      struct(lit("negative_value").as("check_name"),
+        coalesce(col("value") < 0, lit(false)).as("bad")))
+    events
+      .select(explode(flags).as("f"))
+      .filter(col("f.bad"))
+      .groupBy(col("f.check_name").as("check_name"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming decontamination — the ingestion-time twin of the batch
     * `decontaminate` query and the module's stream-STATIC join
     * demonstration: each arriving document's shingles (the same

@@ -242,6 +242,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming dqMonitor: silent on the clean corpus; counts every injected violation") {
+    // clean corpus: no violation rows at all
+    val qc = StreamingOps.dqMonitor(StreamingOps.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("dq_clean")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    qc.processAllAvailable(); qc.stop()
+    assert(spark.table("dq_clean").count() === 0L)
+
+    // crafted violations: each check counts exactly its injected rows
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    Seq(
+      (1L, Some(1000000000L), Option(7L), "view", 1.0, "{}"),
+      (2L, Some(1000000000L), None, "view", 1.0, "{}"),          // null_user
+      (3L, None, Option(7L), "click", 1.0, "{}"),                // null_ts
+      (4L, Some(1000000000L), Option(7L), "bogus", 1.0, "{}"),   // unknown_type
+      (5L, Some(1000000000L), Option(7L), "view", -2.0, "{}"),   // negative_value
+      (6L, Some(1000000000L), Option(7L), "view", -0.5, "{}"))   // negative_value
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage")
+    // the stream's pathGlobFilter matches LEAF file names — materialize a
+    // single file literally named events.parquet, like the driver corpus
+    val part = new java.io.File(s"$tmp/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(tmp, "events.parquet"))
+    val qv = StreamingOps.dqMonitor(StreamingOps.eventStream(spark, tmp))
+      .writeStream.format("memory").queryName("dq_violations")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    qv.processAllAvailable(); qv.stop()
+    val got = spark.table("dq_violations").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("null_user" -> 1L, "null_ts" -> 1L,
+      "unknown_type" -> 1L, "negative_value" -> 2L))
+  }
+
   test("streaming wordCounts equals batch wordcount on a closed input") {
     val stream = StreamingOps.wordCounts(StreamingOps.docStream(spark, dir))
     val q = stream.writeStream
