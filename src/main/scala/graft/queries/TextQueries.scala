@@ -952,6 +952,66 @@ object TextQueries {
        |      FROM a)
        |SELECT pair, n, rnk FROM r WHERE rnk <= $BpeK""".stripMargin
 
+  // ----------------------------------------------------------- vocab_coverage
+  /** `vocab_coverage` — the TOKENIZER COVERAGE CURVE: for each vocabulary
+    * budget k in [[VocabSizes]], the fraction of all corpus token
+    * occurrences covered by the k most frequent words (count desc, word
+    * asc — the deterministic greedy vocabulary). The
+    * budget-vs-OOV-rate trade-off curve a tokenizer/vocab-size decision
+    * reads (coverage's complement IS the OOV rate); pairs with
+    * [[bpePairs]]: bpe answers "what to merge", this answers "how large a
+    * vocab buys how much coverage". Exact: covered/total are BIGINT sums;
+    * coverage is one final division of two exact integers.
+    *
+    * Scale shape: corpus → (word, count) vocabulary collapse (one
+    * partial-final hash agg, the bpe_pairs layout); the rank +
+    * running-sum windows and the [[VocabSizes]] threshold explode all run
+    * over the VOCABULARY (sublinear, Heaps' law) — the corpus never meets
+    * a window. The curve output is |VocabSizes| rows.
+    */
+  val VocabSizes: Seq[Long] = Seq(64L, 256L, 1024L, 4096L)
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val byFreq = Window.orderBy(col("c").desc, col("word").asc)
+    val ranked = words(spark, dir)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = ranked.agg(sum(col("c")).as("total"))
+    import spark.implicits._
+    val ks = VocabSizes.toDF("k")
+    ranked.join(broadcast(ks), col("rnk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("cum")).as("covered"), max(col("rnk")).as("vocab_used"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage",
+        col("covered").cast("double") / col("total").cast("double"))
+      .select(col("k"), col("vocab_used"), col("covered"), col("total"),
+        col("coverage"))
+  }
+
+  val vocabCoverageSql: String = {
+    val sizes = VocabSizes.mkString(", ")
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT unnest(t) AS word FROM toks),
+       |wc AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+       |r AS (SELECT word, c,
+       |        CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rnk,
+       |        CAST(sum(c) OVER (ORDER BY c DESC, word
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             AS BIGINT) AS cum
+       |      FROM wc),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM wc),
+       |k AS (SELECT CAST(unnest([$sizes]) AS BIGINT) AS k)
+       |SELECT k.k, max(r.rnk) AS vocab_used, max(r.cum) AS covered,
+       |       CAST(any_value(t.total) AS BIGINT) AS total,
+       |       CAST(max(r.cum) AS DOUBLE) / CAST(any_value(t.total) AS DOUBLE)
+       |         AS coverage
+       |FROM r JOIN k ON r.rnk <= k.k CROSS JOIN t
+       |GROUP BY k.k""".stripMargin
+  }
+
   // ------------------------------------------------------------- pack_windows
   /** `pack_windows` — SEQUENCE PACKING for LM training: documents are
     * concatenated in doc_id order into one token stream and chopped into
@@ -1147,6 +1207,7 @@ object TextQueries {
     "chi2_keywords" -> QueryDef(chi2Keywords, Some(chi2KeywordsSql)),
     "bpe_pairs" -> QueryDef(bpePairs, Some(bpePairsSql)),
     "pack_windows" -> QueryDef(packWindows, Some(packWindowsSql)),
+    "vocab_coverage" -> QueryDef(vocabCoverage, Some(vocabCoverageSql)),
     "rare_bigram_rate" -> QueryDef(rareBigramRate, Some(rareBigramRateSql)),
     "lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     // rows-only like approx_stats: sketch estimates are merge-order

@@ -44,7 +44,10 @@ class PlanGuardSpec extends SparkTestBase {
     // the declared non-equi range lookup: a CONSTANT 4-row band table
     // broadcast per-row into the scan stage — the BNLJ here IS the
     // intended operator (see bandJoin's scaladoc), never corpus-sized
-    "band_join")
+    "band_join",
+    // same constant-table non-equi shape: the 4-row vocab-budget table
+    // (rnk <= k) joins the VOCABULARY, plus a 1-row total crossJoin
+    "vocab_coverage")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.all.foreach { case (name, q) =>

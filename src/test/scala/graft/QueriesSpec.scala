@@ -1623,6 +1623,28 @@ class QueriesSpec extends SparkTestBase {
     assert(got.toSeq === want)
   }
 
+  test("vocab_coverage: equals the tokenizer-derived greedy coverage curve; monotone in k") {
+    import graft.queries.TextQueries
+    val toks = Tables(spark, dir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty))
+    val ranked = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val total = toks.length.toLong
+    val want = TextQueries.VocabSizes.map { k =>
+      val take = ranked.take(k.toInt)
+      (k, take.size.toLong, take.map(_._2).sum, total,
+        take.map(_._2).sum.toDouble / total.toDouble)
+    }.toSet
+    val got = TextQueries.vocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === want)
+    val byK = got.toSeq.sortBy(_._1)
+    byK.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3 && a._5 <= b._5, "coverage must be monotone in k")
+    case _ => () }
+  }
+
   test("pack_windows: offsets are the contiguous doc_id-order prefix sum; window math consistent") {
     import graft.queries.TextQueries
     val rows = TextQueries.packWindows(spark, dir).collect()
