@@ -2269,6 +2269,44 @@ object RelationalQueries {
       |         AS twa_value
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------------ melt_measures
+  /** `melt_measures` — UNPIVOT (melt), the inverse of [[pivotDaily]]'s
+    * pivot and the last member of the reshape family: the four lineitem
+    * measure columns unpivot into (measure, amount) rows via Spark's
+    * native `Dataset.unpivot` operator, then roll up per
+    * (returnflag, measure) with the engine's exact integer-cents sums.
+    * The wide→long normalization every metrics warehouse runs to get
+    * measure-generic downstream logic.
+    *
+    * Scale shape: unpivot is a scan-local Expand (4 rows out per input
+    * row, zero shuffle — the rollup_agg Expand shape on the column axis);
+    * the only exchange is the final partial-final hash agg to the
+    * |flags|×|measures| grid. ReadSchema prunes to the 5 used columns.
+    */
+  def meltMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "amount")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), intSum(col("amount"), 2).as("sum_cents"))
+
+  val meltMeasuresSql: String =
+    """WITH u AS (
+      |  SELECT l_returnflag, measure, amount
+      |  FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount,
+      |               l_tax FROM lineitem)
+      |  UNPIVOT (amount FOR measure IN (l_quantity, l_extendedprice,
+      |                                  l_discount, l_tax)))
+      |SELECT l_returnflag, measure, count(*) AS n,
+      |       CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM u GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- user_journey
   /** `user_journey` — per-user ORDERED event-type sequence as an ARRAY
     * column plus summary stats (event count, first/last micros). The
@@ -2445,5 +2483,6 @@ object RelationalQueries {
     "path_topk" -> QueryDef(pathTopk, Some(pathTopkSql)),
     "time_weighted_avg" -> QueryDef(timeWeightedAvg, Some(timeWeightedAvgSql)),
     "dq_audit" -> QueryDef(dqAudit, Some(dqAuditSql)),
-    "user_journey" -> QueryDef(userJourney, Some(userJourneySql)))
+    "user_journey" -> QueryDef(userJourney, Some(userJourneySql)),
+    "melt_measures" -> QueryDef(meltMeasures, Some(meltMeasuresSql)))
 }

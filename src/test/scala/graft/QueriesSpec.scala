@@ -1709,6 +1709,27 @@ class QueriesSpec extends SparkTestBase {
       assert(twa === c.toDouble / w.toDouble / 100.0) }
   }
 
+  test("melt_measures: unpivot conserves row multiplicity and per-measure totals") {
+    val li = Tables(spark, dir, "lineitem")
+    val rows = li.count()
+    val got = graft.queries.RelationalQueries.meltMeasures(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // every (flag, measure) cell carries exactly the flag's row count
+    val flagCounts = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    flagCounts.foreach { case (f, n) =>
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach { m =>
+        assert(got((f, m))._1 === n, s"cell ($f, $m) lost rows") } }
+    assert(got.values.map(_._1).sum === rows * 4)
+    // per-measure totals equal the direct column sums (exact cents)
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach { m =>
+      val direct = li.agg(
+        sum(round(col(m) * 100).cast("long"))).collect()(0).getLong(0)
+      assert(got.collect { case ((_, `m`), (_, s)) => s }.sum === direct,
+        s"measure $m total mismatch") }
+  }
+
   test("user_journey: ordered sequence equals a driver-side recompute on any partitioning") {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
