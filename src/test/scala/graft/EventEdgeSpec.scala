@@ -165,6 +165,38 @@ class EventEdgeSpec extends SparkTestBase {
       300L -> ((9L, None))))
   }
 
+  test("path_topk: same-microsecond ties order by event_id; windows never cross users") {
+    val t0 = 1700000000000000000L
+    val us = 1000L // 1 µs in ns
+    val dir = eventsDir(Seq(
+      // user 7: ts-tied pair (ids 2,1) then a third — path follows id order
+      (2L, t0, 7L, "click", 1.0),
+      (1L, t0, 7L, "view", 1.0),
+      (3L, t0 + us, 7L, "purchase", 1.0),
+      // user 8: only 2 events — contributes NO length-3 path
+      (4L, t0, 8L, "view", 1.0),
+      (5L, t0 + us, 8L, "view", 1.0)))
+    val got = RelationalQueries.pathTopk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n")))
+    assert(got.toSeq === Seq(("view", "click", "purchase", 1L)))
+  }
+
+  test("time_weighted_avg: last event carries no weight; same-second gap weighs zero") {
+    val t0 = 1700000000000000000L
+    val secNs = 1000000000L
+    val dir = eventsDir(Seq(
+      (1L, t0, 7L, "view", 10.0),           // held 2 s -> weight 2
+      (2L, t0 + 2 * secNs, 7L, "view", 40.0), // held 999999 µs -> dur_s = 0
+      (3L, t0 + 3 * secNs - 1000L, 7L, "view", 70.0))) // last: excluded
+    val got = RelationalQueries.timeWeightedAvg(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("weight_s"), r.getAs[Long]("wsum_cents"),
+        r.getAs[Double]("twa_value"))).toMap
+    // rows 1 and 2 survive (2 held intervals); only row 1 carries weight
+    assert(got === Map("view" -> ((2L, 2L, 2000L, 10.0))))
+  }
+
   test("pareto_front: dominance is strict-in-one-axis; co-located optima all kept") {
     import spark.implicits._
     val pts = Seq(
