@@ -2269,6 +2269,50 @@ object RelationalQueries {
       |         AS twa_value
       |FROM a""".stripMargin
 
+  // -------------------------------------------------------------- set_ops_all
+  /** `set_ops_all` — the MULTISET set-operation variants (`INTERSECT ALL`
+    * / `EXCEPT ALL`), completing the family [[setOps]] opened with
+    * distinct semantics: the per-user view-occurrence bag against the
+    * purchase-occurrence bag. `INTERSECT ALL` keeps each user min(views,
+    * purchases) times (the matched-engagement bag), `EXCEPT ALL` keeps
+    * the surplus max(views − purchases, 0) times (the unconverted-views
+    * bag) — the multiplicity-preserving semantics a sampler or a
+    * per-occurrence billing reconciliation needs, where DISTINCT set ops
+    * silently collapse multiplicity. Results roll up per user so the
+    * multiset cardinalities are hash-comparable.
+    *
+    * Scale shape: Spark plans both as ONE partial-final count aggregation
+    * per side + a replicate-generate on the merged counts — no pairwise
+    * join, same key-collapse cost class as the aggregations around it;
+    * both scans prune to (user_id) with a pushed event_type filter.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+    def side(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    val views = side("view")
+    val purchases = side("purchase")
+    def rollup(tag: String, bag: DataFrame) =
+      bag.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select(lit(tag).as("tag"), col("user_id"), col("n"))
+    rollup("views_minus_purchases", views.exceptAll(purchases))
+      .union(rollup("min_views_purchases", views.intersectAll(purchases)))
+  }
+
+  val setOpsAllSql: String =
+    """SELECT 'views_minus_purchases' AS tag, user_id, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'min_views_purchases', user_id, count(*) FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |GROUP BY 2""".stripMargin
+
   // ------------------------------------------------------------ melt_measures
   /** `melt_measures` — UNPIVOT (melt), the inverse of [[pivotDaily]]'s
     * pivot and the last member of the reshape family: the four lineitem
@@ -2484,5 +2528,6 @@ object RelationalQueries {
     "time_weighted_avg" -> QueryDef(timeWeightedAvg, Some(timeWeightedAvgSql)),
     "dq_audit" -> QueryDef(dqAudit, Some(dqAuditSql)),
     "user_journey" -> QueryDef(userJourney, Some(userJourneySql)),
-    "melt_measures" -> QueryDef(meltMeasures, Some(meltMeasuresSql)))
+    "melt_measures" -> QueryDef(meltMeasures, Some(meltMeasuresSql)),
+    "set_ops_all" -> QueryDef(setOpsAll, Some(setOpsAllSql)))
 }

@@ -1709,6 +1709,23 @@ class QueriesSpec extends SparkTestBase {
       assert(twa === c.toDouble / w.toDouble / 100.0) }
   }
 
+  test("set_ops_all: multiset results equal per-user min/surplus of the type counts") {
+    val counts = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), col("event_type")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val users = counts.keys.map(_._1).toSet
+    def c(u: Long, t: String) = counts.getOrElse((u, t), 0L)
+    val want = users.flatMap { u =>
+      val (v, p) = (c(u, "view"), c(u, "purchase"))
+      Seq(("views_minus_purchases", u, math.max(v - p, 0L)),
+        ("min_views_purchases", u, math.min(v, p))).filter(_._3 > 0)
+    }
+    val got = graft.queries.RelationalQueries.setOpsAll(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("melt_measures: unpivot conserves row multiplicity and per-measure totals") {
     val li = Tables(spark, dir, "lineitem")
     val rows = li.count()
