@@ -2269,6 +2269,133 @@ object RelationalQueries {
       |         AS twa_value
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------- quantile_normalize
+  /** `quantile_normalize` — per-type PERCENT_RANK and CUME_DIST of every
+    * event's value (integer cents): the rank-based normalization feature
+    * pipelines use to make heavy-tailed metrics comparable across types
+    * (the quantile-transform of sklearn fame). Tie semantics are the SQL
+    * standard's: percent_rank = (min-rank − 1)/(n − 1), cume_dist =
+    * (rows ≤ value)/n — both one IEEE division of exact BIGINTs, so the
+    * oracle's NATIVE window functions must reproduce our decomposition
+    * bit-for-bit.
+    *
+    * Scale shape: a naive `percent_rank() OVER (PARTITION BY type ORDER
+    * BY value)` sorts each type's full corpus slice in one task chain;
+    * instead the corpus collapses to the (type, cents) VALUE VOCABULARY
+    * with counts (one partial-final hash agg), the running sums walk
+    * that vocabulary-sized table per type, and the per-row ranks return
+    * by broadcast-joining the vocabulary back to the corpus — the corpus
+    * itself is never sorted and never enters a window (the pareto_front /
+    * global_rank collapse, applied to rank normalization).
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events").select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vocab = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum(col("cnt")).over(byValue), lit(0L)))
+      .withColumn("upto", col("below") + col("cnt"))
+    val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("nn"))
+    e.join(broadcast(vocab.join(totals, "event_type")),
+        Seq("event_type", "cents"))
+      .withColumn("pr",
+        col("below").cast("double") / (col("nn") - lit(1L)).cast("double"))
+      .withColumn("cd", col("upto").cast("double") / col("nn").cast("double"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("pr"), col("cd"))
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT event_id, event_type, cents,
+      |       percent_rank() OVER (PARTITION BY event_type ORDER BY cents) AS pr,
+      |       cume_dist() OVER (PARTITION BY event_type ORDER BY cents) AS cd
+      |FROM e""".stripMargin
+
+  // ------------------------------------------------------------- basket_rules
+  /** `basket_rules` — MARKET-BASKET association rules over daily activity
+    * baskets: a basket is the DISTINCT event-type set of one (user, day);
+    * for every type pair the support, per-direction confidence, and lift
+    * — the affinity analysis behind "users who err also buy" questions,
+    * and the co-occurrence family's SESSION-scoped member (`cooc_pmi`
+    * scores token windows; this scores behavioral baskets). Exact:
+    * supports are BIGINTs; confidence = one division; lift is evaluated
+    * as `(supp_ab · n_baskets) / (supp_a · supp_b)` — double products of
+    * exact ints in one identical tree, no intermediate rounding.
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct (user, day,
+    * type) basket-membership table (partial-final agg; ≤ |types| rows
+    * per basket); pair counts are a self-equi-join on the basket key
+    * with fanout bounded by |types|² per basket — never a corpus×corpus
+    * join; the pair table is vocabulary-sized (≤ |types|²) and meets
+    * only broadcast-joined support totals.
+    */
+  private val basketMemo = Memo.table()
+
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    // memoized basket-membership table: referenced four times below (supp,
+    // both pair sides, basket total) — one distinct-collapse corpus pass
+    // per (session, dir) instead of four
+    val m = Memo.memoize(basketMemo, spark, dir)(
+      Tables(spark, dir, "events")
+        .select(col("user_id"), expr(s"ts div $dayNs").as("d"),
+          col("event_type"))
+        .distinct())
+    val nb = m.select(col("user_id"), col("d")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val supp = m.groupBy(col("event_type")).agg(count(lit(1)).as("s"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("supp_ab"))
+    pairs
+      .join(broadcast(supp.select(col("event_type").as("ta"),
+        col("s").as("supp_a"))), "ta")
+      .join(broadcast(supp.select(col("event_type").as("tb"),
+        col("s").as("supp_b"))), "tb")
+      .crossJoin(broadcast(nb))
+      .withColumn("conf_a_b",
+        col("supp_ab").cast("double") / col("supp_a").cast("double"))
+      .withColumn("conf_b_a",
+        col("supp_ab").cast("double") / col("supp_b").cast("double"))
+      .withColumn("lift",
+        (col("supp_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("supp_a").cast("double") * col("supp_b").cast("double")))
+      .select(col("ta"), col("tb"), col("supp_ab"), col("supp_a"),
+        col("supp_b"), col("n_baskets"), col("conf_a_b"), col("conf_b_a"),
+        col("lift"))
+  }
+
+  val basketRulesSql: String =
+    """WITH m AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d,
+      |                  event_type
+      |           FROM events),
+      |nb AS (SELECT count(*) AS n_baskets
+      |       FROM (SELECT DISTINCT user_id, d FROM m)),
+      |s AS (SELECT event_type, count(*) AS s FROM m GROUP BY 1),
+      |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+      |             count(*) AS supp_ab
+      |      FROM m a JOIN m b ON a.user_id = b.user_id AND a.d = b.d
+      |       AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.ta, p.tb, p.supp_ab, sa.s AS supp_a, sb.s AS supp_b,
+      |       nb.n_baskets,
+      |       CAST(p.supp_ab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf_a_b,
+      |       CAST(p.supp_ab AS DOUBLE) / CAST(sb.s AS DOUBLE) AS conf_b_a,
+      |       (CAST(p.supp_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)) /
+      |         (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift
+      |FROM p JOIN s sa ON sa.event_type = p.ta
+      |       JOIN s sb ON sb.event_type = p.tb
+      |       CROSS JOIN nb""".stripMargin
+
   // -------------------------------------------------------------- set_ops_all
   /** `set_ops_all` — the MULTISET set-operation variants (`INTERSECT ALL`
     * / `EXCEPT ALL`), completing the family [[setOps]] opened with
@@ -2529,5 +2656,7 @@ object RelationalQueries {
     "dq_audit" -> QueryDef(dqAudit, Some(dqAuditSql)),
     "user_journey" -> QueryDef(userJourney, Some(userJourneySql)),
     "melt_measures" -> QueryDef(meltMeasures, Some(meltMeasuresSql)),
-    "set_ops_all" -> QueryDef(setOpsAll, Some(setOpsAllSql)))
+    "set_ops_all" -> QueryDef(setOpsAll, Some(setOpsAllSql)),
+    "quantile_normalize" -> QueryDef(quantileNormalize, Some(quantileNormalizeSql)),
+    "basket_rules" -> QueryDef(basketRules, Some(basketRulesSql)))
 }

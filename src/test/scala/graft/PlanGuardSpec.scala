@@ -34,6 +34,7 @@ class PlanGuardSpec extends SparkTestBase {
     "active_users", // 1-row (dmin, dmax) bounds for the day spine
     "ewma_daily", // 1-row dmax bound anchoring the decay ages
     "chi2_keywords", // 1-row corpus token total (contingency-table N)
+    "basket_rules", // 1-row basket-total broadcast (lift numerator)
     "incremental_merge", // 1-row cut_ns bound splitting base from delta
     "triangle_count", // 1-row edge/triangle stat rows assembling the summary
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)

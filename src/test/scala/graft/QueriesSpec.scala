@@ -1726,6 +1726,51 @@ class QueriesSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("quantile_normalize: vocabulary-collapsed ranks equal the direct definition") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = ev.groupBy(_._2)
+    val got = graft.queries.RelationalQueries.quantileNormalize(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("pr")), r.getDouble(r.fieldIndex("cd"))))
+      .toMap
+    ev.foreach { case (id, t, c) =>
+      val vals = byType(t).map(_._3)
+      val below = vals.count(_ < c).toLong
+      val upto = vals.count(_ <= c).toLong
+      val n = vals.length.toLong
+      assert(got(id) === ((below.toDouble / (n - 1).toDouble,
+        upto.toDouble / n.toDouble)), s"event $id")
+    }
+  }
+
+  test("basket_rules: supports/confidence/lift equal a driver-side basket recompute") {
+    val dayNs = 86400000000000L
+    val m = Tables(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $dayNs").as("d"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val baskets = m.groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).toSet).values.toSeq
+    val nb = baskets.size.toLong
+    def supp(t: String) = baskets.count(_.contains(t)).toLong
+    val got = graft.queries.RelationalQueries.basketRules(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(8))).toMap
+    val types = m.map(_._3)
+    for (a <- types; b <- types if a < b) {
+      val ab = baskets.count(s => s.contains(a) && s.contains(b)).toLong
+      if (ab > 0) {
+        val (sab, sa, sb, n, lift) = got((a, b))
+        assert((sab, sa, sb, n) === ((ab, supp(a), supp(b), nb)))
+        assert(lift === (ab.toDouble * nb.toDouble) /
+          (supp(a).toDouble * supp(b).toDouble))
+      } else assert(!got.contains((a, b)))
+    }
+  }
+
   test("melt_measures: unpivot conserves row multiplicity and per-measure totals") {
     val li = Tables(spark, dir, "lineitem")
     val rows = li.count()
