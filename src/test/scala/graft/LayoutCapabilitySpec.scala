@@ -98,6 +98,47 @@ class LayoutCapabilitySpec extends SparkTestBase {
     assert(pruned.count() === want)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at RUNTIME") {
+    // the 100 TB star-join mechanism static pruning can't give you: the
+    // kept partition set is only known after FILTERING THE DIM (here a
+    // non-partition attribute), so the optimizer must inject a runtime
+    // dynamicpruning subquery into the fact scan's partition filters
+    import spark.implicits._
+    val out = freshDir("dpp")
+    val dayNs = 86400000000000L
+    Tables(spark, sf("sf0.001"), "events")
+      .select(col("event_id"), col("user_id"),
+        expr(s"ts div $dayNs").as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val fact = spark.read.parquet(out)
+    // partition-dir values are type-inferred on read (int here) — normalize
+    val days = fact.select(col("day").cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(days.length > 1, "need >1 day partition for DPP to be observable")
+    // dim: the kept day is encoded in a NON-partition attribute, so
+    // planning-time pruning cannot resolve it
+    // dim's day matches the fact's inferred partition type exactly (a cast
+    // on the fact's join key would block the pruning-filter insertion) and
+    // the dim is PARQUET-BACKED: over a LocalRelation the tag filter
+    // constant-folds away and no selective predicate remains for the
+    // pruning rule to latch onto
+    val dayType = fact.schema("day").dataType
+    val dimDir = freshDir("dpp-dim")
+    days.zipWithIndex
+      .map { case (d, i) => (d, if (i == 0) "keep" else "drop") }
+      .toSeq.toDF("day", "tag")
+      .withColumn("day", col("day").cast(dayType))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim.filter(col("tag") === "keep"), "day")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan:\n$planStr")
+    // and the result is exactly the kept day's rows
+    val want = fact.filter(col("day") === days.head).count()
+    assert(q.count() === want && want > 0)
+  }
+
   test("CSV ingest: explicit schema round-trips types; no inference scan") {
     val out = freshDir("csv")
     val docs = Tables(spark, sf("sf0.001"), "documents")
