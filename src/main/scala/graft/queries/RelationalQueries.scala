@@ -2269,6 +2269,61 @@ object RelationalQueries {
       |         AS twa_value
       |FROM a""".stripMargin
 
+  // --------------------------------------------------------------- ohlc_daily
+  /** `ohlc_daily` — per-type daily OPEN/HIGH/LOW/CLOSE of the value in
+    * integer cents: the financial candlestick aggregation, and the
+    * inventory's ARGMIN/ARGMAX-BY-TIME member (open = value of the
+    * day's FIRST event, close = the LAST, ties broken by event_id — the
+    * house (us, event_id) order; high/low are plain extremes). Computed
+    * as `min/max(struct(us, event_id, cents))` — Spark's lexicographic
+    * struct ordering makes the aggregate an argmin/argmax whose partials
+    * merge associatively in ANY order, so no window and no sort ever
+    * touch the corpus. The oracle states the same semantics as
+    * first/last row_number selections, proving the struct-extreme
+    * decomposition equals the declarative definition.
+    *
+    * Scale shape: ONE partial-final hash agg to the (type, day) grid —
+    * the same shape as `group_agg`; nothing else.
+    */
+  def ohlcDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    Tables(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $dayNs").as("d"),
+        expr("ts div 1000").as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"))
+  }
+
+  val ohlcDailySql: String =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |                  epoch_ns(ts) // 1000 AS us, event_id,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |r AS (SELECT event_type, d, cents,
+      |        row_number() OVER (PARTITION BY event_type, d
+      |                           ORDER BY us, event_id) AS rn_open,
+      |        row_number() OVER (PARTITION BY event_type, d
+      |                           ORDER BY us DESC, event_id DESC) AS rn_close
+      |      FROM e),
+      |a AS (SELECT event_type, d, count(*) AS n, max(cents) AS high_cents,
+      |             min(cents) AS low_cents
+      |      FROM e GROUP BY 1, 2)
+      |SELECT a.event_type, a.d, a.n, o.cents AS open_cents, a.high_cents,
+      |       a.low_cents, c.cents AS close_cents
+      |FROM a
+      |JOIN (SELECT event_type, d, cents FROM r WHERE rn_open = 1) o
+      |  USING (event_type, d)
+      |JOIN (SELECT event_type, d, cents FROM r WHERE rn_close = 1) c
+      |  USING (event_type, d)""".stripMargin
+
   // ------------------------------------------------------- quantile_normalize
   /** `quantile_normalize` — per-type PERCENT_RANK and CUME_DIST of every
     * event's value (integer cents): the rank-based normalization feature
@@ -2658,5 +2713,6 @@ object RelationalQueries {
     "melt_measures" -> QueryDef(meltMeasures, Some(meltMeasuresSql)),
     "set_ops_all" -> QueryDef(setOpsAll, Some(setOpsAllSql)),
     "quantile_normalize" -> QueryDef(quantileNormalize, Some(quantileNormalizeSql)),
-    "basket_rules" -> QueryDef(basketRules, Some(basketRulesSql)))
+    "basket_rules" -> QueryDef(basketRules, Some(basketRulesSql)),
+    "ohlc_daily" -> QueryDef(ohlcDaily, Some(ohlcDailySql)))
 }

@@ -1726,6 +1726,26 @@ class QueriesSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("ohlc_daily: struct-extreme argmin/argmax equals first/last-by-time recompute") {
+    val dayNs = 86400000000000L
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $dayNs").as("d"),
+        expr("ts div 1000").as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val want = ev.groupBy(e => (e._1, e._2)).view.mapValues { rows =>
+      val s = rows.sortBy(r => (r._3, r._4))
+      (rows.size.toLong, s.head._5, rows.map(_._5).max, rows.map(_._5).min,
+        s.last._5)
+    }.toMap
+    val got = graft.queries.RelationalQueries.ohlcDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got === want)
+  }
+
   test("quantile_normalize: vocabulary-collapsed ranks equal the direct definition") {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"),
