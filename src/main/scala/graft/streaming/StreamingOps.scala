@@ -266,6 +266,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Streaming twin of the batch `ohlc_daily` candlestick: per (type,
+    * event-time day) OPEN/HIGH/LOW/CLOSE maintained live. The twin is
+    * NATURALLY streaming-exact because every component is a mergeable
+    * extreme: open/close are `min/max(struct(us, event_id, cents))`
+    * (lexicographic struct extremes — associative under any partial
+    * order of arrival, the same property that frees the batch plan from
+    * windows), high/low plain min/max, n a count. A 1-hour watermark
+    * bounds state to live day windows; update mode re-emits a day's
+    * refreshed candle as late (≤ 1 h) events arrive. On a closed input
+    * the final candles equal the batch query exactly (StreamingSpec).
+    */
+  def ohlcStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(window(col("tstamp"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"))
+
   /** The event-type domain the [[dqMonitor]] check validates against —
     * the admission contract of the events table.
     */

@@ -242,6 +242,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming ohlcStream: final candles equal batch ohlc_daily on a closed input") {
+    val q = StreamingOps.ohlcStream(StreamingOps.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ohlc_stream").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    val expected = graft.queries.RelationalQueries.ohlcDaily(spark, dir)
+      .collect().map { r =>
+        val day = java.time.LocalDate.ofEpochDay(r.getLong(1)).toString
+        (day, r.getString(0)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6))
+      }.toMap
+    assert(got === expected)
+  }
+
   test("streaming dqMonitor: silent on the clean corpus; counts every injected violation") {
     // clean corpus: no violation rows at all
     val qc = StreamingOps.dqMonitor(StreamingOps.eventStream(spark, dir))
