@@ -2660,6 +2660,113 @@ object RelationalQueries {
       |UNION ALL SELECT 'embeddings_empty_vec', count(*) FROM embeddings
       |  WHERE embedding IS NULL OR len(embedding) = 0""".stripMargin
 
+  // -------------------------------------------------------- trailing_features
+  /** `trailing_features` — leakage-free point-in-time feature backfill: for
+    * EVERY event, the same user's trailing-7-day activity summarized
+    * STRICTLY BEFORE that event (prior-event count, exact cents volume,
+    * nanoseconds since the most recent in-horizon event). This is the
+    * feature-store primitive behind training-set materialization: each
+    * example's features must be computable from data available at its own
+    * timestamp, never at or after it — hence the RANGE frame ending at
+    * −1 ns, which also excludes same-timestamp peers on both engines
+    * (RANGE peers sit at distance 0).
+    *
+    * All three features are exact integers (count, BIGINT cents sum,
+    * BIGINT nanosecond gap), so partial-frame accumulation order can never
+    * hash-mismatch; `gap_ns` is NULL when the horizon holds no prior event.
+    *
+    * Scale shape: ONE shuffle on `user_id` and a per-user time sort; the
+    * single `WindowExec` evaluates all three frames in one pass over each
+    * partition with a sliding frame pointer (no per-row rescan). Per-user
+    * slices are small and the key space is huge, so the exchange is
+    * balanced at any corpus size — the canonical backfill layout (a skewed
+    * power user bounds one task at its own event count, not the corpus).
+    */
+  def trailingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val horizonNs = 7L * 86400000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-horizonNs, -1L)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        coalesce(sum(col("cents")).over(w), lit(0L)).as("cents_7d"),
+        (col("ts") - max(col("ts")).over(w)).as("gap_ns"))
+  }
+
+  val trailingFeaturesSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT event_id, user_id,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+      |       CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS cents_7d,
+      |       tn - max(tn) OVER w AS gap_ns
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tn
+      |             RANGE BETWEEN 604800000000000 PRECEDING
+      |                       AND 1 PRECEDING)""".stripMargin
+
+  // -------------------------------------------------------- changepoint_daily
+  /** `changepoint_daily` — offline CUSUM changepoint detection over the
+    * daily event-count series: for each day k (of n observed days, total
+    * volume S, running sum cum_k) the scaled CUSUM statistic
+    * `g_k = n·cum_k − k·S` — an integer multiple (by n) of the classic
+    * `cum_k − k·(S/n)` mean-shift statistic, so the argmax |g| day is the
+    * level-shift changepoint estimate (Page 1954; the single-changepoint
+    * least-squares estimator), computed in PURE BIGINT arithmetic: no
+    * division, no floats, nothing order-dependent anywhere.
+    *
+    * `is_cp` marks the detected changepoint: max |g|, earliest day on
+    * ties — pinned via two scalar passes (global max, then earliest
+    * argmax) so the flag is deterministic on both engines.
+    *
+    * Scale shape: the corpus collapses FIRST to per-day totals (one
+    * partial-final hash agg — the only corpus-wide pass); every window
+    * below runs over that calendar-bounded relation (≤ a few thousand
+    * rows at any corpus size), the same provably-tiny-window precedent as
+    * `peak_concurrency`'s per-day totals.
+    */
+  def changepointDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val byDay = Window.orderBy(col("day_idx"))
+    val all = Window.partitionBy()
+    d.withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("cum", sum(col("n_events")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("g",
+        count(lit(1)).over(all) * col("cum")
+          - col("k") * sum(col("n_events")).over(all))
+      .withColumn("mx", max(abs(col("g"))).over(all))
+      .withColumn("cp_day",
+        min(when(abs(col("g")) === col("mx"), col("day_idx"))).over(all))
+      .select(col("day_idx"), col("n_events"), col("cum"), col("g"),
+        (abs(col("g")) === col("mx") && col("day_idx") === col("cp_day"))
+          .as("is_cp"))
+  }
+
+  val changepointDailySql: String =
+    """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day_idx,
+      |                  count(*) AS n_events
+      |           FROM events GROUP BY 1),
+      |s AS (SELECT day_idx, n_events,
+      |             CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS k,
+      |             CAST(sum(n_events) OVER (ORDER BY day_idx) AS BIGINT) AS cum,
+      |             CAST(count(*) OVER () AS BIGINT) AS n_days,
+      |             CAST(sum(n_events) OVER () AS BIGINT) AS total
+      |      FROM d),
+      |g AS (SELECT day_idx, CAST(n_events AS BIGINT) AS n_events, cum,
+      |             n_days * cum - k * total AS g
+      |      FROM s),
+      |m AS (SELECT max(abs(g)) AS mx FROM g),
+      |cp AS (SELECT min(day_idx) AS cp_day FROM g, m WHERE abs(g) = mx)
+      |SELECT g.day_idx, g.n_events, g.cum, g.g,
+      |       (abs(g.g) = m.mx AND g.day_idx = cp.cp_day) AS is_cp
+      |FROM g, m, cp""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -2714,5 +2821,7 @@ object RelationalQueries {
     "set_ops_all" -> QueryDef(setOpsAll, Some(setOpsAllSql)),
     "quantile_normalize" -> QueryDef(quantileNormalize, Some(quantileNormalizeSql)),
     "basket_rules" -> QueryDef(basketRules, Some(basketRulesSql)),
-    "ohlc_daily" -> QueryDef(ohlcDaily, Some(ohlcDailySql)))
+    "ohlc_daily" -> QueryDef(ohlcDaily, Some(ohlcDailySql)),
+    "trailing_features" -> QueryDef(trailingFeatures, Some(trailingFeaturesSql)),
+    "changepoint_daily" -> QueryDef(changepointDaily, Some(changepointDailySql)))
 }

@@ -212,4 +212,41 @@ class EventEdgeSpec extends SparkTestBase {
       .collect().map(_.getAs[Long]("event_id")).toSet
     assert(got === Set(1L, 2L, 4L, 6L, 7L, 8L))
   }
+
+  test("trailing_features: 7-day edge inclusive, now exclusive, ties are peers") {
+    val t0 = 1700000000000000000L
+    val d7 = 7L * 86400000000000L
+    val dir = eventsDir(Seq(
+      (1L, t0, 7L, "view", 1.0),            // no prior: n=0, gap NULL
+      (2L, t0 + d7, 7L, "view", 2.0),       // exactly 7d back: e1 IN
+      (3L, t0 + d7 + 1L, 7L, "view", 4.0),  // e1 now 7d+1ns old: OUT; e2 in
+      (4L, t0 + d7 + 1L, 7L, "view", 8.0),  // tie with e3: peer EXCLUDED
+      (5L, t0, 8L, "buy", 1.0)))            // other user: isolated
+    val got = RelationalQueries.trailingFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L, None)),
+      2L -> ((1L, 100L, Some(d7))),
+      3L -> ((1L, 200L, Some(1L))),
+      4L -> ((1L, 200L, Some(1L))),
+      5L -> ((0L, 0L, None))))
+  }
+
+  test("changepoint_daily: CUSUM peak lands on the last pre-shift day, once") {
+    val dayNs = 86400000000000L
+    // 6 days: 10/day then 20/day — the level shift is after day 2 (0-based)
+    val rows = for {
+      day <- 0 to 5
+      i <- 0 until (if (day < 3) 10 else 20)
+    } yield ((day * 100 + i).toLong, day * dayNs + i * 1000L, 7L, "view", 1.0)
+    val got = RelationalQueries.changepointDaily(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    // n=6, S=90; g = 6*cum - k*90: -30,-60,-90,-60,-30,0 -> |g| max at day 2
+    assert(got === Map(
+      0L -> ((10L, -30L, false)), 1L -> ((10L, -60L, false)),
+      2L -> ((10L, -90L, true)), 3L -> ((20L, -60L, false)),
+      4L -> ((20L, -30L, false)), 5L -> ((20L, 0L, false))))
+  }
 }
