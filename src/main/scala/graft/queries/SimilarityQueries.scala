@@ -1155,6 +1155,128 @@ object SimilarityQueries {
        |        FROM rr)
        |SELECT query_id, neighbor_id, rank, sim FROM rrk WHERE rank <= $TopK""".stripMargin
 
+  // ------------------------------------------------------------ hard_negatives
+  /** `hard_negatives` — contrastive-training hard-negative mining: for
+    * EVERY vector (not just the `ann_*` query sample) the top-[[HardNegK]]
+    * most-similar vectors with a DIFFERENT label, found among its
+    * multi-probe LSH candidates (own sign-bucket + all Hamming-1 probes,
+    * exactly [[annLsh]]'s candidate generator). This is the miner behind
+    * triplet/InfoNCE training sets: the negatives that matter are the ones
+    * the current representation confuses across class boundaries, and at
+    * corpus scale you harvest them from an ANN structure, never from an
+    * all-pairs scan.
+    *
+    * Semantics are engine-exact: candidate generation is deterministic
+    * (float sign tests), ranking is `(round(cos, 6) DESC, neg_id)` like
+    * every ANN query here, and anchors whose probes hold no cross-label
+    * candidate simply emit nothing (inner-join semantics, mirrored by the
+    * oracle). A recall floor vs the exact cross-label argmax is pinned in
+    * SimilarityPropertySpec — the LSH miner is approximate BY DESIGN and
+    * its quality is a tested contract, not an accident.
+    *
+    * Scale shape: both sides shuffle on the bucket equi-key (shuffle-hash,
+    * never broadcast — the anchor side IS the corpus); per-bucket fan-out
+    * is (1+LshBits)/2^LshBits of the corpus (~3.5% here), and the top-k
+    * window partitions by anchor, so no task ever sees more than one
+    * bucket's candidates. At 100 TB raise LshBits so bucket count tracks
+    * cluster parallelism — identical knob and identical reasoning to
+    * [[annLsh]].
+    */
+  val HardNegK = 3
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", VectorFns.axisLshBucket(col("v"), LshBits))
+    val probeBuckets = array(
+      col("ab") +: (0 until LshBits).map(j => col("ab").bitwiseXOR(lit(1L << j))): _*)
+    val a = e.select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("bucket").as("ab"), col("v").as("av"), col("nrm").as("an"))
+      .withColumn("pb", explode(probeBuckets))
+    val c = e.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+      col("bucket").as("cb"), col("v").as("cv"), col("nrm").as("cn"))
+    // a (anchor, neg) pair meets at most once: the negative has ONE bucket
+    // and the anchor's probe buckets are distinct (same as ann_lsh)
+    val cos = cosine(col("av"), col("cv"), col("an"), col("cn"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(round(cos, 6).desc, col("neg_id").asc)
+    a.hint("shuffle_hash").join(c,
+        col("pb") === col("cb") && col("anchor_label") =!= col("neg_label"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("sim", round(cos, 4))
+      .filter(col("rank") <= HardNegK)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("rank"), col("sim"))
+  }
+
+  val hardNegativesSql: String = {
+    val probeList = ("a.bucket" +: (0 until LshBits).map(j => s"xor(a.bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH $embCte,
+       |eb AS (SELECT *, $bucketSql AS bucket FROM e),
+       |probes AS (SELECT a.*, p.pb FROM eb a, unnest($probeList) AS p(pb)),
+       |r AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+       |             c.vec_id AS neg_id, c.label AS neg_label,
+       |             round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cos6,
+       |             round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 4) AS sim
+       |      FROM probes a JOIN eb c ON a.pb = c.bucket AND a.label <> c.label),
+       |rk AS (SELECT anchor_id, anchor_label, neg_id, neg_label, sim,
+       |              CAST(row_number() OVER (PARTITION BY anchor_id
+       |                   ORDER BY cos6 DESC, neg_id) AS BIGINT) AS rank
+       |       FROM r)
+       |SELECT anchor_id, anchor_label, neg_id, neg_label, rank, sim
+       |FROM rk WHERE rank <= $HardNegK""".stripMargin
+  }
+
+  // --------------------------------------------------------------- gram_matrix
+  /** `gram_matrix` — the d×d second-moment (Gram) matrix `Xᵀ X` of the
+    * embedding corpus, upper triangle as (i, j, sum, moment) scalar rows:
+    * the one-pass linear-algebra primitive under PCA, whitening, and
+    * covariance-based drift monitors. At 100 TB this is THE way to get a
+    * covariance estimate: a single corpus scan whose only network traffic
+    * is d(d+1)/2 partial sums per partition — no vector, let alone pair of
+    * vectors, ever crosses the wire.
+    *
+    * Engine-exactness is the k-means codebook discipline: components are
+    * [[QScale]]-quantized to integers once, every product `q_i·q_j` and
+    * its corpus sum is BIGINT (associative, partial-order-free), and `m2`
+    * is one IEEE division of exact integers. Overflow headroom: |q| ≲ 2²³
+    * for |v| ≤ 8, so products are < 2⁴⁶ and a corpus of 2¹⁷ vectors stays
+    * inside 2⁶³; beyond that, lower QScale (m2 keeps 2⁻⁴⁰ resolution it
+    * doesn't need) or widen the partials to DECIMAL(38,0).
+    *
+    * Plan shape: the triangle expansion is a native nested higher-order
+    * `transform` + `inline` (Catalyst expressions, no UDF) — a d(d+1)/2
+    * CPU-side fan-out per row that collapses immediately in the partial
+    * hash aggregate, so the exchange carries ≤ #partitions·d(d+1)/2 rows
+    * regardless of corpus size.
+    */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame =
+    quantized(emb(spark, dir))
+      .select(inline(expr(
+        s"""flatten(transform(sequence(1, $KmDim), i ->
+           |  transform(sequence(i, $KmDim), j ->
+           |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |           element_at(qv, i) * element_at(qv, j) AS p))))""".stripMargin)))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("p")).as("s"))
+      .withColumn("m2", col("s").cast("double") /
+        (col("n_vectors") * lit(QScale * QScale)).cast("double"))
+
+  val gramMatrixSql: String = {
+    val qvList =
+      s"[CAST(floor(v[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
+    s"""WITH $embCte,
+       |eq AS (SELECT $qvList AS qv FROM e),
+       |x AS (SELECT CAST(d1.i AS BIGINT) AS i, CAST(d2.j AS BIGINT) AS j,
+       |             qv[d1.i] * qv[d2.j] AS p
+       |      FROM eq CROSS JOIN generate_series(1, $KmDim) AS d1(i)
+       |                CROSS JOIN generate_series(1, $KmDim) AS d2(j)
+       |      WHERE d2.j >= d1.i)
+       |SELECT i, j, count(*) AS n_vectors, CAST(sum(p) AS BIGINT) AS s,
+       |       CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) /
+       |         CAST(count(*) * ${QScale * QScale} AS DOUBLE) AS m2
+       |FROM x GROUP BY i, j""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
@@ -1167,5 +1289,7 @@ object SimilarityQueries {
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "ann_ivfpq_rerank" -> QueryDef(annIvfPqRerank, Some(annIvfPqRerankSql)),
     "dedup_cluster_embed" -> QueryDef(dedupClusterEmbed, Some(dedupClusterEmbedSql)),
-    "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)))
+    "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
+    "hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
+    "gram_matrix" -> QueryDef(gramMatrix, Some(gramMatrixSql)))
 }

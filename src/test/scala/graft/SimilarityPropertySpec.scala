@@ -210,4 +210,62 @@ class SimilarityPropertySpec extends SparkTestBase {
     assert(ivfPqR >= ivfPq - 0.02,
       f"re-rank ($ivfPqR%.3f) lost recall vs raw ADC ranks ($ivfPq%.3f)")
   }
+
+  test("hard_negatives: cross-label only, contiguous ranks, recall@1 floor vs exact argmax") {
+    val dir = sf("sf0.01")
+    val rows = SimilarityQueries.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getInt(3).toLong, r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, al, _, nl, _) => al != nl },
+      "a hard negative must carry a DIFFERENT label than its anchor")
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      assert(rs.map(_._5).sorted.toSeq === (1L to rs.length).toSeq,
+        s"anchor $a: ranks not contiguous from 1")
+    }
+    // exact cross-label argmax per anchor (brute force in-test; 500 vectors)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exactBest = vecs.map { case (id, l, v) =>
+      id -> vecs.filter(_._2 != l)
+        .map { case (cid, _, cv) => (math.rint(cos(v, cv) * 1e6) / 1e6, cid) }
+        .minBy { case (c, cid) => (-c, cid) }._2
+    }.toMap
+    val got = rows.filter(_._5 == 1L).map(r => r._1 -> r._3).toMap
+    val recall = exactBest.count { case (a, b) => got.get(a).contains(b) }.toDouble /
+      exactBest.size
+    info(f"hard_negatives recall@1 vs exact cross-label argmax (sf0.01): $recall%.3f")
+    // near-uniform corpus: the multi-probe candidate set covers ~3.5% of
+    // the corpus, but the true hardest negative is cosine-aligned with the
+    // anchor and so disproportionately shares its sign-bucket neighborhood
+    // — measured 0.150 (4× the scan fraction); floor at ~0.7× measurement
+    assert(recall >= 0.10,
+      f"hard_negatives recall@1 $recall%.3f below floor (probe set mistuned?)")
+  }
+
+  test("gram_matrix: equals the brute-force quantized X^T X; diagonal positive") {
+    val dir = sf("sf0.001")
+    val got = SimilarityQueries.gramMatrix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val d = SimilarityQueries.KmDim
+    assert(got.size === d * (d + 1) / 2, "upper triangle must be complete")
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => math.floor(
+        f.toDouble * SimilarityQueries.QScale + 0.5).toLong).toArray)
+    val n = q.length.toLong
+    for (i <- 1 to d; j <- i to d) {
+      val s = q.iterator.map(v => v(i - 1) * v(j - 1)).sum
+      assert(got((i.toLong, j.toLong)) === ((n, s)), s"cell ($i,$j) mismatch")
+    }
+    for (i <- 1 to d)
+      assert(got((i.toLong, i.toLong))._2 > 0L, s"diagonal ($i,$i) must be positive")
+  }
 }
