@@ -2682,10 +2682,11 @@ object RelationalQueries {
     * balanced at any corpus size — the canonical backfill layout (a skewed
     * power user bounds one task at its own event count, not the corpus).
     */
+  val TrailingHorizonNs: Long = 7L * 86400000000000L
+
   def trailingFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val horizonNs = 7L * 86400000000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(-horizonNs, -1L)
+      .rangeBetween(-TrailingHorizonNs, -1L)
     Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -2696,17 +2697,17 @@ object RelationalQueries {
   }
 
   val trailingFeaturesSql: String =
-    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
-      |                  CAST(round(value * 100) AS BIGINT) AS cents
-      |           FROM events)
-      |SELECT event_id, user_id,
-      |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
-      |       CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS cents_7d,
-      |       tn - max(tn) OVER w AS gap_ns
-      |FROM e
-      |WINDOW w AS (PARTITION BY user_id ORDER BY tn
-      |             RANGE BETWEEN 604800000000000 PRECEDING
-      |                       AND 1 PRECEDING)""".stripMargin
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
+       |                  CAST(round(value * 100) AS BIGINT) AS cents
+       |           FROM events)
+       |SELECT event_id, user_id,
+       |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       |       CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS cents_7d,
+       |       tn - max(tn) OVER w AS gap_ns
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tn
+       |             RANGE BETWEEN $TrailingHorizonNs PRECEDING
+       |                       AND 1 PRECEDING)""".stripMargin
 
   // -------------------------------------------------------- changepoint_daily
   /** `changepoint_daily` — offline CUSUM changepoint detection over the

@@ -617,4 +617,93 @@ object StreamingOps {
           Iterator(UserSessions(user, sessions, events))
         })
   }
+
+  case class TfEv(user_id: Long, ts: Long, event_id: Long, cents: Long)
+  case class TfState(buf: List[(Long, Long)]) // (ts, cents), ascending ts
+  case class TfOut(event_id: Long, user_id: Long, n_7d: Long,
+      cents_7d: Long, gap_ns: Option[Long])
+
+  /** Streaming form of the `trailing_features` query — ONLINE feature
+    * serving: as each event arrives, emit its trailing-7-day features
+    * (prior count, cents volume, gap to the previous in-horizon event)
+    * computed STRICTLY BEFORE it, exactly the leakage rule of the batch
+    * backfill. This is the materialization loop of an online feature
+    * store: the same feature definition served point-in-time at training
+    * (batch) and at inference (stream).
+    *
+    * State per user is the (ts, cents) buffer of the LAST 7 DAYS only —
+    * trimmed against the newest processed event each trigger, so state is
+    * bounded by per-user event rate × horizon, independent of stream
+    * lifetime. Within a trigger events sort by (ts, event_id); across
+    * triggers a user's events must arrive in event-time order for exact
+    * batch agreement (the [[sessionize]] twin's contract) — an
+    * out-of-order straggler gets features over what HAD arrived, the
+    * standard online-serving semantics. Same-timestamp peers exclude each
+    * other on both paths (batch RANGE frames exclude distance-0 peers;
+    * here the buffer comparison is strict `< ts`).
+    */
+  def trailingFeaturesStream(spark: SparkSession, events: DataFrame): Dataset[TfOut] = {
+    import spark.implicits._
+    val horizon = graft.queries.RelationalQueries.TrailingHorizonNs
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents")).as[TfEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[TfEv], state: GroupState[TfState]) => {
+          val sorted = evs.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val out = sorted.map { e =>
+            val lo = e.ts - horizon
+            val frame = buf.filter(p => p._1 >= lo && p._1 < e.ts)
+            val gap = frame.lastOption.map(e.ts - _._1) // buf ascending: last = max ts
+            buf = buf :+ ((e.ts, e.cents))
+            TfOut(e.event_id, user, frame.size.toLong, frame.map(_._2).sum, gap)
+          }
+          val cutoff = buf.lastOption.map(_._1 - horizon).getOrElse(Long.MinValue)
+          state.update(TfState(buf.dropWhile(_._1 < cutoff)))
+          out.iterator
+        })
+  }
+
+  /** embeddings schema (Tables / TESTDATA.md). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream of an embeddings directory (parquet). */
+  def embStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** Streaming form of the `gram_matrix` query: the CONTINUOUSLY
+    * MAINTAINED second-moment matrix of an embedding stream — the live
+    * covariance monitor behind representation-drift alarms (compare the
+    * running Gram against a frozen snapshot) and incremental PCA. The
+    * aggregation state is exactly d(d+1)/2 = 2080 BIGINT cells no matter
+    * how many vectors stream through — Gram sums are the textbook
+    * associative sketch, so arrival order, batching, and restarts cannot
+    * change a single bit vs the batch query (complete/update mode; no
+    * watermark needed for a KEY-BOUNDED aggregation). Same QScale
+    * integer discipline as batch: state merges are exact.
+    */
+  def gramStream(emb: DataFrame): DataFrame = {
+    val qScale = graft.queries.SimilarityQueries.QScale
+    val d = graft.queries.SimilarityQueries.KmDim
+    emb
+      .withColumn("qv", expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $qScale + 0.5) AS BIGINT))"))
+      .select(inline(expr(
+        s"""flatten(transform(sequence(1, $d), i ->
+           |  transform(sequence(i, $d), j ->
+           |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |           element_at(qv, i) * element_at(qv, j) AS p))))""".stripMargin)))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("p")).as("s"))
+      .withColumn("m2", col("s").cast("double") /
+        (col("n_vectors") * lit(qScale * qScale)).cast("double"))
+  }
 }

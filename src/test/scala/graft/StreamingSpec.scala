@@ -360,4 +360,44 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming trailingFeatures equals batch trailing_features per event") {
+    val stream = StreamingOps.trailingFeaturesStream(
+      spark, StreamingOps.eventStream(spark, dir))
+    val q = stream.toDF().writeStream
+      .format("memory").queryName("trailing_features_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4))
+    val got = spark.table("trailing_features_stream")
+      .select("event_id", "user_id", "n_7d", "cents_7d", "gap_ns")
+      .collect().map(key).toMap
+    val expected = graft.queries.RelationalQueries.trailingFeatures(spark, dir)
+      .collect().map(key).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming gram matrix equals batch gram_matrix bit-for-bit") {
+    val stream = StreamingOps.gramStream(StreamingOps.embStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("gram_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = spark.table("gram_stream").collect().map(key).toMap
+    val expected = graft.queries.SimilarityQueries.gramMatrix(spark, dir)
+      .collect().map(key).toMap
+    assert(got === expected)
+    assert(got.size === 64 * 65 / 2)
+  }
 }
