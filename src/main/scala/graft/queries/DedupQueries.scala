@@ -1180,6 +1180,69 @@ object DedupQueries {
        |FROM isl GROUP BY doc_id, island""".stripMargin
   }
 
+  // ------------------------------------------------------------- link_predict
+  /** `link_predict` — common-neighbor link prediction over the verified
+    * near-dup graph (the graph family's fourth member: [[dedupCluster]] =
+    * which docs connect, [[triangleCount]] = how tightly, `pagerank` = who
+    * is central, this = how strongly SHOULD each pair connect): every pair
+    * with ≥ 1 shared neighbor, scored by shared-neighbor count and
+    * neighbor-set Jaccard `cn / (deg_a + deg_b − cn)` (Liben-Nowell &
+    * Kleinberg 2003), with an `is_edge` flag. Unlinked scored pairs are
+    * the LINK PREDICTIONS — candidates the LSH banding missed but
+    * transitivity implicates, the first pairs a second verify pass should
+    * check (on a clique-y dup graph this set is often empty: transitive
+    * duplicates all band together, and the flag records that finding
+    * rather than hiding it); linked pairs get their EMBEDDEDNESS — the
+    * tie-strength signal that separates core clique edges from bridge
+    * edges when choosing cluster representatives. Scores are one IEEE
+    * division of exact BIGINTs.
+    *
+    * Scale shape: wedge pairs come from the SAME one-aggregation +
+    * [[graft.functions.PairsExpr]] generator as [[triangleCount]] (no
+    * adjacency self-join — the upstream runs once and pairs STREAM out of
+    * GenerateExec); a hot vertex of degree d costs d²/2 generated pairs,
+    * bounded by the dedup graph's [[MaxBandBucket]]-capped degrees. The
+    * pair table then collapses partial-final to (pair → cn), the edge
+    * flag attaches by a left join on the pair key, and degrees attach by
+    * two key-equi joins (vertex-vocabulary-sized relations, AQE
+    * broadcasts them when small).
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val e = dedupMinhash(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val und = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = und.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val cn = und.groupBy(col("v")).agg(collect_list(col("n")).as("ns"))
+      .filter(size(col("ns")) > 1)
+      .select(graft.functions.PairsExpr(col("ns"))) // generator -> (da, db)
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("cn"))
+    val edges = e.select(col("a").as("da"), col("b").as("db"))
+      .withColumn("flag", lit(true))
+    cn.join(edges, Seq("da", "db"), "left")
+      .join(deg.select(col("v").as("da"), col("d").as("deg_a")), "da")
+      .join(deg.select(col("v").as("db"), col("d").as("deg_b")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double")).as("score"),
+        coalesce(col("flag"), lit(false)).as("is_edge"))
+  }
+
+  val linkPredictSql: String =
+    s"""WITH $minhashPairsCtes,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM mhpairs),
+       |und AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e),
+       |deg AS (SELECT v, count(*) AS d FROM und GROUP BY v),
+       |cn AS (SELECT u1.n AS da, u2.n AS db, count(*) AS cn
+       |       FROM und u1 JOIN und u2 ON u1.v = u2.v AND u1.n < u2.n
+       |       GROUP BY 1, 2)
+       |SELECT w.da AS doc_a, w.db AS doc_b, w.cn,
+       |       dx.d AS deg_a, dy.d AS deg_b,
+       |       CAST(w.cn AS DOUBLE) / CAST(dx.d + dy.d - w.cn AS DOUBLE) AS score,
+       |       EXISTS (SELECT 1 FROM e WHERE e.a = w.da AND e.b = w.db) AS is_edge
+       |FROM cn w JOIN deg dx ON dx.v = w.da JOIN deg dy ON dy.v = w.db""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "fuzzy_dedup" -> QueryDef(fuzzyDedup, Some(fuzzyDedupSql)),
@@ -1199,5 +1262,6 @@ object DedupQueries {
     "triangle_count" -> QueryDef(triangleCount, Some(triangleCountSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "dup_ngram_coverage" -> QueryDef(dupNgramCoverage, Some(dupNgramCoverageSql)),
-    "dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql)))
+    "dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql)),
+    "link_predict" -> QueryDef(linkPredict, Some(linkPredictSql)))
 }

@@ -325,4 +325,31 @@ class DedupPropertySpec extends SparkTestBase {
       (4L, 1L, 10L, 1L),
       (5L, 3L, 12L, 1L)))
   }
+
+  test("link_predict equals brute-force neighborhood Jaccard over the dup graph") {
+    val dir = sf("sf0.001")
+    val edges = DedupQueries.dedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val wedgePairs = adj.toSeq.flatMap { case (_, ns) =>
+      for (x <- ns.toSeq; y <- ns.toSeq if x < y) yield (x, y)
+    }.distinct
+    val expected = wedgePairs.map { case (x, y) =>
+      val cn = (adj(x) & adj(y)).size.toLong
+      (x, y) -> ((cn, adj(x).size.toLong, adj(y).size.toLong,
+        edges.contains((x, y))))
+    }.toMap
+    val rows = DedupQueries.linkPredict(spark, dir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "sf0.001 dup graph must produce wedge pairs")
+    rows.foreach { r =>
+      val (cn, da, db) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getDouble(5) === cn.toDouble / (da + db - cn).toDouble,
+        s"score mismatch for pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
 }
