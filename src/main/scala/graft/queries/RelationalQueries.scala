@@ -2060,6 +2060,84 @@ object RelationalQueries {
        |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (purchase_id)""".stripMargin
   }
 
+  // ------------------------------------------------------- linear_attribution
+  /** `linear_attribution` — multi-touch revenue attribution: each
+    * conversion's value splits EQUALLY across every touch event
+    * ([[TouchTypes]]) of the same user inside the backward
+    * [[TouchWindowNs]] window — the linear model completing the
+    * attribution family ([[firstTouch]] = who opened the path, this = the
+    * whole path paid pro rata). The split is EXACT to the cent by the
+    * largest-remainder method: each of the k touches gets
+    * `cents div k`, and the first `cents mod k` touches in (time,
+    * event_id) order get one extra cent — shares are integers, per-
+    * conversion shares sum to the conversion's cents EXACTLY (no
+    * 1/3+1/3+1/3 ≠ 1.00 float leakage), and the remainder assignment is
+    * deterministic on both engines.
+    *
+    * Scale shape: the same bucket-decomposed interval equi-join as
+    * [[firstTouch]] (conversions explode into 2 window-width buckets;
+    * touches carry their own bucket — an equi-join on (user, bucket), no
+    * inequality join); the per-conversion window functions partition by
+    * purchase_id over window-bounded groups (k ≤ touches per user per
+    * day). One exchange for the join, one for the window.
+    *
+    * Note: conversion values are non-negative (pinned by dq_audit's
+    * domain checks on this corpus), where Spark's truncating `div` and
+    * the oracle's floor `//` coincide; a ledger with REFUNDS would floor
+    * both sides explicitly before splitting.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+    val purchases = ev.filter(col("event_type") === ConversionType)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("t0"), round(col("value") * 100).cast("long").as("cents"))
+    val anchors = purchases.withColumn("b",
+      explode(array(expr(s"(t0 - $TouchWindowNs) div $TouchWindowNs"),
+        expr(s"t0 div $TouchWindowNs"))))
+    val touches = ev.filter(col("event_type").isin(TouchTypes: _*))
+      .select(col("user_id").as("t_user"), col("ts"),
+        expr("ts div 1000").as("us"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"))
+      .withColumn("b", expr(s"ts div $TouchWindowNs"))
+    val byTime = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("us").asc, col("touch_id").asc)
+    val perConv = Window.partitionBy(col("purchase_id"))
+    anchors.join(touches,
+        anchors("user_id") === touches("t_user") && anchors("b") === touches("b"))
+      .filter(col("ts") >= col("t0") - TouchWindowNs && col("ts") < col("t0"))
+      .withColumn("rn", row_number().over(byTime).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(perConv))
+      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+        col("rn"), col("n_touches"),
+        (expr("cents div n_touches") +
+          when(col("rn") <= col("cents") % col("n_touches"), lit(1L))
+            .otherwise(lit(0L))).as("share_cents"))
+  }
+
+  val linearAttributionSql: String = {
+    val touchList = TouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS t0,
+       |                  CAST(round(value * 100) AS BIGINT) AS cents
+       |           FROM events WHERE event_type = '$ConversionType'),
+       |t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+       |             epoch_ns(ts) AS tn, epoch_ns(ts) // 1000 AS us
+       |      FROM events WHERE event_type IN ($touchList)),
+       |m AS (SELECT p.purchase_id, p.cents, t.touch_id, t.touch_type, t.us
+       |      FROM p JOIN t ON t.user_id = p.user_id
+       |       AND t.tn >= p.t0 - $TouchWindowNs AND t.tn < p.t0),
+       |r AS (SELECT purchase_id, cents, touch_id, touch_type,
+       |             CAST(row_number() OVER (PARTITION BY purchase_id
+       |                                     ORDER BY us, touch_id) AS BIGINT) AS rn,
+       |             CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+       |      FROM m)
+       |SELECT purchase_id, touch_id, touch_type, rn, n_touches,
+       |       cents // n_touches +
+       |         CASE WHEN rn <= cents % n_touches THEN 1 ELSE 0 END AS share_cents
+       |FROM r""".stripMargin
+  }
+
   // -------------------------------------------------------------- global_rank
   /** `global_rank` — the TOTAL-ORDER SORT family (the OSDI 2004 §2.3
     * "Distributed Sort" benchmark — TeraSort's shape): every event ranked
@@ -2824,5 +2902,6 @@ object RelationalQueries {
     "basket_rules" -> QueryDef(basketRules, Some(basketRulesSql)),
     "ohlc_daily" -> QueryDef(ohlcDaily, Some(ohlcDailySql)),
     "trailing_features" -> QueryDef(trailingFeatures, Some(trailingFeaturesSql)),
-    "changepoint_daily" -> QueryDef(changepointDaily, Some(changepointDailySql)))
+    "changepoint_daily" -> QueryDef(changepointDaily, Some(changepointDailySql)),
+    "linear_attribution" -> QueryDef(linearAttribution, Some(linearAttributionSql)))
 }

@@ -233,6 +233,26 @@ class EventEdgeSpec extends SparkTestBase {
       5L -> ((0L, 0L, None))))
   }
 
+  test("linear_attribution: largest-remainder split is exact; window edges pin") {
+    val t0 = 1700000000000000000L
+    val dayNs = 86400000000000L
+    val dir = eventsDir(Seq(
+      (1L, t0 - dayNs, 7L, "view", 1.0),     // exactly 24 h back: IN
+      (2L, t0 - 2L, 7L, "click", 1.0),       // in window
+      (3L, t0 - 1L, 7L, "view", 1.0),        // in window
+      (4L, t0, 7L, "purchase", 1.0),         // conversion, cents=100
+      (5L, t0, 7L, "click", 1.0),            // at t0 exactly: OUT
+      (6L, t0 - dayNs - 1L, 7L, "view", 1.0))) // 24 h + 1 ns back: OUT
+    val got = graft.queries.RelationalQueries.linearAttribution(spark, dir)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // 100 cents over 3 touches: 34 to the earliest (rn=1), then 33, 33.
+    // Same-microsecond ties (events 2 and 3 share us) order by event_id.
+    assert(got === Map(
+      1L -> ((1L, 3L, 34L)), 2L -> ((2L, 3L, 33L)), 3L -> ((3L, 3L, 33L))))
+    assert(got.values.map(_._3).sum === 100L, "shares must sum to the cents exactly")
+  }
+
   test("changepoint_daily: CUSUM peak lands on the last pre-shift day, once") {
     val dayNs = 86400000000000L
     // 6 days: 10/day then 20/day — the level shift is after day 2 (0-based)
