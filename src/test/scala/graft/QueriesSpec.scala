@@ -1109,6 +1109,26 @@ class QueriesSpec extends SparkTestBase {
     assert(!got.exists(_._2 % 2 == 1L), "stride 2 must skip odd frames")
   }
 
+  test("media_neardup: truncated copy overlaps 1.0; disjoint payloads absent") {
+    import spark.implicits._
+    import graft.queries.MultimodalQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
+    // 64-byte chunk grid: A = 3 distinct chunks, B = A truncated to 2 of
+    // them (the torn-download copy), C = disjoint content
+    val a = ("a" * 64) + ("b" * 64) + ("c" * 64)
+    val b = a.substring(0, 128)
+    val c = "z" * 200
+    Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = MultimodalQueries.mediaNeardup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // B's whole chunk set is inside A: overlap = 2/min(3,2) = 1.0; C never pairs
+    assert(got === Map((1L, 2L) -> ((2L, 3L, 2L, 1.0))))
+  }
+
   test("media_resize: stage output bytes equal driver-side truncation; passthrough intact") {
     import graft.queries.MultimodalQueries
     val target = MultimodalQueries.ResizeBytes
