@@ -177,6 +177,53 @@ object PipelineQueries {
        |FROM r1""".stripMargin
   }
 
+  // ------------------------------------------------------------ shard_manifest
+  /** `shard_manifest` — the EXPORT stage's verification artifact: documents
+    * hash-assign to [[NShards]] shards and each shard reports its row
+    * count, character volume, and an ORDER-FREE content checksum
+    * (`bit_xor` of per-doc content fingerprints — XOR is associative,
+    * commutative, and overflow-free, so 1000 executors writing a shard's
+    * files in any order produce the same checksum, where an integer SUM
+    * would wrap differently than the oracle's 128-bit accumulation). A
+    * consumer re-derives the manifest after transfer and diffs — the
+    * training-data handoff contract between the pipeline and the trainer.
+    *
+    * Assignment is `hash60(text) mod NShards` — CONTENT-keyed, so exact
+    * duplicate documents land in the same shard (dedup locality: a
+    * shard-local pass catches them without a global shuffle) and
+    * assignment survives doc_id re-numbering across pipeline re-runs.
+    *
+    * Scale shape: one scan, per-row hashing, ONE partial-final hash
+    * aggregation to NShards rows; every aggregate (count, sum, xor)
+    * merges associatively map-side. The actual file write is the
+    * repartition(shard)+write of LayoutCapabilitySpec's export test; this
+    * query is the manifest side.
+    */
+  val NShards = 16
+
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.functions.TextFns.hash60(col("text"))
+    Tables.docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"), fp.as("fp"),
+        pmod(fp, lit(NShards.toLong)).as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(fp)").as("checksum"))
+  }
+
+  val shardManifestSql: String = {
+    val fp = Oracle.hash60("text")
+    s"""WITH d AS (SELECT doc_id, n_chars, $fp AS fp,
+       |                  $fp % $NShards AS shard_id
+       |           FROM documents)
+       |SELECT shard_id, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       bit_xor(fp) AS checksum
+       |FROM d GROUP BY shard_id""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
-    "corpus_keep" -> QueryDef(corpusKeep, Some(corpusKeepSql)))
+    "corpus_keep" -> QueryDef(corpusKeep, Some(corpusKeepSql)),
+    "shard_manifest" -> QueryDef(shardManifest, Some(shardManifestSql)))
 }

@@ -1109,6 +1109,33 @@ class QueriesSpec extends SparkTestBase {
     assert(!got.exists(_._2 % 2 == 1L), "stride 2 must skip odd frames")
   }
 
+  test("shard_manifest: shards partition the corpus; duplicate texts co-shard") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val m = PipelineQueries.shardManifest(spark, dir).collect()
+    val total = Tables.docs(spark, dir).count()
+    assert(m.map(_.getLong(1)).sum === total, "shard doc counts must partition the corpus")
+    assert(m.map(_.getLong(0)).distinct.length === m.length)
+    // content-keyed assignment on a CRAFTED corpus with duplicates (the
+    // driver corpus has near-dups but no byte-identical texts): the two
+    // copies must land in one shard, and their fingerprints XOR out of
+    // that shard's checksum (a XOR a = 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    Seq((1L, "the same text"), (2L, "the same text"), (3L, "another text"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val crafted = PipelineQueries.shardManifest(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val dupShard = crafted.filter(_._2._1 == 2L)
+    val lonely = crafted.filter(_._2._1 == 1L)
+    assert(dupShard.size === 1 && lonely.size <= 1,
+      s"duplicates must co-shard: $crafted")
+    assert(dupShard.head._2._2 === 0L,
+      "two identical fingerprints must XOR to a zero checksum")
+  }
+
   test("media_neardup: truncated copy overlaps 1.0; disjoint payloads absent") {
     import spark.implicits._
     import graft.queries.MultimodalQueries
