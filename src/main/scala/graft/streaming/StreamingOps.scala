@@ -706,4 +706,27 @@ object StreamingOps {
       .withColumn("m2", col("s").cast("double") /
         (col("n_vectors") * lit(qScale * qScale)).cast("double"))
   }
+
+  /** Streaming form of the `shard_manifest` query: the export manifest
+    * maintained LIVE while documents stream into their shards — count,
+    * char volume, and the order-free `bit_xor` content checksum per
+    * shard. Every aggregate is associative and commutative (the batch
+    * query's own design constraint), so arrival order and trigger
+    * boundaries cannot change a bit vs the batch manifest on a closed
+    * input; state is exactly [[graft.queries.PipelineQueries.NShards]]
+    * rows forever (key-bounded aggregation — no watermark needed).
+    * Complete/update mode; the consumer diffs the final manifest against
+    * the producer's, same contract as batch.
+    */
+  def manifestStream(docs: DataFrame): DataFrame = {
+    val n = graft.queries.PipelineQueries.NShards
+    val fp = graft.functions.TextFns.hash60(col("text"))
+    docs
+      .select(col("doc_id"), col("n_chars"), fp.as("fp"),
+        pmod(fp, lit(n.toLong)).as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(fp)").as("checksum"))
+  }
 }

@@ -400,4 +400,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.size === 64 * 65 / 2)
   }
+
+  test("streaming manifest equals batch shard_manifest bit-for-bit") {
+    val stream = StreamingOps.manifestStream(StreamingOps.docStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("manifest_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = spark.table("manifest_stream").collect().map(key).toMap
+    val expected = graft.queries.PipelineQueries.shardManifest(spark, dir)
+      .collect().map(key).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
