@@ -1243,6 +1243,61 @@ object DedupQueries {
        |       EXISTS (SELECT 1 FROM e WHERE e.a = w.da AND e.b = w.db) AS is_edge
        |FROM cn w JOIN deg dx ON dx.v = w.da JOIN deg dy ON dy.v = w.db""".stripMargin
 
+  // ------------------------------------------------------ dedup_recall_report
+  /** `dedup_recall_report` — the dedup index AUDITING ITSELF: exact
+    * near-dup pairs at τ=[[JaccardTau]] (ground truth, from the lossless
+    * inverted-index join) bucketed by Jaccard decile, with how many of
+    * each bucket the MinHash+LSH index recovered and the per-bucket
+    * recall. This is the artifact a production dedup pipeline publishes
+    * next to its output: LSH recall is a TUNABLE (bands × rows trade
+    * recall for index cost), rises steeply with Jaccard by the banding
+    * S-curve `1-(1-j^r)^b`, and a per-decile report shows exactly where
+    * the knee sits on THIS corpus — the empirical counterpart of the
+    * SimilarityPropertySpec recall floors, computed by the engine itself.
+    * Precision needs no column: verified LSH pairs are a subset of the
+    * exact set by construction (the Jaccard verify rejects every banding
+    * false positive — pinned by test).
+    *
+    * Scale shape: both inputs are the memoized pair tables the dedup
+    * family already builds (no new corpus pass); the bucket report is a
+    * pair-key left join + one partial-final aggregation to ≤ 3 decile
+    * rows. Buckets compare bit-identical doubles (both engines compute
+    * jaccard by the same single division), so `floor(j·10)` can never
+    * disagree at a boundary.
+    */
+  def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(spark, dir).filter(col("jaccard") >= JaccardTau)
+    val mh = dedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("found"))
+    exact.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(mh, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("j_bucket"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("found"), lit(1L)).otherwise(lit(0L))).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_exact").cast("double"))
+  }
+
+  val dedupRecallReportSql: String =
+    s"""WITH $minhashPairsCtes,
+       |exinter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |            GROUP BY 1, 2),
+       |expairs AS (SELECT i.da, i.db,
+       |                   CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+       |            FROM exinter i
+       |            JOIN sz sa ON sa.doc_id = i.da
+       |            JOIN sz sb ON sb.doc_id = i.db
+       |            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $JaccardTau)
+       |SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS j_bucket,
+       |       count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |       CAST(sum(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS recall
+       |FROM expairs e
+       |LEFT JOIN mhpairs m ON m.doc_a = e.da AND m.doc_b = e.db
+       |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "fuzzy_dedup" -> QueryDef(fuzzyDedup, Some(fuzzyDedupSql)),
@@ -1263,5 +1318,6 @@ object DedupQueries {
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "dup_ngram_coverage" -> QueryDef(dupNgramCoverage, Some(dupNgramCoverageSql)),
     "dup_spans" -> QueryDef(dupSpans, Some(dupSpansSql)),
-    "link_predict" -> QueryDef(linkPredict, Some(linkPredictSql)))
+    "link_predict" -> QueryDef(linkPredict, Some(linkPredictSql)),
+    "dedup_recall_report" -> QueryDef(dedupRecallReport, Some(dedupRecallReportSql)))
 }
