@@ -1182,6 +1182,57 @@ object TextQueries {
        |            ELSE 0.0 END AS simpson
        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
 
+  // ----------------------------------------------------------------chunk_docs
+  /** `chunk_docs` — sliding-window document chunking: every document
+    * splits into [[ChunkTokens]]-token windows at [[ChunkStride]]-token
+    * starts (overlap = ChunkTokens − ChunkStride), each chunk carrying its
+    * position, length, and a content fingerprint. This is the
+    * context-window materialization step of BOTH modern text pipelines:
+    * RAG indexes retrieve chunks, and pretraining attributes loss/dedup
+    * at chunk granularity ([[graft.queries]]' `pack_windows` PACKS short
+    * sequences up to a budget; this SPLITS long ones down to it — the two
+    * halves of sequence-length normalization). The trailing chunk is
+    * emitted partial (every stride start < n produces a chunk, the
+    * HuggingFace `return_overflowing_tokens` convention), and the chunk
+    * fingerprint enables chunk-level dedup/decontamination downstream.
+    *
+    * Scale shape: scan-local — ONE corpus pass, the native tokenize
+    * kernel, a `sequence`+`explode` start generator and per-row `slice`
+    * (no shuffle anywhere; the output is a generator fan-out bounded by
+    * n_tokens/stride per doc). At 100 TB this is embarrassingly parallel
+    * and the plan is a single WholeStageCodegen span over the scan.
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"CAST((size(toks) - 1) div $ChunkStride AS INT)"))).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        (col("k") * ChunkStride).cast("long").as("start_tok"),
+        slice(col("toks"), col("k") * ChunkStride + 1, lit(ChunkTokens)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("c")).cast("long").as("n_tok"),
+        TextFns.hash60(concat_ws(" ", col("c"))).as("chunk_fp"))
+
+  val chunkDocsSql: String =
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+       |st AS (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // $ChunkStride)) AS k
+       |       FROM nz),
+       |ch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |              CAST(k * $ChunkStride AS BIGINT) AS start_tok,
+       |              t[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkTokens] AS c
+       |       FROM st)
+       |SELECT doc_id, chunk_idx, start_tok,
+       |       CAST(len(c) AS BIGINT) AS n_tok,
+       |       ${Oracle.hash60("array_to_string(c, ' ')")} AS chunk_fp
+       |FROM ch""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
     "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
@@ -1212,5 +1263,6 @@ object TextQueries {
     "lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     // rows-only like approx_stats: sketch estimates are merge-order
     // dependent; the deterministic bound guarantees are pinned in tests
-    "approx_topk" -> QueryDef(approxTopK, None))
+    "approx_topk" -> QueryDef(approxTopK, None),
+    "chunk_docs" -> QueryDef(chunkDocs, Some(chunkDocsSql)))
 }

@@ -1109,6 +1109,34 @@ class QueriesSpec extends SparkTestBase {
     assert(!got.exists(_._2 % 2 == 1L), "stride 2 must skip odd frames")
   }
 
+  test("chunk_docs: stride grid tiles every tokenized doc exactly") {
+    import graft.queries.TextQueries
+    val w = TextQueries.ChunkTokens
+    val s = TextQueries.ChunkStride
+    val nTok = Tables.docs(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = TextQueries.chunkDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(chunks.map(_._1).toSet === nTok.keySet, "every tokenized doc chunks")
+    chunks.groupBy(_._1).foreach { case (d, cs) =>
+      val n = nTok(d)
+      assert(cs.map(_._2).sorted.toSeq === (0L until ((n - 1) / s + 1)).toSeq,
+        s"doc $d: chunk grid wrong")
+      cs.foreach { case (_, k, start, len) =>
+        assert(start === k * s)
+        assert(len === math.min(w.toLong, n - start),
+          s"doc $d chunk $k: length $len for n=$n")
+      }
+    }
+    // overlap actually exercised: multi-chunk docs exist (sf0.001 docs are
+    // short of two FULL widths, so the trailing-partial rule is what the
+    // second chunk pins here)
+    assert(chunks.exists(_._2 > 0), "vacuous: no multi-chunk doc")
+  }
+
   test("shard_manifest: shards partition the corpus; duplicate texts co-shard") {
     import spark.implicits._
     import graft.queries.PipelineQueries
