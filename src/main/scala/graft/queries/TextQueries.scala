@@ -1206,8 +1206,16 @@ object TextQueries {
   val ChunkStride = 48
 
   def chunkDocs(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    chunkOf(docs(spark, dir))
+
+  /** The chunking core over any (doc_id, text) rows — shared verbatim by
+    * the batch query and the streaming twin (`StreamingOps.chunkStream`),
+    * which is what makes their agreement structural rather than
+    * coincidental: the transform is stateless, so batch and stream ARE
+    * the same plan.
+    */
+  private[graft] def chunkOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),

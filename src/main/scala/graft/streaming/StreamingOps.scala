@@ -718,6 +718,18 @@ object StreamingOps {
     * Complete/update mode; the consumer diffs the final manifest against
     * the producer's, same contract as batch.
     */
+  /** Streaming form of the `chunk_docs` query: documents chunk into
+    * sliding token windows AS THEY ARRIVE — the ingestion path of a live
+    * RAG index (chunk → embed → upsert). The whole transform is
+    * STATELESS (tokenize kernel + sequence/explode/slice, append mode, no
+    * watermark, no state store), so it composes with any downstream
+    * stateful stage and trivially equals batch on any input split —
+    * pinned by StreamingSpec anyway, because "obviously stateless" is
+    * exactly what a refactor to a stateful form would silently break.
+    */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.chunkOf(docs)
+
   def manifestStream(docs: DataFrame): DataFrame = {
     val n = graft.queries.PipelineQueries.NShards
     val fp = graft.functions.TextFns.hash60(col("text"))

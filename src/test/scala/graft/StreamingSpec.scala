@@ -418,4 +418,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming chunker equals batch chunk_docs (stateless ingest transform)") {
+    val stream = StreamingOps.chunkStream(StreamingOps.docStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("chunk_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = spark.table("chunk_stream").collect().map(key).toMap
+    val expected = graft.queries.TextQueries.chunkDocs(spark, dir)
+      .collect().map(key).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
