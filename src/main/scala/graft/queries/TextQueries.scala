@@ -1241,6 +1241,66 @@ object TextQueries {
        |       ${Oracle.hash60("array_to_string(c, ' ')")} AS chunk_fp
        |FROM ch""".stripMargin
 
+  // ------------------------------------------------------------- cosine_rerank
+  /** `cosine_rerank` — the SECOND-STAGE scorer of a two-phase similarity
+    * pipeline: every exact shingle-Jaccard candidate pair
+    * ([[DedupQueries.ngramJaccard]], τ≥0.5) re-scored by full
+    * bag-of-words cosine. Jaccard over 3-gram shingle SETS ignores term
+    * multiplicity and phrasing-preserving rewrites; the BOW cosine is the
+    * complementary weighted view, and disagreement between the two
+    * columns is precisely the "reordered boilerplate vs true near-dup"
+    * signal reviewers threshold on. The cosine is engine-exact WITHOUT
+    * quantization: tf vectors are integers, so `dot` and both squared
+    * norms are associative BIGINT sums, and the score is
+    * `dot / (sqrt(sa)·sqrt(sb))` — sqrt, multiply, divide are each
+    * correctly-rounded IEEE ops, identical on both engines.
+    *
+    * Scale shape: candidates come from the pair pipeline (never all
+    * pairs); the dot computes by a pair⋈tf join on doc then (doc, term)
+    * — fan-out bounded by the candidate docs' vocabularies; norms are one
+    * partial-final agg over the memoized tf table. Everything downstream
+    * of candidate generation is linear in (pairs × doc vocabulary).
+    */
+  def cosineRerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.ngramJaccard(spark, dir)
+    val tf = termFreq(spark, dir)
+    val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("s2"))
+    val dot = pairs.select(col("doc_a"), col("doc_b"))
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"), col("tf").as("tfa")),
+        "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"), col("tf").as("tfb")),
+        Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    pairs
+      .join(dot, Seq("doc_a", "doc_b"), "left")
+      .join(norms.select(col("doc_id").as("doc_a"), col("s2").as("sa")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("s2").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("dot"), lit(0L)).as("dot"),
+        (coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))))
+          .as("cosine"))
+  }
+
+  val cosineRerankSql: String =
+    s"""WITH pr AS (${DedupQueries.ngramJaccardSql}),
+       |toks AS (${Oracle.toksCte}),
+       |wq AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM wq GROUP BY 1, 2),
+       |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS s2
+       |        FROM tfq GROUP BY 1),
+       |d AS (SELECT p.doc_a, p.doc_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+       |      FROM pr p JOIN tfq a ON a.doc_id = p.doc_a
+       |                JOIN tfq b ON b.doc_id = p.doc_b AND b.term = a.term
+       |      GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.jaccard, coalesce(d.dot, 0) AS dot,
+       |       CAST(coalesce(d.dot, 0) AS DOUBLE) /
+       |         (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))) AS cosine
+       |FROM pr p LEFT JOIN d USING (doc_a, doc_b)
+       |JOIN nrm na ON na.doc_id = p.doc_a
+       |JOIN nrm nb ON nb.doc_id = p.doc_b""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "wordcount" -> QueryDef(wordcount, Some(wordcountSql)),
     "inverted_index" -> QueryDef(invertedIndex, Some(invertedIndexSql)),
@@ -1272,5 +1332,6 @@ object TextQueries {
     // rows-only like approx_stats: sketch estimates are merge-order
     // dependent; the deterministic bound guarantees are pinned in tests
     "approx_topk" -> QueryDef(approxTopK, None),
-    "chunk_docs" -> QueryDef(chunkDocs, Some(chunkDocsSql)))
+    "chunk_docs" -> QueryDef(chunkDocs, Some(chunkDocsSql)),
+    "cosine_rerank" -> QueryDef(cosineRerank, Some(cosineRerankSql)))
 }
