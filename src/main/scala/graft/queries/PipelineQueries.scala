@@ -223,7 +223,67 @@ object PipelineQueries {
        |FROM d GROUP BY shard_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ canonical_pick
+  /** `canonical_pick` — QUALITY-AWARE canonical selection per near-dup
+    * cluster: where `dedup_cluster` (and `corpus_keep`) keep the MIN-ID
+    * member — the arbitrary-but-deterministic textbook rule — production
+    * pipelines keep the BEST member: argmax quality score, ties to the
+    * smaller doc_id, score-less (token-free) members ranked below any
+    * scored one. The output re-labels every document with its cluster,
+    * its score, and whether it is the kept representative — exactly the
+    * `corpus_keep` near-dup stage with the selection rule upgraded, and
+    * the min-id/argmax DIFF between the two queries is itself the audit
+    * of how much quality the naive rule leaves behind.
+    *
+    * Engine-exact: the argmax compares the quality score doubles (bit-
+    * identical expressions on both engines) with a total tie order, via
+    * one `max(struct(score, −doc_id))` hash aggregation — no per-cluster
+    * sort; the oracle's row_number mirror picks the same winner because
+    * the (score DESC, doc_id ASC) order is total.
+    *
+    * Scale shape: cluster labels come from the O(log d)-round label
+    * propagation the cluster family already computes (memoized); scores
+    * are scan-local; the pick is ONE partial-final aggregation on
+    * cluster_id plus a key-equi join back — nothing quadratic anywhere.
+    */
+  def canonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val cl = DedupQueries.dedupCluster(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val qs = TextQueries.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val j = cl.join(qs, Seq("doc_id"), "left")
+      .withColumn("sc", coalesce(col("score"), lit(-1.0)))
+    val best = j.groupBy(col("cluster_id"))
+      .agg(max(struct(col("sc"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("keep_id"))
+    j.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+  }
+
+  val canonicalPickSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mhpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+       |reach(id, x) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x),
+       |comp AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id),
+       |cl AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |qsc AS (SELECT doc_id, score FROM (${TextQueries.qualityScoreSql})),
+       |j AS (SELECT cl.doc_id, cl.cluster_id, q.score,
+       |             coalesce(q.score, -1.0) AS sc
+       |      FROM cl LEFT JOIN qsc q ON q.doc_id = cl.doc_id),
+       |r AS (SELECT doc_id, cluster_id, score,
+       |             row_number() OVER (PARTITION BY cluster_id
+       |                                ORDER BY sc DESC, doc_id) AS rn
+       |      FROM j)
+       |SELECT doc_id, cluster_id, score, rn = 1 AS is_kept FROM r""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "corpus_keep" -> QueryDef(corpusKeep, Some(corpusKeepSql)),
-    "shard_manifest" -> QueryDef(shardManifest, Some(shardManifestSql)))
+    "shard_manifest" -> QueryDef(shardManifest, Some(shardManifestSql)),
+    "canonical_pick" -> QueryDef(canonicalPick, Some(canonicalPickSql)))
 }
