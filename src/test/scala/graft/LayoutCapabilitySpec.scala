@@ -221,4 +221,32 @@ class LayoutCapabilitySpec extends SparkTestBase {
     // nothing lost in the reshape
     assert(spark.read.parquet(out).count() === docs.count())
   }
+
+  test("ORC round-trip: types survive; predicates push down to the ORC scan") {
+    // Parquet is the house format, but a lakehouse ingests what it is
+    // handed — ORC is the other columnar wire format (Hive-lineage
+    // deliveries). Pin that the second format is a first-class SOURCE:
+    // exact type round-trip, and filter pushdown reaching the ORC scan
+    // (an ORC reader without pushed predicates re-reads every stripe of
+    // a 100 TB delivery).
+    val out = freshDir("orc")
+    val ev = Tables(spark, sf("sf0.001"), "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    ev.write.mode("overwrite").orc(out)
+
+    val back = spark.read.orc(out)
+    assert(back.schema === ev.schema, "ORC must round-trip the exact schema")
+    val a = ev.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+
+    val filtered = back.filter(col("user_id") === 7L).select("event_id", "value")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(user_id,7)"),
+      s"user_id predicate must reach the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("ts:"),
+      "column pruning must drop unreferenced ts from the ORC ReadSchema")
+    assert(filtered.count() === ev.filter(col("user_id") === 7L).count())
+  }
 }
