@@ -2846,6 +2846,91 @@ object RelationalQueries {
       |       (abs(g.g) = m.mx AND g.day_idx = cp.cp_day) AS is_cp
       |FROM g, m, cp""".stripMargin
 
+  // ------------------------------------------------------------- growth_curve
+  /** `growth_curve` — the user-growth view: per day, NEW users (first-ever
+    * appearance) and the cumulative distinct-user count — the adoption
+    * curve behind every "users over time" chart. A naive cumulative
+    * COUNT(DISTINCT) re-scans history per day; the standard collapse is
+    * exact and one-pass: a user's NEW day is min(day) per user (hash
+    * agg), new-user counts collapse to the day table, and the running
+    * sum over that calendar-bounded table IS the cumulative distinct
+    * count (every user counted exactly once, on their first day).
+    *
+    * Also emits `n_active` (distinct users that day) so the ratio
+    * new/active — the growth-vs-retention mix — reads off each row.
+    * All integers; the only window is over per-day totals.
+    */
+  def growthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $dayNs").as("d")).distinct()
+    val firstDay = ud.groupBy(col("user_id")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_new"))
+    val active = ud.groupBy(col("d")).agg(count(lit(1)).as("n_active"))
+    val byDay = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstDay, Seq("d"), "left")
+      .select(col("d").as("day_idx"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(byDay))
+  }
+
+  val growthCurveSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+      |            FROM events),
+      |fd AS (SELECT min(d) AS d FROM ud GROUP BY user_id),
+      |nw AS (SELECT d, count(*) AS n_new FROM fd GROUP BY d),
+      |ac AS (SELECT d, count(*) AS n_active FROM ud GROUP BY d)
+      |SELECT ac.d AS day_idx, ac.n_active,
+      |       coalesce(nw.n_new, 0) AS n_new,
+      |       CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY ac.d) AS BIGINT) AS cum_users
+      |FROM ac LEFT JOIN nw ON nw.d = ac.d""".stripMargin
+
+  // -------------------------------------------------------------- dow_anomaly
+  /** `dow_anomaly` — SEASONAL-baseline anomaly detection: each day's
+    * event count compared against its own DAY-OF-WEEK mean (Mondays vs
+    * the Monday baseline), flagging days outside ±50% — the seasonality-
+    * aware complement of `anomaly_mad`'s global robust test (a quiet
+    * Sunday is normal for Sundays; the global test would flag every
+    * weekend). Entirely EXACT: the mean never materializes — the flags
+    * cross-multiply integers (`2·k·c > 3·S` ⇔ c > 1.5·S/k), so there is
+    * no division anywhere and partial order can't shift a boundary.
+    *
+    * Day-of-week is `(day_idx + 3) mod 7` (epoch day 0 = Thursday =
+    * weekday 3, so +3 makes 0 = Monday), identical integer arithmetic on
+    * both engines.
+    *
+    * Scale shape: per-day totals first (ONE corpus pass, partial-final);
+    * the dow baselines are a 7-row aggregate of that day table; flags
+    * evaluate scan-locally on the day table after a broadcast join.
+    */
+  def dowAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", (col("day_idx") + 3) % 7)
+    val base = d.groupBy(col("dow"))
+      .agg(count(lit(1)).as("k"), sum(col("n_events")).as("s"))
+    d.join(broadcast(base), "dow")
+      .select(col("day_idx"), col("dow"), col("n_events"),
+        col("k").as("n_dow_days"), col("s").as("dow_total"),
+        (col("n_events") * col("k") * 2 > col("s") * 3).as("is_high"),
+        (col("n_events") * col("k") * 2 < col("s")).as("is_low"))
+  }
+
+  val dowAnomalySql: String =
+    """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day_idx,
+      |                  count(*) AS n_events
+      |           FROM events GROUP BY 1),
+      |dd AS (SELECT day_idx, n_events, (day_idx + 3) % 7 AS dow FROM d),
+      |base AS (SELECT dow, count(*) AS k, CAST(sum(n_events) AS BIGINT) AS s
+      |         FROM dd GROUP BY dow)
+      |SELECT dd.day_idx, dd.dow, dd.n_events,
+      |       base.k AS n_dow_days, base.s AS dow_total,
+      |       dd.n_events * base.k * 2 > base.s * 3 AS is_high,
+      |       dd.n_events * base.k * 2 < base.s AS is_low
+      |FROM dd JOIN base USING (dow)""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -2903,5 +2988,7 @@ object RelationalQueries {
     "ohlc_daily" -> QueryDef(ohlcDaily, Some(ohlcDailySql)),
     "trailing_features" -> QueryDef(trailingFeatures, Some(trailingFeaturesSql)),
     "changepoint_daily" -> QueryDef(changepointDaily, Some(changepointDailySql)),
-    "linear_attribution" -> QueryDef(linearAttribution, Some(linearAttributionSql)))
+    "linear_attribution" -> QueryDef(linearAttribution, Some(linearAttributionSql)),
+    "growth_curve" -> QueryDef(growthCurve, Some(growthCurveSql)),
+    "dow_anomaly" -> QueryDef(dowAnomaly, Some(dowAnomalySql)))
 }

@@ -253,6 +253,41 @@ class EventEdgeSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum === 100L, "shares must sum to the cents exactly")
   }
 
+  test("growth_curve: first appearance counts once; cumulative equals distinct-so-far") {
+    val dayNs = 86400000000000L
+    val dir = eventsDir(Seq(
+      (1L, 0L * dayNs + 1, 7L, "view", 1.0),      // A first seen day 0
+      (2L, 1L * dayNs + 1, 7L, "view", 1.0),      // A again day 1: active, not new
+      (3L, 1L * dayNs + 2, 8L, "view", 1.0),      // B first seen day 1
+      (4L, 3L * dayNs + 1, 7L, "view", 1.0),      // gap day 2: no row; A day 3
+      (5L, 3L * dayNs + 2, 9L, "view", 1.0)))     // C first seen day 3
+    val got = graft.queries.RelationalQueries.growthCurve(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 1L, 1L)),
+      1L -> ((2L, 1L, 2L)),
+      3L -> ((2L, 1L, 3L))))
+  }
+
+  test("dow_anomaly: weekday baseline flags only the off-baseline day; Monday is dow 0") {
+    val dayNs = 86400000000000L
+    // day_idx 4, 11, 18 are consecutive Mondays (epoch day 0 = Thursday)
+    val rows = for {
+      (day, n) <- Seq((4L, 10), (11L, 10), (18L, 40))
+      i <- 0 until n
+    } yield ((day * 100 + i), day * dayNs + i, 7L, "view", 1.0)
+    val got = graft.queries.RelationalQueries.dowAnomaly(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(5), r.getBoolean(6)))).toMap
+    // k=3, S=60: day 18 (40 events): 40*3*2=240 > 180 -> high;
+    // days 4/11 (10): 60 > 60 false, 60 < 60 false -> neither (exact boundary)
+    assert(got === Map(
+      4L -> ((0L, 10L, false, false)),
+      11L -> ((0L, 10L, false, false)),
+      18L -> ((0L, 40L, true, false))))
+  }
+
   test("changepoint_daily: CUSUM peak lands on the last pre-shift day, once") {
     val dayNs = 86400000000000L
     // 6 days: 10/day then 20/day — the level shift is after day 2 (0-based)
