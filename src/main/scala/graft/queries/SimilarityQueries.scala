@@ -1277,6 +1277,51 @@ object SimilarityQueries {
        |FROM x GROUP BY i, j""".stripMargin
   }
 
+  // -------------------------------------------------------------- pq_distortion
+  /** `pq_distortion` — the PQ index AUDITING ITSELF (the ANN counterpart
+    * of `dedup_recall_report`): per subspace m, the corpus's total and
+    * mean squared quantization error against the assigned sub-centroid —
+    * the number that tells an index operator whether PqK sub-centroids
+    * still fit the data (distortion creeping up across refreshes = drift;
+    * one subspace far above the others = a dimension group the codebook
+    * split badly). Published next to the index exactly like the recall
+    * report is published next to the dedup output.
+    *
+    * Engine-exact: sub-distances are the SAME BIGINT integer-domain
+    * kernel the encoder uses ([[pqDistances]]); the per-(vector, m)
+    * assigned distance comes from the packed `(d·2K + cj)` argmin (one
+    * hash aggregation, the [[pqCodes]] trick) and unpacks by one integer
+    * division; `mse` normalizes by `n·QScale²·PqSub` — QScale is a power
+    * of two, so the denominator's odd part stays tiny and the ONE
+    * IEEE division is identical on both engines.
+    *
+    * Scale shape: one pass over the memoized quantized embeddings ×
+    * broadcast codebook (the encode stage the index build already runs),
+    * collapsing partial-final to PqM·corpus → PqM rows. Nothing new
+    * crosses the network but 8 partial sums per partition.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    pqDistances(spark, dir, quantized(emb(spark, dir)))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d") * lit(2L * PqK) + col("cj")).as("packed"))
+      .select(col("m").cast("long").as("m"),
+        expr(s"packed div ${2L * PqK}").as("d"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("total_sqerr"))
+      .withColumn("mse", col("total_sqerr").cast("double") /
+        (col("n_vectors") * lit(QScale * QScale * PqSub.toLong)).cast("double"))
+
+  val pqDistortionSql: String =
+    s"""WITH $pqSqlCtes,
+       |asg AS (SELECT e.vec_id, e.m, e.d
+       |        FROM ed e JOIN codes c
+       |          ON c.vec_id = e.vec_id AND c.m = e.m AND c.cj = e.cj)
+       |SELECT CAST(m AS BIGINT) AS m, count(*) AS n_vectors,
+       |       CAST(sum(d) AS BIGINT) AS total_sqerr,
+       |       CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) /
+       |         CAST(count(*) * ${QScale * QScale * PqSub.toLong} AS DOUBLE) AS mse
+       |FROM asg GROUP BY m""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
@@ -1291,5 +1336,6 @@ object SimilarityQueries {
     "dedup_cluster_embed" -> QueryDef(dedupClusterEmbed, Some(dedupClusterEmbedSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
-    "gram_matrix" -> QueryDef(gramMatrix, Some(gramMatrixSql)))
+    "gram_matrix" -> QueryDef(gramMatrix, Some(gramMatrixSql)),
+    "pq_distortion" -> QueryDef(pqDistortion, Some(pqDistortionSql)))
 }
