@@ -39,6 +39,7 @@ class PlanGuardSpec extends SparkTestBase {
     "triangle_count", // 1-row edge/triangle stat rows assembling the summary
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
     "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
+    "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
     // bounded-CHUNK broadcast of the query block (cap-sized, never the
     // corpus side; chunk count from parquet footer metadata)
     "ann_topk",
