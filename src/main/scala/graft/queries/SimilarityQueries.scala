@@ -1322,6 +1322,66 @@ object SimilarityQueries {
        |         CAST(count(*) * ${QScale * QScale * PqSub.toLong} AS DOUBLE) AS mse
        |FROM asg GROUP BY m""".stripMargin
 
+  // ---------------------------------------------------------------- ivf_balance
+  /** `ivf_balance` — the IVF index's LIST-BALANCE audit, side by side for
+    * both coarse quantizers: per inverted list, its size and corpus
+    * share, for the hash-SAMPLED codebook (`ann_ivf`) and the
+    * Lloyd-REFINED one (`ann_ivf_kmeans`). List balance is what IVF's
+    * whole cost model rests on — probe cost ∝ the probed lists' sizes, a
+    * mega-list turns Nprobe into a corpus scan and an empty list is a
+    * wasted centroid — and the sampled-vs-refined comparison in one
+    * result is exactly the evidence that the Lloyd iterations earn their
+    * build cost (the claim ann_ivf_kmeans' scaladoc makes, here measured
+    * by the engine itself on the actual corpus). Completes the
+    * index-self-audit family: `dedup_recall_report` (LSH recall),
+    * `pq_distortion` (PQ quantization error), this (IVF list balance).
+    *
+    * Exact: sizes are counts over the memoized assignment tables (the
+    * same deterministic argmax both search paths use); `share` is one
+    * IEEE division of exact BIGINTs.
+    *
+    * Scale shape: both assignment halves are the MEMOIZED index-build
+    * artifacts (zero new corpus passes when the ANN family has run); the
+    * report is two IvfC-row aggregations + a union.
+    */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    def sizes(tag: String, cents: DataFrame, memo: Memo.Table): DataFrame =
+      ivfAssigned(spark, dir, cents, memo)
+        .groupBy(col("cidx")).agg(count(lit(1)).as("n_vectors"))
+        .select(lit(tag).as("codebook"), col("cidx").cast("long").as("cidx"),
+          col("n_vectors"))
+    val both = sizes("sampled", codebook(spark, dir), ivfListsMemo)
+      .unionAll(sizes("lloyd", kmeansCodebook(spark, dir), kmListsMemo))
+    val totals = Window.partitionBy(col("codebook"))
+    both.withColumn("share",
+      col("n_vectors").cast("double") /
+        sum(col("n_vectors")).over(totals).cast("double"))
+  }
+
+  val ivfBalanceSql: String = {
+    val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
+    def sizesSql(tag: String, cent: String) =
+      s"""SELECT '$tag' AS codebook, CAST(c.cidx AS BIGINT) AS cidx,
+         |       count(*) AS n_vectors
+         |FROM (SELECT e.vec_id, c.cidx,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
+         |                        c.cidx) AS cr
+         |      FROM e CROSS JOIN $cent c) c
+         |WHERE c.cr = 1 GROUP BY 1, 2""".stripMargin
+    s"""WITH $kmCentSqlCtes,
+       |cent AS (SELECT v AS cv, nrm AS cn,
+       |                row_number() OVER (ORDER BY $ch, vec_id) AS cidx
+       |         FROM e QUALIFY cidx <= $IvfC),
+       |b AS (${sizesSql("sampled", "cent")}
+       |      UNION ALL
+       |      ${sizesSql("lloyd", s"cent$KmIters")})
+       |SELECT codebook, cidx, n_vectors,
+       |       CAST(n_vectors AS DOUBLE) /
+       |         CAST(sum(n_vectors) OVER (PARTITION BY codebook) AS DOUBLE) AS share
+       |FROM b""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
@@ -1337,5 +1397,6 @@ object SimilarityQueries {
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "gram_matrix" -> QueryDef(gramMatrix, Some(gramMatrixSql)),
-    "pq_distortion" -> QueryDef(pqDistortion, Some(pqDistortionSql)))
+    "pq_distortion" -> QueryDef(pqDistortion, Some(pqDistortionSql)),
+    "ivf_balance" -> QueryDef(ivfBalance, Some(ivfBalanceSql)))
 }
