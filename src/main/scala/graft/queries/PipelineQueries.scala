@@ -282,8 +282,65 @@ object PipelineQueries {
        |      FROM j)
        |SELECT doc_id, cluster_id, score, rn = 1 AS is_kept FROM r""".stripMargin
 
+  // ------------------------------------------------------------- corpus_export
+  /** `corpus_export` — the WHOLE pretraining export pipeline as one
+    * oracle-checked query: the `corpus_keep` keep-list filters the
+    * corpus, survivors chunk into training windows (`chunk_docs`' exact
+    * transform), and the chunks land in content-keyed shards with a
+    * per-(split, shard) manifest — chunk count, token budget, and the
+    * order-free `bit_xor` checksum (`shard_manifest`'s contract, at
+    * CHUNK grain). This is the artifact a trainer actually consumes:
+    * train/val/test × shard → how many sequences, how many tokens,
+    * and a checksum to diff after transfer. Declaring the composition as
+    * ONE query pins the stage interfaces against each other — a keep-rule
+    * or chunker change that silently shifts the export shows up here as
+    * an oracle hash flip even if each stage's own query still passes.
+    *
+    * Scale shape: strictly the union of its parts — the keep-list's
+    * memoized flag tables, one doc_id equi-join to prune the corpus
+    * BEFORE tokenization (dropped docs are never chunked), the scan-local
+    * chunker, and ONE partial-final aggregation to ≤ splits·shards rows.
+    */
+  def corpusExport(spark: SparkSession, dir: String): DataFrame = {
+    val kept = corpusKeep(spark, dir).filter(col("kept"))
+      .select(col("doc_id"), col("split"))
+    val docs = Tables.docs(spark, dir).join(kept, "doc_id")
+    TextQueries.chunkOf(docs.select(col("doc_id"), col("text")))
+      .join(kept, "doc_id")
+      .select(col("split"),
+        pmod(col("chunk_fp"), lit(NShards.toLong)).as("shard_id"),
+        col("n_tok"), col("chunk_fp"))
+      .groupBy(col("split"), col("shard_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(chunk_fp)").as("checksum"))
+  }
+
+  val corpusExportSql: String = {
+    val w = TextQueries.ChunkTokens
+    val s = TextQueries.ChunkStride
+    s"""WITH k AS (SELECT doc_id, split FROM ($corpusKeepSql) WHERE kept),
+       |kt AS (SELECT d.doc_id, k.split,
+       |              list_filter(string_split_regex(d.text, '[^\\p{L}]+'),
+       |                          x -> length(x) > 0) AS t
+       |       FROM documents d JOIN k USING (doc_id)),
+       |nz AS (SELECT doc_id, split, t FROM kt WHERE len(t) > 0),
+       |st AS (SELECT doc_id, split, t,
+       |              unnest(generate_series(0, (len(t) - 1) // $s)) AS kk
+       |       FROM nz),
+       |ch AS (SELECT split,
+       |              CAST(len(t[kk * $s + 1 : kk * $s + $w]) AS BIGINT) AS n_tok,
+       |              ${Oracle.hash60(s"array_to_string(t[kk * $s + 1 : kk * $s + $w], ' ')")} AS fp
+       |       FROM st)
+       |SELECT split, fp % $NShards AS shard_id, count(*) AS n_chunks,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       bit_xor(fp) AS checksum
+       |FROM ch GROUP BY 1, 2""".stripMargin
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "corpus_keep" -> QueryDef(corpusKeep, Some(corpusKeepSql)),
     "shard_manifest" -> QueryDef(shardManifest, Some(shardManifestSql)),
-    "canonical_pick" -> QueryDef(canonicalPick, Some(canonicalPickSql)))
+    "canonical_pick" -> QueryDef(canonicalPick, Some(canonicalPickSql)),
+    "corpus_export" -> QueryDef(corpusExport, Some(corpusExportSql)))
 }
