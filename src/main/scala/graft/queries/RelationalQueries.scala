@@ -2931,6 +2931,111 @@ object RelationalQueries {
       |       dd.n_events * base.k * 2 < base.s AS is_low
       |FROM dd JOIN base USING (dow)""".stripMargin
 
+  // ------------------------------------------------------------ conversion_lag
+  /** `conversion_lag` — time-to-conversion (the survival-analysis input):
+    * per user, the first `signup` event and the first `purchase` AT OR
+    * AFTER it, with the exact nanosecond lag; users who signed up but
+    * never converted keep a NULL lag and `converted = false` — the
+    * censored observations a survival model needs kept, not dropped.
+    * Complements the funnel family: `funnel_conversion` counts who
+    * progressed within a window, this measures HOW LONG the corpus's
+    * unbounded signup→purchase transition took, per user.
+    *
+    * All integers (min-ts aggregations, one subtraction); purchases
+    * strictly before the user's first signup are excluded on both
+    * engines by the same `>=` bound.
+    *
+    * Scale shape: two pushed-filter scans collapse partial-final per
+    * user; ONE user-keyed equi-join (bounded fan-out: that user's
+    * purchases) + a re-aggregation. No windows, no corpus sort.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ns"))
+    val p = ev.filter(col("event_type") === ConversionType)
+      .select(col("user_id"), col("ts"))
+    s.join(p, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ns"))
+      .agg(min(when(col("ts") >= col("signup_ns"), col("ts"))).as("purchase_ns"))
+      .select(col("user_id"), col("signup_ns"), col("purchase_ns"),
+        (col("purchase_ns") - col("signup_ns")).as("lag_ns"),
+        col("purchase_ns").isNotNull.as("converted"))
+  }
+
+  val conversionLagSql: String =
+    s"""WITH s AS (SELECT user_id, min(epoch_ns(ts)) AS signup_ns
+       |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |p AS (SELECT user_id, epoch_ns(ts) AS tn
+       |      FROM events WHERE event_type = '$ConversionType'),
+       |m AS (SELECT s.user_id, s.signup_ns,
+       |             min(CASE WHEN p.tn >= s.signup_ns THEN p.tn END) AS purchase_ns
+       |      FROM s LEFT JOIN p ON p.user_id = s.user_id
+       |      GROUP BY s.user_id, s.signup_ns)
+       |SELECT user_id, signup_ns, purchase_ns,
+       |       purchase_ns - signup_ns AS lag_ns,
+       |       purchase_ns IS NOT NULL AS converted
+       |FROM m""".stripMargin
+
+  // ------------------------------------------------------------ fk_cardinality
+  /** `fk_cardinality` — foreign-key FAN-OUT profiling: for each declared
+    * relationship (customer→orders, orders→lineitem), the parent
+    * population, how many parents actually have children, the child
+    * total, and the min/max children per parent — the cardinality facts
+    * every join planner assumption and every "explode risk" review rests
+    * on, and the piece `dq_audit` (violations) and `profile_table`
+    * (per-column stats) don't cover: the SHAPE of the 1:N edges.
+    * Childless parents are counted (n_childless) rather than silently
+    * shaping min_children — min/max describe parents WITH children,
+    * stated explicitly.
+    *
+    * Scale shape: per relationship, one partial-final count by FK on the
+    * child table (vocabulary-sized result), one broadcast-scale
+    * aggregation over it, and a 1-row parent count attached by
+    * cross-joining two 1-row aggregates (fixed-size, the dq_audit
+    * pattern). Two fixed rows out.
+    */
+  def fkCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, parent: DataFrame, pk: String,
+        child: DataFrame, fk: String): DataFrame = {
+      val perParent = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+      val stats = perParent.agg(
+        count(lit(1)).as("n_parents_with"),
+        sum(col("c")).as("n_children"),
+        min(col("c")).as("min_children"),
+        max(col("c")).as("max_children"))
+      val parents = parent.agg(count(lit(1)).as("n_parents"))
+      parents.crossJoin(broadcast(stats))
+        .select(lit(name).as("rel"), col("n_parents"), col("n_parents_with"),
+          (col("n_parents") - col("n_parents_with")).as("n_childless"),
+          col("n_children"), col("min_children"), col("max_children"))
+    }
+    rel("customer_orders",
+      Tables(spark, dir, "customer"), "c_custkey",
+      Tables(spark, dir, "orders"), "o_custkey")
+      .unionAll(rel("orders_lineitem",
+        Tables(spark, dir, "orders"), "o_orderkey",
+        Tables(spark, dir, "lineitem"), "l_orderkey"))
+  }
+
+  val fkCardinalitySql: String =
+    """WITH co AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      |ol AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+      |SELECT 'customer_orders' AS rel,
+      |       (SELECT count(*) FROM customer) AS n_parents,
+      |       count(*) AS n_parents_with,
+      |       (SELECT count(*) FROM customer) - count(*) AS n_childless,
+      |       CAST(sum(c) AS BIGINT) AS n_children,
+      |       min(c) AS min_children, max(c) AS max_children
+      |FROM co
+      |UNION ALL
+      |SELECT 'orders_lineitem',
+      |       (SELECT count(*) FROM orders),
+      |       count(*),
+      |       (SELECT count(*) FROM orders) - count(*),
+      |       CAST(sum(c) AS BIGINT), min(c), max(c)
+      |FROM ol""".stripMargin
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "group_agg" -> QueryDef(groupAgg, Some(groupAggSql)),
     "distinct_count" -> QueryDef(distinctCount, Some(distinctCountSql)),
@@ -2990,5 +3095,7 @@ object RelationalQueries {
     "changepoint_daily" -> QueryDef(changepointDaily, Some(changepointDailySql)),
     "linear_attribution" -> QueryDef(linearAttribution, Some(linearAttributionSql)),
     "growth_curve" -> QueryDef(growthCurve, Some(growthCurveSql)),
-    "dow_anomaly" -> QueryDef(dowAnomaly, Some(dowAnomalySql)))
+    "dow_anomaly" -> QueryDef(dowAnomaly, Some(dowAnomalySql)),
+    "conversion_lag" -> QueryDef(conversionLag, Some(conversionLagSql)),
+    "fk_cardinality" -> QueryDef(fkCardinality, Some(fkCardinalitySql)))
 }

@@ -253,6 +253,25 @@ class EventEdgeSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum === 100L, "shares must sum to the cents exactly")
   }
 
+  test("conversion_lag: pre-signup purchases excluded; censored users kept with NULL lag") {
+    val t0 = 1700000000000000000L
+    val dir = eventsDir(Seq(
+      (1L, t0 - 5L, 7L, "purchase", 1.0), // BEFORE signup: excluded
+      (2L, t0, 7L, "signup", 1.0),
+      (3L, t0 + 9L, 7L, "purchase", 1.0), // first at-or-after: the conversion
+      (4L, t0 + 20L, 7L, "purchase", 1.0), // later: ignored (min wins)
+      (5L, t0, 8L, "signup", 1.0), // censored: no purchase ever
+      (6L, t0, 9L, "signup", 1.0),
+      (7L, t0, 9L, "purchase", 1.0))) // same instant: >= includes it, lag 0
+    val got = graft.queries.RelationalQueries.conversionLag(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      7L -> ((Some(9L), true)),
+      8L -> ((None, false)),
+      9L -> ((Some(0L), true))))
+  }
+
   test("growth_curve: first appearance counts once; cumulative equals distinct-so-far") {
     val dayNs = 86400000000000L
     val dir = eventsDir(Seq(

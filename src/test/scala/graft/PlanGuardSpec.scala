@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkTestBase {
     "basket_rules", // 1-row basket-total broadcast (lift numerator)
     "incremental_merge", // 1-row cut_ns bound splitting base from delta
     "triangle_count", // 1-row edge/triangle stat rows assembling the summary
+    "fk_cardinality", // 1-row parent-count × 1-row child-stats assembly
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
     "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
     "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
