@@ -1232,6 +1232,79 @@ object RelationalQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS last_sv
        |FROM j""".stripMargin
 
+  // -------------------------------------------------------------- hourly_lerp
+  /** `hourly_lerp` — LINEAR interpolation over the gap-filled hourly
+    * spine: the densification family's second member (`hourly_gapfill` =
+    * step/forward-fill, the "last known state" semantics of status
+    * metrics; this = linear, the semantics of continuously-varying
+    * measurements where a 3-hour gap should ramp, not plateau). Each gap
+    * hour gets `prev + (next − prev)·(hr − prev_hr)/(next_hr − prev_hr)`
+    * between its two nearest OBSERVED hours. The spine spans [min, max]
+    * observed hours per type, so every gap has both neighbors and the
+    * interpolant is total (no edge NULLs by construction).
+    *
+    * Engine-exact: all inputs are integers (cents totals, hour indices);
+    * the interpolant is ONE fixed expression tree of exact products and
+    * two IEEE divisions, identical on both engines; observed hours emit
+    * their own exact value, never the degenerate 0/0 lerp.
+    *
+    * Scale shape: inherits `hourly_gapfill`'s — corpus collapses
+    * partial-final to the (type, hour) grid; the windows (forward +
+    * backward fills, one WindowExec pass each direction) run over the
+    * calendar-bounded spine, never the corpus.
+    */
+  def hourlyLerp(spark: SparkSession, dir: String): DataFrame = {
+    val HourNs = 3600L * 1000000000L
+    val d = Tables(spark, dir, "events")
+      .filter(col("value") > 99.0)
+      .groupBy(col("event_type"), expr(s"ts div $HourNs").as("hr"))
+      .agg(intSum(col("value"), 2).as("sv_c"))
+    val spine = d.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHr = when(col("sv_c").isNotNull, col("hr"))
+    val j = spine.join(d, Seq("event_type", "hr"), "left")
+      .withColumn("pc", last(col("sv_c"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(obsHr, ignoreNulls = true).over(back))
+      .withColumn("nc", first(col("sv_c"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(obsHr, ignoreNulls = true).over(fwd))
+    val lerp = (col("pc").cast("double") +
+      ((col("nc") - col("pc")) * (col("hr") - col("ph"))).cast("double") /
+        (col("nh") - col("ph")).cast("double")) / 100.0
+    j.select(col("event_type"), col("hr"),
+      col("sv_c").isNull.as("is_gap"),
+      when(col("sv_c").isNotNull, col("sv_c") / 100.0)
+        .otherwise(lerp).as("v"))
+  }
+
+  val hourlyLerpSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+       |         ${sqlIntSum("value", 2)} AS sv_c
+       |  FROM events WHERE value > 99 GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM d GROUP BY 1),
+       |s AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b),
+       |j AS (SELECT s.event_type, s.hr, d.sv_c,
+       |             last_value(d.sv_c IGNORE NULLS) OVER wb AS pc,
+       |             last_value(CASE WHEN d.sv_c IS NOT NULL THEN s.hr END IGNORE NULLS) OVER wb AS ph,
+       |             first_value(d.sv_c IGNORE NULLS) OVER wf AS nc,
+       |             first_value(CASE WHEN d.sv_c IS NOT NULL THEN s.hr END IGNORE NULLS) OVER wf AS nh
+       |      FROM s LEFT JOIN d ON s.event_type = d.event_type AND s.hr = d.hr
+       |      WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.hr
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |             wf AS (PARTITION BY s.event_type ORDER BY s.hr
+       |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, hr, sv_c IS NULL AS is_gap,
+       |       CASE WHEN sv_c IS NOT NULL THEN sv_c / 100.0
+       |            ELSE (CAST(pc AS DOUBLE) +
+       |                  CAST((nc - pc) * (hr - ph) AS DOUBLE) /
+       |                    CAST(nh - ph AS DOUBLE)) / 100.0 END AS v
+       |FROM j""".stripMargin
+
   // ---------------------------------------------------------------- key_skew
   /** `key_skew` — join-key distribution diagnostic: for each join/group
     * key the inventory actually shuffles on (lineitem.l_orderkey — the
@@ -3097,5 +3170,6 @@ object RelationalQueries {
     "growth_curve" -> QueryDef(growthCurve, Some(growthCurveSql)),
     "dow_anomaly" -> QueryDef(dowAnomaly, Some(dowAnomalySql)),
     "conversion_lag" -> QueryDef(conversionLag, Some(conversionLagSql)),
-    "fk_cardinality" -> QueryDef(fkCardinality, Some(fkCardinalitySql)))
+    "fk_cardinality" -> QueryDef(fkCardinality, Some(fkCardinalitySql)),
+    "hourly_lerp" -> QueryDef(hourlyLerp, Some(hourlyLerpSql)))
 }

@@ -253,6 +253,23 @@ class EventEdgeSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum === 100L, "shares must sum to the cents exactly")
   }
 
+  test("hourly_lerp: gaps ramp linearly between observed hours; observed hours exact") {
+    val hrNs = 3600L * 1000000000L
+    val dir = eventsDir(Seq(
+      (1L, 0L * hrNs + 1, 7L, "view", 100.0),  // hr 0: 100.00
+      (2L, 3L * hrNs + 1, 7L, "view", 400.0),  // hr 3: 400.00 -> gaps 1, 2 ramp
+      (3L, 5L * hrNs + 1, 8L, "buy", 200.0)))  // single-hour type: no gaps
+    val got = graft.queries.RelationalQueries.hourlyLerp(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("view", 0L) -> ((false, 100.0)),
+      ("view", 1L) -> ((true, 200.0)),
+      ("view", 2L) -> ((true, 300.0)),
+      ("view", 3L) -> ((false, 400.0)),
+      ("buy", 5L) -> ((false, 200.0))))
+  }
+
   test("conversion_lag: pre-signup purchases excluded; censored users kept with NULL lag") {
     val t0 = 1700000000000000000L
     val dir = eventsDir(Seq(
