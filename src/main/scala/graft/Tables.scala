@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, unix_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, FloatType,
+  LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -19,7 +20,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(spark, df) else df
+    name match {
+      case "events" => normalizeEventTs(spark, df)
+      case "orders" =>
+        normalizeMoney(normalizeNaiveTs(spark, df, "o_orderdate"),
+          "orders", Seq("o_totalprice"))
+      case "lineitem" =>
+        normalizeMoney(normalizeNaiveTs(spark, df, "l_shipdate"),
+          "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      case _ => df
+    }
   }
 
   /** Normalize `events.ts` to the engine-wide logical contract: **BIGINT
@@ -65,6 +75,69 @@ object Tables {
     }
 
   private def microsToNanos(micros: Column): Column = micros * lit(1000L)
+
+  /** Normalize a naive-wall-clock time axis (`o_orderdate`, `l_shipdate`)
+    * to the engine-wide logical contract **TIMESTAMP_NTZ**, whatever
+    * physical flavor a driver-side testdata refresh writes. Round 7 lost
+    * 14 queries when ONE table's timestamp physical type silently changed;
+    * `normalizeEventTs` hardened events only — this closes the same class
+    * for the other two time axes. Lossless for every arrival type:
+    *
+    *  - `TimestampNTZType` (parquet TIMESTAMP(MICROS) isAdjustedToUTC=false,
+    *    what pandas/pyarrow write and Spark 4 infers as NTZ): the contract,
+    *    pass through.
+    *  - `TimestampType` (isAdjustedToUTC=true): the TIMESTAMP→NTZ cast
+    *    renders the instant as a wall-clock in the session zone — the
+    *    identity on the stored micros only under UTC, which every graft
+    *    entry point pins (same rule as [[normalizeEventTs]]).
+    *  - `DateType`: widen to midnight NTZ — exact, and the same promotion
+    *    DuckDB applies when a DATE meets a timestamp comparison, so the
+    *    oracle SQL needs no change.
+    *
+    * A projection on the scan output: pruning/pushdown on other columns is
+    * unaffected; literal range predicates on the normalized column fold
+    * back through the cast.
+    */
+  private[graft] def normalizeNaiveTs(spark: SparkSession, df: DataFrame,
+      c: String): DataFrame =
+    df.schema(c).dataType match {
+      case TimestampNTZType => df
+      case TimestampType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"$c arrived as TIMESTAMP (adjusted-to-UTC); the lossless " +
+            "reinterpretation to TIMESTAMP_NTZ requires " +
+            "spark.sql.session.timeZone=UTC — set it at SparkSession build " +
+            "(every graft entry point does)")
+        df.withColumn(c, col(c).cast(TimestampNTZType))
+      case DateType => df.withColumn(c, col(c).cast(TimestampNTZType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$c: unsupported physical type $other; expected TIMESTAMP_NTZ, " +
+            "TIMESTAMP, or DATE — teach Tables.normalizeNaiveTs the new " +
+            "flavor before trusting any downstream query")
+    }
+
+  /** Normalize decimal-intent numeric columns to the engine-wide logical
+    * contract **DOUBLE**. The money/quantity arithmetic everywhere
+    * (RelationalQueries.intSum) assumes 2-dec doubles; a driver refresh to
+    * parquet DECIMAL(p,2) or FLOAT must not surface as scattered
+    * DATATYPE_MISMATCHes. DECIMAL(p,≤15)→double and float→double casts are
+    * value-exact for the generator's 2-dec magnitudes; anything else is
+    * rejected loudly.
+    */
+  private[graft] def normalizeMoney(df: DataFrame, table: String,
+      cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case DoubleType => d
+        case _: DecimalType | FloatType => d.withColumn(c, col(c).cast(DoubleType))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$table.$c: unsupported physical type $other; expected DOUBLE " +
+              "(or DECIMAL/FLOAT, which normalize losslessly) — teach " +
+              "Tables.normalizeMoney the new flavor first")
+      }
+    }
 
   /** Spread `df` across the session's parallelism ONLY when the scan
     * itself cannot (fewer split partitions than cores). The test corpus

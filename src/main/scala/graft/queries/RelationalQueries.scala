@@ -2688,9 +2688,16 @@ object RelationalQueries {
   /** `user_journey` — per-user ORDERED event-type sequence as an ARRAY
     * column plus summary stats (event count, first/last micros). The
     * "full customer journey" export behind sequence models and
-    * journey-map UIs — and the inventory's nested-output member: every
-    * other query emits scalars; this one proves array-valued results
-    * hash-match a different engine too.
+    * journey-map UIs. The DECLARED output encodes the sequence as ONE
+    * scalar — `concat_ws(">", …)` over the ordered types — because the
+    * driver's comparator order-normalizes rows with a pandas sort, which
+    * cannot hash an ARRAY cell (round-8 incident: the array-valued form
+    * was engine-correct but drew the inventory's only red CORRECTNESS row
+    * with `TypeError: unhashable type: 'numpy.ndarray'`). The array-valued
+    * aggregation survives as [[userJourneyOf]], the non-declared API a
+    * sequence trainer would consume, with its own partitioning-invariance
+    * test; SchemaContractSpec lints the whole declared inventory against
+    * nested/binary output so the class cannot regress.
     *
     * Determinism: `collect_list` gives no ordering guarantee (partial
     * buffers merge in task-completion order), so the journey is built as
@@ -2711,6 +2718,7 @@ object RelationalQueries {
     userJourneyOf(Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000").as("us")))
+      .withColumn("journey", concat_ws(">", col("journey")))
 
   /** The journey aggregation over any (user_id, event_id, event_type, us)
     * rows — factored so the partitioning-invariance test can feed the
@@ -2729,7 +2737,7 @@ object RelationalQueries {
     """SELECT user_id, count(*) AS n_events,
       |       min(epoch_ns(ts) // 1000) AS first_us,
       |       max(epoch_ns(ts) // 1000) AS last_us,
-      |       list(event_type ORDER BY epoch_ns(ts) // 1000, event_id) AS journey
+      |       string_agg(event_type, '>' ORDER BY epoch_ns(ts) // 1000, event_id) AS journey
       |FROM events GROUP BY user_id""".stripMargin
 
   // ----------------------------------------------------------------- dq_audit

@@ -1896,11 +1896,14 @@ class QueriesSpec extends SparkTestBase {
       val s = rows.sortBy(r => (r._4, r._2))
       (rows.size.toLong, s.head._4, s.last._4, s.map(_._3).toSeq)
     }.toMap
+    // declared surface: the journey is the '>'-joined scalar encoding
+    // (driver-comparator-sortable; see the scaladoc's round-8 incident note)
     val got = graft.queries.RelationalQueries.userJourney(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_events"),
         r.getAs[Long]("first_us"), r.getAs[Long]("last_us"),
-        r.getSeq[String](r.fieldIndex("journey")).toSeq)).toMap
-    assert(got === want)
+        r.getAs[String]("journey"))).toMap
+    assert(got === want.view.mapValues(w =>
+      (w._1, w._2, w._3, w._4.mkString(">"))).toMap)
     // collect_list order is partitioning-dependent; the sorted-struct
     // projection must not be — re-aggregate the same input shuffled into
     // 7 partitions by a key UNRELATED to the group key

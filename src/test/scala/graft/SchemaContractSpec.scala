@@ -72,20 +72,56 @@ class SchemaContractSpec extends SparkTestBase {
     check("label", IntegerType)
   }
 
-  test("orders/lineitem: date axes load as a timestamp flavor asof can normalize") {
-    // asof_join and the revenue queries accept TIMESTAMP or TIMESTAMP_NTZ
-    // (both cast losslessly to epoch under the UTC session standard); what
-    // they can NOT silently absorb is a flip to STRING or DATE-as-int.
-    val okTs = Set[DataType](TimestampType, TimestampNTZType, DateType)
-    val od = Tables(spark, dir, "orders").schema("o_orderdate").dataType
-    assert(okTs.contains(od),
-      s"CONTRACT: orders.o_orderdate must be a timestamp/date type, got $od")
-    val sd = Tables(spark, dir, "lineitem").schema("l_shipdate").dataType
-    assert(okTs.contains(sd),
-      s"CONTRACT: lineitem.l_shipdate must be a timestamp/date type, got $sd")
+  test("orders/lineitem: time axes load as exactly TIMESTAMP_NTZ, money as DOUBLE") {
+    // Tables.normalizeNaiveTs/normalizeMoney now own the physical→logical
+    // mapping for these tables the way normalizeEventTs owns events.ts, so
+    // the loader output is pinned to ONE flavor — not a set of acceptable
+    // ones. A driver refresh to TIMESTAMP/DATE/DECIMAL lands losslessly on
+    // the same contract; anything else fails inside Tables with a pointed
+    // message instead of 14 scattered plan errors (the round-7 class).
+    assertField(Tables(spark, dir, "orders"), "orders")("o_orderdate", TimestampNTZType)
+    assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_shipdate", TimestampNTZType)
     assertField(Tables(spark, dir, "orders"), "orders")("o_totalprice", DoubleType)
     assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_extendedprice", DoubleType)
     assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_quantity", DoubleType)
+    assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_discount", DoubleType)
+    assertField(Tables(spark, dir, "lineitem"), "lineitem")("l_tax", DoubleType)
+  }
+
+  test("simulated testdata drift: TIMESTAMP/DATE/DECIMAL arrivals normalize losslessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // TIMESTAMP (adjusted-to-UTC) arrival → NTZ, identity on the micros under UTC
+    val asTs = Seq("1997-03-15 12:34:56.789012").toDF("s")
+      .select(expr("cast(s as timestamp)").as("o_orderdate"))
+    val ntz = Tables.normalizeNaiveTs(spark, asTs, "o_orderdate")
+    assert(ntz.schema("o_orderdate").dataType == TimestampNTZType)
+    assert(ntz.select(expr("cast(o_orderdate as string)")).head.getString(0)
+      == "1997-03-15 12:34:56.789012")
+    // DATE arrival → midnight NTZ (the same promotion DuckDB applies)
+    val asDate = Seq("1997-03-15").toDF("s")
+      .select(expr("cast(s as date)").as("l_shipdate"))
+    val fromDate = Tables.normalizeNaiveTs(spark, asDate, "l_shipdate")
+    assert(fromDate.schema("l_shipdate").dataType == TimestampNTZType)
+    assert(fromDate.select(expr("cast(l_shipdate as string)")).head.getString(0)
+      == "1997-03-15 00:00:00")
+    // DECIMAL(12,2) arrival → DOUBLE, exact at 2-dec magnitudes
+    val asDec = Seq(1L).toDF("k")
+      .select(expr("cast(12345.67 as decimal(12,2))").as("o_totalprice"))
+    val dbl = Tables.normalizeMoney(asDec, "orders", Seq("o_totalprice"))
+    assert(dbl.schema("o_totalprice").dataType == DoubleType)
+    assert(dbl.head.getDouble(0) == 12345.67)
+    // an unteachable flavor is rejected loudly, not absorbed silently
+    val asStr = Seq("1997-03-15").toDF("o_orderdate")
+    val e = intercept[IllegalArgumentException] {
+      Tables.normalizeNaiveTs(spark, asStr, "o_orderdate")
+    }
+    assert(e.getMessage.contains("normalizeNaiveTs"))
+    val badMoney = Seq("x").toDF("o_totalprice")
+    val e2 = intercept[IllegalArgumentException] {
+      Tables.normalizeMoney(badMoney, "orders", Seq("o_totalprice"))
+    }
+    assert(e2.getMessage.contains("normalizeMoney"))
   }
 
   test("dimension tables: every join key and queried column keeps its type") {
@@ -121,6 +157,32 @@ class SchemaContractSpec extends SparkTestBase {
     assert(have == want,
       s"CONTRACT: events columns changed — extra: ${have -- want}, " +
         s"missing: ${want -- have}; audit every events query before trusting green")
+  }
+
+  test("declared outputs: every SparkEntry query emits only driver-sortable scalar columns") {
+    // The driver's correctness comparator order-normalizes each result with
+    // a pandas sort before hashing; a nested cell (numpy.ndarray, dict,
+    // Row) is unhashable there and the query is red REGARDLESS of engine
+    // correctness (round-8 incident: user_journey's ARRAY column). Rule:
+    // the DECLARED surface encodes sequences as delimited scalars
+    // (user_journey's concat_ws(">")) and binary as hex (the multimodal
+    // queries) — nested/binary-valued forms live as non-declared APIs.
+    // Schema derivation is analysis-only, so this lints all entries cheaply.
+    def banned(t: DataType): Boolean = t match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).schema.fields.collect {
+          case f if banned(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      "CONTRACT: declared query outputs must be driver-sortable scalars " +
+        "(no ARRAY/MAP/STRUCT/BINARY — encode sequences with concat_ws, " +
+        s"binary as hex). Offenders: ${offenders.mkString("; ")}")
   }
 
   test("streaming eventStream delivers the same BIGINT-nanos contract as batch") {
