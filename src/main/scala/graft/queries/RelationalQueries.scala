@@ -2091,9 +2091,12 @@ object RelationalQueries {
     val purchases = ev.filter(col("event_type") === ConversionType)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("t0"))
+    // 2 consecutive buckets; array_distinct guards the 0 <= t0 < W corner
+    // where both `div`s truncate to 0 (harmless here — rn=1 dedups — but
+    // kept identical to linearAttribution, where a dup is output-changing)
     val anchors = purchases.withColumn("b",
-      explode(array(expr(s"(t0 - $TouchWindowNs) div $TouchWindowNs"),
-        expr(s"t0 div $TouchWindowNs")))) // always 2 consecutive buckets
+      explode(array_distinct(array(expr(s"(t0 - $TouchWindowNs) div $TouchWindowNs"),
+        expr(s"t0 div $TouchWindowNs")))))
     val touches = ev.filter(col("event_type").isin(TouchTypes: _*))
       .select(col("user_id").as("t_user"), col("ts"),
         expr("ts div 1000").as("us"), col("event_id"), col("event_type"))
@@ -2166,9 +2169,14 @@ object RelationalQueries {
     val purchases = ev.filter(col("event_type") === ConversionType)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("t0"), round(col("value") * 100).cast("long").as("cents"))
+    // array_distinct: for 0 <= t0 < W both `div`s truncate to bucket 0
+    // (negative dividend truncates toward zero), and a duplicated bucket
+    // would double-join every touch — corrupting rn/n_touches/share_cents.
+    // Unreachable for epoch-scale ns timestamps, but the guard costs one
+    // scan-local dedup of a 2-element array.
     val anchors = purchases.withColumn("b",
-      explode(array(expr(s"(t0 - $TouchWindowNs) div $TouchWindowNs"),
-        expr(s"t0 div $TouchWindowNs"))))
+      explode(array_distinct(array(expr(s"(t0 - $TouchWindowNs) div $TouchWindowNs"),
+        expr(s"t0 div $TouchWindowNs")))))
     val touches = ev.filter(col("event_type").isin(TouchTypes: _*))
       .select(col("user_id").as("t_user"), col("ts"),
         expr("ts div 1000").as("us"), col("event_id").as("touch_id"),

@@ -640,7 +640,15 @@ object StreamingOps {
     * out-of-order straggler gets features over what HAD arrived, the
     * standard online-serving semantics. Same-timestamp peers exclude each
     * other on both paths (batch RANGE frames exclude distance-0 peers;
-    * here the buffer comparison is strict `< ts`).
+    * here the frame upper bound is strict `< ts`).
+    *
+    * Per-trigger cost for a user with buffer size n: the buffer is held
+    * as an ArrayBuffer with the frame bounds found by BINARY SEARCH on
+    * the ascending timestamps — append is amortized O(1) and each event
+    * O(log n + frame), so a hot user is O(k·(log n + frame)) per
+    * trigger, genuinely "bounded by per-user rate × horizon" (a naive
+    * linked-list append + full-buffer filter would be O(k·n), quadratic
+    * across a hot user's trigger).
     */
   def trailingFeaturesStream(spark: SparkSession, events: DataFrame): Dataset[TfOut] = {
     import spark.implicits._
@@ -652,22 +660,37 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, evs: Iterator[TfEv], state: GroupState[TfState]) => {
           val sorted = evs.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
-          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          state.getOption.foreach(s => buf ++= s.buf)
+          // first index with buf(i).ts >= t (buf ascending under the
+          // in-order arrival contract; appends below keep it so)
+          def lowerBound(t: Long): Int = {
+            var lo = 0; var hi = buf.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (buf(m)._1 < t) lo = m + 1 else hi = m
+            }
+            lo
+          }
           val out = sorted.map { e =>
-            val lo = e.ts - horizon
-            val frame = buf.filter(p => p._1 >= lo && p._1 < e.ts)
-            val gap = frame.lastOption.map(e.ts - _._1) // buf ascending: last = max ts
-            buf = buf :+ ((e.ts, e.cents))
-            TfOut(e.event_id, user, frame.size.toLong, frame.map(_._2).sum, gap)
+            val lo = lowerBound(e.ts - horizon)
+            val hi = lowerBound(e.ts) // strict <: same-ts peers excluded
+            var cents = 0L
+            var i = lo
+            while (i < hi) { cents += buf(i)._2; i += 1 }
+            val gap = if (hi > lo) Some(e.ts - buf(hi - 1)._1) else None
+            buf += ((e.ts, e.cents))
+            TfOut(e.event_id, user, (hi - lo).toLong, cents, gap)
           }
           val cutoff = buf.lastOption.map(_._1 - horizon).getOrElse(Long.MinValue)
-          state.update(TfState(buf.dropWhile(_._1 < cutoff)))
+          state.update(TfState(buf.dropWhile(_._1 < cutoff).toList))
           out.iterator
         })
   }
 
   case class ClEv(user_id: Long, ts: Long, event_type: String)
-  case class ClState(signupNs: Long, purchaseNs: Option[Long])
+  case class ClState(signupNs: Option[Long], minPurchaseNs: Option[Long],
+      qualPurchaseNs: Option[Long])
   case class ClOut(user_id: Long, signup_ns: Long, purchase_ns: Option[Long],
       lag_ns: Option[Long], converted: Boolean)
 
@@ -676,14 +699,28 @@ object StreamingOps {
     * seen → censored row; first at-or-after purchase seen → converted row
     * with the exact lag), the live view a growth dashboard reads while
     * the batch query computes the same table offline. State per user is
-    * TWO longs (first signup, first qualifying purchase) — the argmin
-    * folds are order-insensitive, so any arrival order (and replay)
-    * converges to the batch answer on a closed input; update mode emits
-    * only users whose row changed this trigger. Pre-signup purchases
-    * must be held, not dropped (a signup arriving later can qualify
-    * them): the state keeps the earliest purchase UNCONDITIONALLY and
-    * re-derives the at-or-after rule against the final signup — two
-    * longs still. No watermark: like [[latestByKey]], the state IS the
+    * THREE longs: earliest signup, earliest purchase EVER (held
+    * UNCONDITIONALLY — even before any signup is known), and earliest
+    * purchase at-or-after the current earliest signup. The ≥-signup rule
+    * is re-derived each trigger from (earliest-ever, this trigger's
+    * arrivals), never baked irreversibly into what is kept, so the state
+    * survives the splits that a two-field fold silently censors: a
+    * purchase in a trigger before its same-timestamp signup, and an
+    * out-of-order EARLIER signup that retroactively qualifies the
+    * already-seen earliest purchase. Update mode emits only users whose
+    * (signup, qualifying purchase) row changed this trigger; users with
+    * no signup yet hold state silently (batch drops signup-less users).
+    *
+    * Exactness contract: per-user in-event-time-order arrival with
+    * arbitrary trigger boundaries — including same-timestamp
+    * signup/purchase ties split across triggers — replays included,
+    * matches batch bit-for-bit (pinned in StreamingSpec single- and
+    * multi-trigger). Under arbitrary REORDERING the row converges to
+    * batch except the unbounded-state case: ≥2 distinct pre-signup
+    * purchases arriving before their signup where only a non-earliest
+    * one qualifies — exact recovery there requires holding every
+    * distinct pre-signup purchase timestamp, which no O(1) state can.
+    * No watermark: like [[latestByKey]], the state IS the
     * materialization (one row per ever-seen funnel user).
     */
   def conversionLagStream(spark: SparkSession, events: DataFrame): Dataset[ClOut] = {
@@ -695,40 +732,29 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (user: Long, evs: Iterator[ClEv], state: GroupState[ClState]) => {
-          // fold: earliest signup; earliest purchase AT OR AFTER that
-          // signup. Purchases before any signup can still qualify if an
-          // EARLIER signup arrives later, so track (minSignup,
-          // minQualifyingPurchase) and re-qualify from the purchase pool
-          // lazily: keep the earliest purchase >= current minSignup seen
-          // so far, and re-scan arrivals each trigger. Order-insensitive
-          // because min-folds commute; an earlier signup arriving later
-          // can only WIDEN the qualifying set, and the batch agreement
-          // test feeds closed inputs where all arrivals meet the state.
+          // Min-folds commute, so within-trigger order is irrelevant; the
+          // qualifying purchase is re-derived from the unconditional
+          // earliest purchase + this trigger's arrivals against the NEW
+          // earliest signup, so a signup moving earlier widens the
+          // qualifying set instead of being filtered against stale state.
           val arr = evs.toIndexedSeq
-          val prev = state.getOption
-          val signups = arr.filter(_.event_type == "signup").map(_.ts)
-          val minSignup = (prev.map(_.signupNs) ++ signups)
-            .foldLeft(Long.MaxValue)(math.min)
-          if (minSignup == Long.MaxValue) {
-            // purchases before any known signup: nothing to emit or hold
-            // beyond what batch would do — batch drops users with no
-            // signup entirely, and a later signup can only be LATER than
-            // these purchases (they arrived in an earlier trigger), so
-            // they can never qualify for it in an in-order stream.
-            Iterator.empty
-          } else {
-            val purchases = arr.filter(_.event_type == conv)
-              .map(_.ts).filter(_ >= minSignup)
-            val minPurchase = (prev.flatMap(_.purchaseNs) ++ purchases)
-              .foldLeft(Long.MaxValue)(math.min)
-            val next = ClState(minSignup,
-              if (minPurchase == Long.MaxValue) None else Some(minPurchase))
-            val changed = !prev.contains(next)
-            state.update(next)
-            if (changed)
-              Iterator(ClOut(user, next.signupNs, next.purchaseNs,
-                next.purchaseNs.map(_ - next.signupNs), next.purchaseNs.isDefined))
-            else Iterator.empty
+          val prev = state.getOption.getOrElse(ClState(None, None, None))
+          val sigs = arr.collect { case e if e.event_type == "signup" => e.ts }
+          val purs = arr.collect { case e if e.event_type == conv => e.ts }
+          val minSignup = (prev.signupNs.toSeq ++ sigs).minOption
+          val minPurchase = (prev.minPurchaseNs.toSeq ++ purs).minOption
+          val qual = minSignup.flatMap { s =>
+            (prev.qualPurchaseNs.toSeq ++
+              minPurchase.filter(_ >= s) ++ purs.filter(_ >= s)).minOption
+          }
+          val next = ClState(minSignup, minPurchase, qual)
+          if (next != prev) state.update(next) // ALWAYS hold pre-signup purchases
+          val rowChanged = (minSignup, qual) !=
+            ((prev.signupNs, prev.qualPurchaseNs))
+          minSignup match {
+            case Some(s) if rowChanged =>
+              Iterator(ClOut(user, s, qual, qual.map(_ - s), qual.isDefined))
+            case _ => Iterator.empty
           }
         })
   }
@@ -774,17 +800,6 @@ object StreamingOps {
         (col("n_vectors") * lit(qScale * qScale)).cast("double"))
   }
 
-  /** Streaming form of the `shard_manifest` query: the export manifest
-    * maintained LIVE while documents stream into their shards — count,
-    * char volume, and the order-free `bit_xor` content checksum per
-    * shard. Every aggregate is associative and commutative (the batch
-    * query's own design constraint), so arrival order and trigger
-    * boundaries cannot change a bit vs the batch manifest on a closed
-    * input; state is exactly [[graft.queries.PipelineQueries.NShards]]
-    * rows forever (key-bounded aggregation — no watermark needed).
-    * Complete/update mode; the consumer diffs the final manifest against
-    * the producer's, same contract as batch.
-    */
   /** Streaming form of the `chunk_docs` query: documents chunk into
     * sliding token windows AS THEY ARRIVE — the ingestion path of a live
     * RAG index (chunk → embed → upsert). The whole transform is
@@ -797,6 +812,17 @@ object StreamingOps {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.chunkOf(docs)
 
+  /** Streaming form of the `shard_manifest` query: the export manifest
+    * maintained LIVE while documents stream into their shards — count,
+    * char volume, and the order-free `bit_xor` content checksum per
+    * shard. Every aggregate is associative and commutative (the batch
+    * query's own design constraint), so arrival order and trigger
+    * boundaries cannot change a bit vs the batch manifest on a closed
+    * input; state is exactly [[graft.queries.PipelineQueries.NShards]]
+    * rows forever (key-bounded aggregation — no watermark needed).
+    * Complete/update mode; the consumer diffs the final manifest against
+    * the producer's, same contract as batch.
+    */
   def manifestStream(docs: DataFrame): DataFrame = {
     val n = graft.queries.PipelineQueries.NShards
     val fp = graft.functions.TextFns.hash60(col("text"))

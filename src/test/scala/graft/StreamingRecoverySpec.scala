@@ -141,4 +141,166 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(crossBoundary.count() > 0,
       "vacuous: no epoch-2 feature referenced epoch-1 state")
   }
+
+  test("STATEFUL restart with EVICTION: skyline frontier survives the checkpoint " +
+      "and epoch-2 arrivals evict epoch-1 frontier points") {
+    // Second stateful-recovery pin, on the flatMapGroupsWithState twin
+    // whose state EVICTS (trailingFeatures only appends+trims): a restart
+    // must restore the frontier exactly, and a dominated epoch-1 frontier
+    // point must disappear when an epoch-2 arrival dominates it — state
+    // loss would resurrect it (frontier too big), replay would not (the
+    // fold is idempotent), so the final snapshot equals batch pareto_front
+    // over the union ONLY if the checkpoint round-trips the eviction set.
+    val in = Files.createTempDirectory("graft-sky-in")
+    val ckpt = Files.createTempDirectory("graft-sky-ckpt")
+    val sink = Files.createTempDirectory("graft-sky-sink")
+    val all = graft.Tables(spark, sf("sf0.001"), "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val Array(lo, hi) = all.agg(min(col("ts")), max(col("ts")))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val cut = lo + (hi - lo) / 2
+
+    def writeEpoch(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = Files.createTempDirectory("graft-sky-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.resolve("e").toString)
+      val part = Files.list(scratch.resolve("e")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), in.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def runOnce(): Unit = {
+      val raw = spark.readStream.schema(StreamingOps.eventSchema).parquet(in.toString)
+      val stream = StreamingOps.skylineStream(
+        spark, graft.Tables.normalizeEventTs(spark, raw))
+      // Update-mode stateful output can't go to an append-only file sink;
+      // foreachBatch + checkpoint gives the same exactly-once batch ledger
+      val q = stream.toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // snapshot sink → current frontier: per type, the max-seq emission
+    def currentFrontier(): Set[(String, Long, Long, Long)] = {
+      val snap = spark.read.parquet(sink.toString)
+      val latest = snap.groupBy(col("event_type"))
+        .agg(max(col("seq")).as("seq"))
+      snap.join(latest, Seq("event_type", "seq"))
+        .select("event_type", "event_id", "value_cents", "ts")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+
+    writeEpoch(all.filter(col("ts") <= cut), "batch0.parquet")
+    runOnce()
+    val epoch1Frontier = currentFrontier()
+    assert(epoch1Frontier.nonEmpty)
+    writeEpoch(all.filter(col("ts") > cut), "batch1.parquet")
+    runOnce()
+    val finalFrontier = currentFrontier()
+
+    val allDir = Files.createTempDirectory("graft-sky-all")
+    all.write.mode("overwrite").parquet(allDir.resolve("events.parquet").toString)
+    val expected = graft.queries.RelationalQueries
+      .paretoFront(spark, allDir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(finalFrontier === expected,
+      "restarted skyline must equal batch pareto_front over the union")
+    // the restart actually EVICTED: some epoch-1 frontier point must be
+    // dominated by an epoch-2 arrival (epoch 2 is strictly later, so any
+    // >=-valued late point dominates) and gone from the final frontier
+    assert((epoch1Frontier -- finalFrontier).nonEmpty,
+      "vacuous: no epoch-1 frontier point was evicted across the restart")
+  }
+
+  test("conversionLag holds pre-signup purchases across triggers (ties, " +
+      "out-of-order signups, non-earliest qualifier)") {
+    // Crafted multi-trigger pin for the three splits a purchase-dropping
+    // fold censors (each user's final row must match the batch rule:
+    // min signup; min purchase AT OR AFTER it):
+    //  u1 tie split        — purchase ts=1000 in trigger 1, signup ts=1000
+    //                        in trigger 2 → converted, lag 0
+    //  u2 out-of-order     — signup 100k + purchase 50k in trigger 1,
+    //    earlier signup      EARLIER signup 10k in trigger 2 → the held
+    //                        purchase retro-qualifies, lag 40k
+    //  u3 in-order split   — purchase 7k in trigger 1; signup 10k +
+    //                        purchase 12k in trigger 2 → qualifier is the
+    //                        NON-earliest purchase, lag 2k
+    //  u4 censored         — signup only in trigger 1 → lag NULL
+    val in = Files.createTempDirectory("graft-cl-in")
+    val ckpt = Files.createTempDirectory("graft-cl-ckpt")
+    val sink = Files.createTempDirectory("graft-cl-sink")
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+
+    def writeEpoch(rows: Seq[(Long, Long, String)], name: String): Unit = {
+      val scratch = Files.createTempDirectory("graft-cl-scratch")
+      rows.toDF("user_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.resolve("e").toString)
+      val part = Files.list(scratch.resolve("e")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), in.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def runOnce(): Unit = {
+      val raw = spark.readStream.schema(schema).parquet(in.toString)
+      val q = StreamingOps.conversionLagStream(spark, raw).toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeEpoch(Seq(
+      (1L, 1000L, "purchase"),
+      (2L, 100000L, "signup"), (2L, 50000L, "purchase"),
+      (3L, 7000L, "purchase"),
+      (4L, 500L, "signup")), "batch0.parquet")
+    runOnce()
+    writeEpoch(Seq(
+      (1L, 1000L, "signup"),
+      (2L, 10000L, "signup"),
+      (3L, 10000L, "signup"), (3L, 12000L, "purchase")), "batch1.parquet")
+    runOnce()
+
+    // final row per user = the last (max signup... ) — update mode re-emits
+    // on change; take each user's LAST emission = the row from the latest
+    // batch that touched them. Emissions only ever move toward the batch
+    // answer, so the latest is the converged one.
+    val rows = spark.read.parquet(sink.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3), r.getBoolean(4)))
+    // group by user; pick the emission with the smallest signup then the
+    // defined purchase (the fold is monotone: signup only decreases,
+    // conversion only appears)
+    val finalByUser = rows.groupBy(_._1).view.mapValues { es =>
+      es.minBy(e => (e._2, e._3 == null))
+    }.toMap
+    assert(finalByUser(1L) === ((1L, 1000L, 1000L, 0L, true)),
+      "tie split across triggers must convert with lag 0")
+    assert(finalByUser(2L) === ((2L, 10000L, 50000L, 40000L, true)),
+      "an earlier out-of-order signup must retro-qualify the held purchase")
+    assert(finalByUser(3L) === ((3L, 10000L, 12000L, 2000L, true)),
+      "the qualifier may be a NON-earliest purchase arriving after signup")
+    assert(finalByUser(4L) === ((4L, 500L, null, null, false)),
+      "signup-only user stays censored")
+  }
 }
