@@ -222,6 +222,69 @@ class LayoutCapabilitySpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === docs.count())
   }
 
+  test("Avro ingest: explicit reader schema round-trips, projects, and evolves") {
+    // The last mainstream warehouse format without a pin (CSV/JSONL/
+    // parquet/ORC covered). The spark-avro connector module is not on
+    // this classpath, so ingest goes through graft.sources.AvroSource —
+    // a splittable AvroKeyInputFormat scan decoding against an explicit
+    // reader schema. The probe mirrors the CSV/JSONL ones: exact-type
+    // round-trip, decode-level projection, and additive schema evolution
+    // (a reader field missing from the writer arrives as NULL, the
+    // contract that lets a 100 TB backfill read old and new deliveries
+    // with ONE schema).
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val out = freshDir("avro")
+    val writerSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"doc","fields":[
+        |  {"name":"doc_id","type":"long"},
+        |  {"name":"lang","type":["null","string"],"default":null},
+        |  {"name":"n_chars","type":"long"}]}""".stripMargin)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    w.create(writerSchema, new java.io.File(s"$out/part-0.avro"))
+    val data = Seq((1L, "en", 120L), (2L, "de", 77L), (3L, null, 900L))
+    data.foreach { case (id, lang, n) =>
+      val r = new GenericData.Record(writerSchema)
+      r.put("doc_id", id); r.put("lang", lang); r.put("n_chars", n)
+      w.append(r)
+    }
+    w.close()
+
+    import org.apache.spark.sql.types._
+    // 1) full round-trip with exact types (nullable string survives)
+    val full = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val back = graft.sources.AvroSource.read(spark, out, full)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      full.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+      === data.toSet)
+
+    // 2) projection: a 2-of-3-field reader schema decodes (the resolving
+    // decoder SKIPS the dropped field at the byte level — the row-format
+    // analogue of parquet column pruning)
+    val proj = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    val projected = graft.sources.AvroSource.read(spark, out, proj)
+    assert(projected.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === data.map(d => (d._1, d._3)).toSet)
+
+    // 3) additive evolution: a reader field the writer never had arrives
+    // as NULL for every record, not as a crash
+    val evolved = StructType(Seq(StructField("doc_id", LongType),
+      StructField("quality", DoubleType)))
+    val ev = graft.sources.AvroSource.read(spark, out, evolved)
+    val got = ev.collect()
+    assert(got.map(_.getLong(0)).toSet === data.map(_._1).toSet)
+    assert(got.forall(_.isNullAt(1)), "missing writer field must read as NULL")
+
+    // ...and the DataFrame composes with the engine like any other source
+    assert(back.filter(col("n_chars") > 100L).count() === 2)
+  }
+
   test("ORC round-trip: types survive; predicates push down to the ORC scan") {
     // Parquet is the house format, but a lakehouse ingests what it is
     // handed — ORC is the other columnar wire format (Hive-lineage
