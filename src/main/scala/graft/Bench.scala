@@ -69,6 +69,24 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // Pre-flight load gate: rounds 3/5/6/8 all produced contended driver
+    // artifacts (r8: load 8.2→12.3, cold_total 169.8 s vs 135.4 s quiet).
+    // The 1-min load decays with a ~1 min half-life once the competing
+    // work exits, so a BOUNDED wait usually converts a contended start
+    // into a comparable quiet run. Bounded: a persistently busy host must
+    // still produce an artifact (self-flagged contended) rather than hang
+    // the driver. Tune/disable: SPARK_GRAFT_LOADGATE_SECS (0 disables).
+    val GateLoad = 2.0
+    val gateBudget = sys.env.getOrElse("SPARK_GRAFT_LOADGATE_SECS", "300").toInt
+    val gate0 = System.nanoTime()
+    var waited = 0.0
+    while (loadAvg1m() > GateLoad && waited < gateBudget) {
+      System.err.println(
+        f"[bench] load gate: load_avg=${loadAvg1m()}%.2f > $GateLoad, " +
+          f"waiting (${waited}%.0f/${gateBudget}s)")
+      Thread.sleep(10000)
+      waited = (System.nanoTime() - gate0) / 1e9
+    }
     // sample BEFORE Spark spins up its own threads: the 1-min load average
     // then reflects pre-existing contention, not this bench itself
     val load0 = loadAvg1m()
@@ -135,7 +153,7 @@ object Bench {
     // end-of-run load: high start OR end load flags contention during the
     // timed window
     val machJson =
-      s""","contended":$contended,"machine":{"load_avg_start":$load0,"load_avg_end":${loadAvg1m()},""" +
+      s""","contended":$contended,"machine":{"load_gate_waited_sec":$waited,"load_avg_start":$load0,"load_avg_end":${loadAvg1m()},""" +
         s""""host_cpus":$hostCpus,"java_procs_start":$jvms0,"java_procs_end":${javaProcs()}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$coldJson$errJson$machJson,"sf":${jstr(sfDir)}}""")
     spark.stop()

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.SimilarityQueries
+
+/** Dev utility: the ANN recall-vs-cost sweep behind the committed tuning
+  * (RECALL.md). Measures recall@10 against the exact `ann_topk` baseline
+  * and wall-clock per setting for the probed index family at
+  * `SPARK_GRAFT_SF_DIR`:
+  *
+  *   - `ann_ivf_kmeans` across probe depths (`nprobe`)
+  *   - `ann_ivfpq_rerank` across (nprobe, rerank depth R)
+  *
+  * Shared index artifacts (codebooks, inverted lists, PQ codes) are
+  * memoized per session, so the sweep measures the PROBE cost curve, not
+  * repeated index builds — the same separation a production deployment
+  * has. Output: one human-readable line per setting; the chosen operating
+  * point is committed as [[SimilarityQueries.Nprobe]]/[[SimilarityQueries.RerankR]]
+  * with the curve recorded in RECALL.md and floors in
+  * SimilarityPropertySpec.
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topSets(SimilarityQueries.annTopk(spark, sfDir))
+    require(exact.nonEmpty, "baseline empty")
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    def timed(label: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val r = recall(topSets(df))
+      val warm0 = System.nanoTime()
+      topSets(df) // second pass = steady-state probe cost (index memoized)
+      val warm = (System.nanoTime() - warm0) / 1e9
+      println(f"$label%-34s recall@10=$r%.3f first=${(warm0 - t0) / 1e9}%.2fs warm=$warm%.2fs")
+    }
+
+    val nprobes = Seq(2, 4, 8, 12, 16, 24, 32)
+    nprobes.foreach { np =>
+      timed(f"ann_ivf_kmeans nprobe=$np%-3d (${np * 100.0 / SimilarityQueries.IvfC}%.0f%% lists)",
+        SimilarityQueries.annIvfKmeansProbe(spark, sfDir, np))
+    }
+    nprobes.foreach { np =>
+      Seq(50, 100).foreach { r =>
+        timed(f"ann_ivfpq_rerank nprobe=$np%-3d R=$r%-4d",
+          SimilarityQueries.annIvfPqRerankProbe(spark, sfDir, np, r))
+      }
+    }
+    spark.stop()
+  }
+}

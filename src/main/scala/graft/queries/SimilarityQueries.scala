@@ -522,26 +522,34 @@ object SimilarityQueries {
     * centroids via a window over the already-filtered query×centroid
     * join — tiny input.
     */
-  private def ivfProbes(spark: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+  private def ivfProbes(spark: SparkSession, dir: String, cents: DataFrame,
+      nprobe: Int = Nprobe): DataFrame = {
     val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
     val centRank = Window.partitionBy(col("vec_id"))
       .orderBy(cos6.desc, col("cidx").asc)
     emb(spark, dir).filter(col("vec_id") % QueryMod === 0)
       .crossJoin(broadcast(cents))
       .withColumn("cr", row_number().over(centRank))
-      .filter(col("cr") <= Nprobe)
+      .filter(col("cr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cidx"), col("v").as("qv"), col("nrm").as("qn"))
   }
 
   private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
-      listsMemo: Memo.Table): DataFrame =
+      listsMemo: Memo.Table, nprobe: Int = Nprobe): DataFrame =
     // Shuffle-hash join on cidx, NOT broadcast(probes): the probe side
     // is O(corpus·Nprobe/QueryMod) and grows unboundedly; the centroid
     // broadcast inside the helpers is O(IvfC) — constant — by
     // construction.
-    ranked(ivfProbes(spark, dir, cents).hint("shuffle_hash")
+    ranked(ivfProbes(spark, dir, cents, nprobe).hint("shuffle_hash")
       .join(ivfAssigned(spark, dir, cents, listsMemo), Seq("cidx"))
       .filter(col("query_id") =!= col("neighbor_id")))
+
+  /** Sweep hook (dev + property tests): [[annIvfKmeans]] at an arbitrary
+    * probe depth, sharing every memoized index artifact.
+    */
+  private[graft] def annIvfKmeansProbe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo, nprobe)
 
   /** The IVF search stage as oracle SQL — tc/assigned/probes/rank over a
     * codebook CTE named `$cent` with columns (cidx, cv, cn). Shared by the
@@ -1072,8 +1080,9 @@ object SimilarityQueries {
     * candidates only): probes ⋈ (lists ⋈ codes) shuffle-hash on cidx, ADC
     * scoring, top-k per query.
     */
-  private def ivfPqAdc(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val p = ivfProbes(spark, dir, kmeansCodebook(spark, dir))
+  private def ivfPqAdc(spark: SparkSession, dir: String, k: Int,
+      nprobe: Int = Nprobe): DataFrame = {
+    val p = ivfProbes(spark, dir, kmeansCodebook(spark, dir), nprobe)
       .select(col("query_id"), col("cidx"))
       .join(pqQueryTables(spark, dir), Seq("query_id"))
     pqRank(p.hint("shuffle_hash").join(ivfPqIndex(spark, dir), Seq("cidx"))
@@ -1127,8 +1136,13 @@ object SimilarityQueries {
     */
   val RerankR = 50
 
-  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val cand = ivfPqAdc(spark, dir, RerankR)
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqRerankProbe(spark, dir, Nprobe, RerankR)
+
+  /** Sweep hook: the re-ranked IVFADC at arbitrary (nprobe, R). */
+  private[graft] def annIvfPqRerankProbe(spark: SparkSession, dir: String,
+      nprobe: Int, r: Int): DataFrame = {
+    val cand = ivfPqAdc(spark, dir, r, nprobe)
       .select(col("query_id"), col("neighbor_id"))
     val e = emb(spark, dir)
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
