@@ -77,7 +77,10 @@ object Bench {
     // still produce an artifact (self-flagged contended) rather than hang
     // the driver. Tune/disable: SPARK_GRAFT_LOADGATE_SECS (0 disables).
     val GateLoad = 2.0
-    val gateBudget = sys.env.getOrElse("SPARK_GRAFT_LOADGATE_SECS", "300").toInt
+    // toIntOption: a malformed value (e.g. "5m") degrades to the default
+    // instead of throwing before any artifact is produced.
+    val gateBudget = sys.env.get("SPARK_GRAFT_LOADGATE_SECS")
+      .flatMap(_.toIntOption).getOrElse(300)
     val gate0 = System.nanoTime()
     var waited = 0.0
     while (loadAvg1m() > GateLoad && waited < gateBudget) {

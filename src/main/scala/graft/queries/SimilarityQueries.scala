@@ -437,13 +437,18 @@ object SimilarityQueries {
     * centroid index as tiebreak, so list membership is engine-exact and
     * the result oracle-checkable.
     */
-  /** Nprobe=4 of 64 lists scans ~6% of the corpus per query — measured
-    * recall@10 ≈ 2× the Nprobe=2 setting on the (near-uniform) test
-    * corpus; see SimilarityPropertySpec's floor test and PLANS.md for the
-    * recorded values.
+  /** Nprobe=24 of 64 lists scans ~38% of the corpus per query — the
+    * operating point from the committed RECALL.md sweep (RecallSweep at
+    * sf0.1): recall@10 0.735 (ann_ivf_kmeans) at flat measured probe cost.
+    * The test corpus is near-uniform on the sphere, so recall tracks the
+    * scanned fraction and its marginal efficiency DECLINES past this
+    * point (16→24 buys +0.165, 24→32 only +0.130 for the same +12.5%
+    * scan); a clustered production corpus bends the whole curve left, so
+    * nprobe is the knob to re-tune per deployment, not a fixed truth.
+    * Floors in SimilarityPropertySpec sit at ~0.7× the measured values.
     */
   val IvfC = 64
-  val Nprobe = 4
+  val Nprobe = 24
 
   /** Memo for the IVF codebook — the index-BUILD artifact of IVF search
     * (build the coarse quantizer once, probe it for every query batch):
@@ -1063,9 +1068,10 @@ object SimilarityQueries {
     * list balance is what bounds per-probe work at scale). The assignment
     * lists are the SAME memoized artifact ann_ivf_kmeans searches
     * (kmListsMemo), so the composition still adds only the codes join.
-    * Measured recall@10 on sf0.1: 0.190 (Lloyd coarse quantizer +
-    * 2-step Lloyd sub-codebooks; 0.180 at 1 step, 0.140 with both
-    * hash-sampled) at identical probe cost.
+    * Measured recall@10 on sf0.1 at the committed Nprobe=24 is recorded
+    * in RECALL.md and floored in SimilarityPropertySpec: the raw ADC
+    * ranks sit between PQ distortion and the probed lists' candidate
+    * ceiling (0.735); the re-rank variant recovers most of the gap.
     */
   private def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
     Memo.memoize(ivfPqMemo, spark, dir) {
@@ -1124,17 +1130,18 @@ object SimilarityQueries {
     * (Jégou et al. 2011 §IV-E): the ADC pass keeps the top-[[RerankR]]
     * compressed-domain candidates per query, then the EXACT cosine against
     * the raw vectors re-orders just those R and keeps the top-10. This
-    * recovers the quantization distortion ADC ranks suffer (measured here:
-    * recall@10 0.19 → 0.24, the candidate-generation ceiling) for one
-    * bounded join — nq·R rows probe the vector table by id — while the
-    * corpus-sized scan stays in the compressed domain. At 100 TB this is
-    * exactly the production layout: codes in memory, raw vectors fetched
-    * by id for R candidates per query only.
+    * recovers the quantization distortion ADC ranks suffer (RECALL.md
+    * sweep at Nprobe=24: recall@10 0.650 at R=50 → 0.725 at R=100,
+    * approaching the 0.735 candidate-generation ceiling of the probed
+    * lists) for one bounded join — nq·R rows probe the vector table by id
+    * — while the corpus-sized scan stays in the compressed domain. At
+    * 100 TB this is exactly the production layout: codes in memory, raw
+    * vectors fetched by id for R candidates per query only.
     *
     * Output schema matches [[annTopk]] (query_id, neighbor_id, rank, sim):
     * after re-ranking, ADC distances are no longer meaningful.
     */
-  val RerankR = 50
+  val RerankR = 100
 
   def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
     annIvfPqRerankProbe(spark, dir, Nprobe, RerankR)
@@ -1396,6 +1403,48 @@ object SimilarityQueries {
        |FROM b""".stripMargin
   }
 
+  // -------------------------------------------------------- ann_recall_report
+  /** `ann_recall_report` — the ANN indexes auditing their own retrieval
+    * quality (the [[DedupQueries.dedupRecallReport]] pattern applied to
+    * similarity search): one row per approximate index with its measured
+    * recall@10 against the exact [[annTopk]] baseline, computed entirely
+    * as a Spark plan (semi-join on (query_id, neighbor_id) → per-query
+    * hit fraction → mean). This is the production observability loop: an
+    * index whose recall craters after a corpus shift shows it HERE, in
+    * the same engine run, without an offline evaluation harness — the
+    * driver sees the number every round (rows-only check, like
+    * `approx_*`: recall is a quality metric, not SQL-expressible
+    * semantics; the hard floors live in SimilarityPropertySpec and the
+    * recall-vs-cost curve in RECALL.md).
+    *
+    * Cost: probes every index once, but every index-BUILD artifact
+    * (codebooks, lists, codes) is the same memoized table the declared
+    * `ann_*` queries use, so in a shared session this adds probe cost
+    * only. A query with no candidates in some index counts as recall 0
+    * for that index (left join + coalesce), not a dropped row.
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val truth = exact.groupBy("query_id").agg(count(lit(1)).as("t"))
+    val indexes: Seq[(String, DataFrame)] = Seq(
+      "ann_lsh" -> annLsh(spark, dir),
+      "ann_ivf" -> annIvf(spark, dir),
+      "ann_ivf_kmeans" -> annIvfKmeans(spark, dir),
+      "ann_pq" -> annPq(spark, dir),
+      "ann_ivfpq" -> annIvfPq(spark, dir),
+      "ann_ivfpq_rerank" -> annIvfPqRerank(spark, dir))
+    indexes.map { case (nm, df) =>
+      val hits = exact
+        .join(df.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      truth.join(hits, Seq("query_id"), "left")
+        .select(col("t"), (coalesce(col("h"), lit(0L)).cast("double") / col("t")).as("r"))
+        .agg(count(lit(1)).as("n_queries"), round(avg(col("r")), 4).as("recall_at_10"))
+        .select(lit(nm).as("index"), col("n_queries"), col("recall_at_10"))
+    }.reduce(_.unionByName(_))
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
     "similar_pairs" -> QueryDef(similarPairs, Some(similarPairsSql)),
     "dedup_embed" -> QueryDef(dedupEmbed, Some(dedupEmbedSql)),
@@ -1412,5 +1461,6 @@ object SimilarityQueries {
     "hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "gram_matrix" -> QueryDef(gramMatrix, Some(gramMatrixSql)),
     "pq_distortion" -> QueryDef(pqDistortion, Some(pqDistortionSql)),
-    "ivf_balance" -> QueryDef(ivfBalance, Some(ivfBalanceSql)))
+    "ivf_balance" -> QueryDef(ivfBalance, Some(ivfBalanceSql)),
+    "ann_recall_report" -> QueryDef(annRecallReport, None))
 }

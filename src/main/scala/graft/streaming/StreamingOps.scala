@@ -662,8 +662,8 @@ object StreamingOps {
           val sorted = evs.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
           val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
           state.getOption.foreach(s => buf ++= s.buf)
-          // first index with buf(i).ts >= t (buf ascending under the
-          // in-order arrival contract; appends below keep it so)
+          // first index with buf(i).ts >= t (buf ascending — the insert
+          // below keeps it so even for out-of-order stragglers)
           def lowerBound(t: Long): Int = {
             var lo = 0; var hi = buf.length
             while (lo < hi) {
@@ -679,7 +679,14 @@ object StreamingOps {
             var i = lo
             while (i < hi) { cents += buf(i)._2; i += 1 }
             val gap = if (hi > lo) Some(e.ts - buf(hi - 1)._1) else None
-            buf += ((e.ts, e.cents))
+            // Fast path appends; a straggler below the tail (violated
+            // in-order contract) takes an O(n) sorted insert so the
+            // ascending invariant the binary searches rely on HOLDS
+            // instead of silently corrupting later frames. Its own row
+            // still reflects only what had arrived — the documented
+            // online-serving semantics.
+            if (buf.isEmpty || e.ts >= buf.last._1) buf += ((e.ts, e.cents))
+            else buf.insert(lowerBound(e.ts + 1), (e.ts, e.cents))
             TfOut(e.event_id, user, (hi - lo).toLong, cents, gap)
           }
           val cutoff = buf.lastOption.map(_._1 - horizon).getOrElse(Long.MinValue)

@@ -45,6 +45,9 @@ class PlanGuardSpec extends SparkTestBase {
     // bounded-CHUNK broadcast of the query block (cap-sized, never the
     // corpus side; chunk count from parquet footer metadata)
     "ann_topk",
+    // composes the SAME allowlisted subplans (ann_topk's chunk broadcast,
+    // the ann_* codebook crossJoins) — no new BNLJ shape of its own
+    "ann_recall_report",
     // the declared non-equi range lookup: a CONSTANT 4-row band table
     // broadcast per-row into the scan stage — the BNLJ here IS the
     // intended operator (see bandJoin's scaladoc), never corpus-sized

@@ -24,7 +24,11 @@ class QueriesSpec extends SparkTestBase {
     // error-bound contract is pinned by its own test below instead. Every
     // other query must carry an exact DuckDB oracle; this list is the
     // explicit opt-out so an accidentally-omitted oracle still fails.
-    val sketchOnly = Set("approx_stats", "approx_topk")
+    // ann_recall_report publishes a retrieval-QUALITY metric (recall@10 of
+    // the approximate indexes vs the exact baseline) — its exactness is
+    // pinned differentially against the driver-side measurement in
+    // SimilarityPropertySpec instead.
+    val sketchOnly = Set("approx_stats", "approx_topk", "ann_recall_report")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- sketchOnly)
   }
 

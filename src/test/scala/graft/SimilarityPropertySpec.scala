@@ -177,38 +177,55 @@ class SimilarityPropertySpec extends SparkTestBase {
     val ivfPq = recallAt10(topSets(SimilarityQueries.annIvfPq(spark, dir)))
     val ivfPqR = recallAt10(topSets(SimilarityQueries.annIvfPqRerank(spark, dir)))
     info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_kmeans=$ivfKm%.3f ann_pq=$pq%.3f ann_ivfpq=$ivfPq%.3f ann_ivfpq_rerank=$ivfPqR%.3f")
-    // measured on this corpus: lsh ≈ 0.12 (radius-1 multi-probe, ~3.5%
-    // scanned), ivf ≈ 0.19 (Nprobe=4, ~6% scanned) — the corpus is
+    // Measured at the committed RECALL.md operating point (Nprobe=24,
+    // RerankR=100): lsh 0.120 (radius-1 multi-probe, ~3.5% scanned),
+    // ivf 0.645, ivf_kmeans 0.735 (both ~38% scanned) — the corpus is
     // near-uniform on the sphere, so recall tracks the scanned fraction;
-    // floors at ~0.7× measurement
+    // floors at ~0.7× measurement (the two production indexes pinned at
+    // the 0.5 credibility bar)
     assert(lsh >= 0.08, f"ann_lsh recall@10 $lsh%.3f below floor (LshBits/multi-probe mistuned?)")
-    assert(ivf >= 0.13, f"ann_ivf recall@10 $ivf%.3f below floor (Nprobe/codebook mistuned?)")
+    assert(ivf >= 0.45, f"ann_ivf recall@10 $ivf%.3f below floor (Nprobe/codebook mistuned?)")
     // Lloyd refinement adapts list balance to the data; on a near-uniform
     // corpus it should at minimum not LOSE retrieval quality vs the
-    // sampled codebook's floor.
-    assert(ivfKm >= 0.13,
+    // sampled codebook.
+    assert(ivfKm >= 0.50,
       f"ann_ivf_kmeans recall@10 $ivfKm%.3f below floor (Lloyd refinement regressed retrieval)")
-    // pq ≈ 0.385 (PQ8×256, 2-step Lloyd-refined sub-codebooks; 0.380 at
+    // pq 0.385 (PQ8×256, 2-step Lloyd-refined sub-codebooks; 0.380 at
     // 1 step, 0.265 sampled: full compressed scan — recall loss here is
     // pure quantization distortion, there is no candidate pruning);
     // floor at ~0.7×
     assert(pq >= 0.27,
       f"ann_pq recall@10 $pq%.3f below floor (sub-codebook/quantization regressed)")
-    // ivfpq ≈ 0.190 with Lloyd coarse quantizer + 2-step Lloyd
-    // sub-codebooks (0.180 at 1 step, 0.140 with both hash-sampled):
-    // bounded above by the kmeans-IVF 0.24 candidate pruning, degraded
-    // by PQ scoring distortion — the expected IVFADC trade; floor at
-    // ~0.7× measurement
-    assert(ivfPq >= 0.13,
+    // ivfpq 0.365: bounded above by the kmeans-IVF 0.735 candidate
+    // ceiling, degraded by PQ scoring distortion (≈ the 0.385 full-scan
+    // PQ recall gated by the probed lists) — the expected IVFADC trade;
+    // floor at ~0.7× measurement
+    assert(ivfPq >= 0.25,
       f"ann_ivfpq recall@10 $ivfPq%.3f below floor (probe/quantization composition regressed)")
     // exact re-rank recovers the ADC quantization distortion: measured
-    // 0.240 = the kmeans-IVF candidate-generation ceiling (0.240) — the
+    // 0.725 ≈ the kmeans-IVF candidate-generation ceiling (0.735) — the
     // re-rank cannot beat the probed lists' recall, but must recover
     // (nearly) all of it from the top-R ADC candidates
-    assert(ivfPqR >= 0.22,
+    assert(ivfPqR >= 0.50,
       f"ann_ivfpq_rerank recall@10 $ivfPqR%.3f below floor (re-rank stage regressed)")
     assert(ivfPqR >= ivfPq - 0.02,
       f"re-rank ($ivfPqR%.3f) lost recall vs raw ADC ranks ($ivfPq%.3f)")
+
+    // The declared ann_recall_report (the index auditing itself, in-plan)
+    // must agree with this driver-side computation to the rounding digit —
+    // a report that disagrees with the measurement it claims to publish is
+    // worse than none.
+    val report = SimilarityQueries.annRecallReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = Map("ann_lsh" -> lsh, "ann_ivf" -> ivf,
+      "ann_ivf_kmeans" -> ivfKm, "ann_pq" -> pq, "ann_ivfpq" -> ivfPq,
+      "ann_ivfpq_rerank" -> ivfPqR)
+    assert(report.keySet === expected.keySet)
+    expected.foreach { case (nm, r) =>
+      assert(report(nm)._1 === exact.size.toLong, s"$nm: query count drifted")
+      assert(math.abs(report(nm)._2 - r) < 5e-5,
+        f"$nm: report says ${report(nm)._2}%.4f, driver-side measured $r%.4f")
+    }
   }
 
   test("hard_negatives: cross-label only, contiguous ranks, recall@1 floor vs exact argmax") {
