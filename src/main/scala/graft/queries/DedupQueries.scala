@@ -326,8 +326,15 @@ object DedupQueries {
     */
   private val mhPairsMemo = Memo.table()
 
+  /** Config fingerprint for the disk-cached minhash artifacts — every
+    * tunable the verified pair graph depends on (the AB permutation
+    * constants are fixed literals, covered by Memo's cache epoch).
+    */
+  private def mhConfigKey: String =
+    s"P=$P Bands=$Bands Rows=$RowsPerBand cap=$MaxBandBucket tau=$JaccardTau"
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    memoize(mhPairsMemo, spark, dir) {
+    Memo.memoizeDisk(mhPairsMemo, spark, dir, "mh_pairs", mhConfigKey) {
       // Candidate pairs via ONE bucket aggregation + the PairsExpr kernel —
       // not a (band, sig) self-join, which would compute the
       // minhash-signature pipeline once per join side and shuffle twice.
@@ -480,7 +487,8 @@ object DedupQueries {
   }
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    memoize(clusterMemo, spark, dir)(
+    Memo.memoizeDisk(clusterMemo, spark, dir, "mh_cluster_labels",
+      s"$mhConfigKey rounds=$MaxCcRounds")(
       propagateMinLabels(dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))))
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
@@ -798,7 +806,8 @@ object DedupQueries {
     * `count()` is build-time sketch sizing, not per-query work).
     */
   private[graft] def evalBloomBytes(spark: SparkSession, dir: String): Array[Byte] =
-    Memo.memoize(bloomMemo, spark, dir) {
+    Memo.memoizeDisk(bloomMemo, spark, dir, "eval_bloom",
+      s"fpp=$BloomFpp EvalMod=$EvalMod") {
       val ev = evalShingles(spark, dir)
       val n = math.max(ev.count(), 1L)
       ev.agg(graft.functions.BloomFns

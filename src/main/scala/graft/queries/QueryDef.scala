@@ -30,13 +30,118 @@ private[queries] object Memo {
   def memoize(memo: Table, spark: SparkSession, dir: String)(
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, dir), {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          memo.remove((spark, dir))
-      })
+      evictOnEnd(memo, spark, dir)
       build.persist()
     })
+
+  private def evictOnEnd(memo: Table, spark: SparkSession, dir: String): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        memo.remove((spark, dir))
+    })
+
+  /** Bump when the SEMANTICS of any disk-cached artifact change (algorithm
+    * edits that don't move a tunable constant): stale cache entries under
+    * the old epoch stop matching and rebuild.
+    */
+  private val CacheEpoch = "e1"
+
+  /** Disk-backed memoize — the production BUILD-vs-PROBE separation for
+    * expensive index artifacts (minhash pair graphs, cluster labels,
+    * codebooks, PQ codes): the first build in ANY process writes the
+    * artifact as a content-keyed parquet table; every later process —
+    * including a cold JVM — reads the table instead of rebuilding. This is
+    * exactly how a 100 TB deployment runs (indexes are built once by a
+    * build job and probed by every query job after), and it converts the
+    * cold-start cost of the query path from O(index build) to O(scan of
+    * the built index).
+    *
+    * The content key covers: the artifact label, [[CacheEpoch]], the
+    * caller's `configKey` (every tunable constant the artifact's content
+    * depends on — a retune invalidates exactly the affected artifacts),
+    * and a byte-level footprint of the input directory (path, size, mtime
+    * of every file), so regenerated testdata can never serve a stale
+    * artifact. Correctness is unaffected: artifact builds are
+    * deterministic (oracle-pinned), so the parquet round-trip returns
+    * bit-identical rows.
+    *
+    * Concurrency: builders write to a process-unique temp dir and
+    * atomically rename into place; a lost race reads the winner's table.
+    * Cache root: SPARK_GRAFT_INDEX_CACHE (default /tmp/graft-index-cache);
+    * set it empty to disable disk caching (in-memory memo still applies).
+    */
+  def memoizeDisk(memo: Table, spark: SparkSession, dir: String, label: String,
+      configKey: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir), {
+      evictOnEnd(memo, spark, dir)
+      diskCached(spark, dir, label, configKey)(build).persist()
+    })
+
+  private def diskCached(spark: SparkSession, dir: String, label: String,
+      configKey: String)(build: => DataFrame): DataFrame = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE", "/tmp/graft-index-cache")
+    if (root.isEmpty) return build
+    val key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"$label|$CacheEpoch|$configKey|$dir|${inputFootprint(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+    val path = new java.io.File(root, s"$label-$key")
+    def ready = new java.io.File(path, "_SUCCESS").isFile
+    pruneStale(new java.io.File(root))
+    if (!ready) {
+      val tmp = new java.io.File(root,
+        s".$label-$key.tmp-${ProcessHandle.current().pid()}")
+      try {
+        build.write.mode("overwrite").parquet(tmp.getPath)
+        if (!tmp.renameTo(path) && !ready)
+          // lost a race AND the winner isn't readable — serve the build
+          return spark.read.parquet(tmp.getPath)
+      } catch {
+        case _: Throwable if !ready =>
+          // cache write failed (read-only root, disk full): the artifact
+          // is an OPTIMIZATION — fall back to the in-memory build
+          return build
+      } finally if (tmp.exists() && ready) deleteRecursively(tmp)
+    }
+    // refresh the entry's use-time so active entries survive pruning
+    new java.io.File(path, "_SUCCESS").setLastModified(System.currentTimeMillis())
+    spark.read.parquet(path.getPath)
+  }
+
+  /** Drop cache entries unused for 7 days (test corpora live in
+    * fresh temp dirs, so their keys are single-use and would otherwise
+    * accumulate; _SUCCESS mtime is refreshed on every read).
+    */
+  private def pruneStale(root: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    Option(root.listFiles()).toSeq.flatten.foreach { e =>
+      val marker = new java.io.File(e, "_SUCCESS")
+      if (e.isDirectory && marker.isFile && marker.lastModified() < cutoff)
+        deleteRecursively(e)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Byte-level footprint of every file under `dir` (sorted walk of
+    * relative path, length, mtime) — the staleness guard of the disk key.
+    */
+  private def inputFootprint(dir: String): String = {
+    val base = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    walk(base)
+      .map(f => s"${f.getPath.stripPrefix(base.getPath)}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+  }
 }
 
 /** Shared DuckDB SQL fragments mirroring `graft.functions.TextFns`. */

@@ -386,7 +386,8 @@ object SimilarityQueries {
   private val embedClusterMemo = Memo.table()
 
   private def embedClusterLabels(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(embedClusterMemo, spark, dir)(
+    Memo.memoizeDisk(embedClusterMemo, spark, dir, "embed_cluster_labels",
+      s"CosTau=$CosTau SaltGrid=$SaltGrid")(
       DedupQueries.propagateMinLabels(
         similarPairs(spark, dir).select(col("a_id"), col("b_id"))))
 
@@ -472,7 +473,7 @@ object SimilarityQueries {
     }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, dir, codebook(spark, dir), ivfListsMemo)
+    ivfSearch(spark, dir, codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled")
 
   /** Memos for the assigned inverted LISTS, one per codebook variant —
     * the other half of the IVF index-build artifact (the codebook memo is
@@ -507,9 +508,20 @@ object SimilarityQueries {
     * and (v, nrm) re-attach with one join against the persisted emb table
     * afterwards.
     */
+  /** Config fingerprints for the disk-cached index artifacts: every
+    * tunable the artifact's CONTENT depends on, so a retune invalidates
+    * exactly the affected cache entries (Memo.memoizeDisk). Probe-side
+    * constants (Nprobe, RerankR, QueryMod) are deliberately absent — they
+    * parameterize the search, not the index.
+    */
+  private def ivfConfigKey: String =
+    s"IvfC=$IvfC KmIters=$KmIters KmDim=$KmDim QScale=$QScale"
+  private def pqConfigKey: String =
+    s"PqM=$PqM PqK=$PqK PqIters=$PqIters KmDim=$KmDim QScale=$QScale"
+
   private def ivfAssigned(spark: SparkSession, dir: String, cents: DataFrame,
-      listsMemo: Memo.Table): DataFrame =
-    Memo.memoize(listsMemo, spark, dir) {
+      listsMemo: Memo.Table, diskLabel: String): DataFrame =
+    Memo.memoizeDisk(listsMemo, spark, dir, diskLabel, ivfConfigKey) {
       val e = emb(spark, dir)
       val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
       val packedOrder = round(cos6 * lit(1000000d)).cast("long") * lit(128L) +
@@ -540,13 +552,13 @@ object SimilarityQueries {
   }
 
   private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
-      listsMemo: Memo.Table, nprobe: Int = Nprobe): DataFrame =
+      listsMemo: Memo.Table, diskLabel: String, nprobe: Int = Nprobe): DataFrame =
     // Shuffle-hash join on cidx, NOT broadcast(probes): the probe side
     // is O(corpus·Nprobe/QueryMod) and grows unboundedly; the centroid
     // broadcast inside the helpers is O(IvfC) — constant — by
     // construction.
     ranked(ivfProbes(spark, dir, cents, nprobe).hint("shuffle_hash")
-      .join(ivfAssigned(spark, dir, cents, listsMemo), Seq("cidx"))
+      .join(ivfAssigned(spark, dir, cents, listsMemo, diskLabel), Seq("cidx"))
       .filter(col("query_id") =!= col("neighbor_id")))
 
   /** Sweep hook (dev + property tests): [[annIvfKmeans]] at an arbitrary
@@ -554,7 +566,8 @@ object SimilarityQueries {
     */
   private[graft] def annIvfKmeansProbe(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame =
-    ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo, nprobe)
+    ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
+      "ivf_lists_kmeans", nprobe)
 
   /** The IVF search stage as oracle SQL — tc/assigned/probes/rank over a
     * codebook CTE named `$cent` with columns (cidx, cv, cn). Shared by the
@@ -647,7 +660,7 @@ object SimilarityQueries {
   }
 
   private def kmeansCodebook(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(kmCodebookMemo, spark, dir) {
+    Memo.memoizeDisk(kmCodebookMemo, spark, dir, "km_codebook", ivfConfigKey) {
       val eq = quantized(emb(spark, dir))
       // Lloyd INIT = the same hash-sampled selection as [[codebook]], but
       // with centroids in the QUANTIZED domain (cv = qv / 2^20) so
@@ -667,7 +680,8 @@ object SimilarityQueries {
     }
 
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo)
+    ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
+      "ivf_lists_kmeans")
 
   /** The Lloyd-codebook CTE chain (embCte, eq with (vec_id, v, nrm, qv),
     * init c0/cq/cent0, KmIters refinement steps → `cent$KmIters`) as a
@@ -824,7 +838,7 @@ object SimilarityQueries {
     * is memoized index-BUILD cost.
     */
   private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(pqCodebookMemo, spark, dir) {
+    Memo.memoizeDisk(pqCodebookMemo, spark, dir, "pq_codebook", pqConfigKey) {
       val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
       val init0 = quantized(emb(spark, dir)).withColumn("ch", ch)
         .orderBy(col("ch").asc, col("vec_id").asc).limit(PqK)
@@ -900,7 +914,7 @@ object SimilarityQueries {
     * cj ≤ PqK) so the per-(vector, subspace) argmin stays a HashAggregate.
     */
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(pqCodesMemo, spark, dir) {
+    Memo.memoizeDisk(pqCodesMemo, spark, dir, "pq_codes", pqConfigKey) {
       val enc = pqDistances(spark, dir, quantized(emb(spark, dir)))
         .groupBy(col("vec_id"), col("m"))
         .agg(min_by(col("cj"), col("d") * lit(2L * PqK) + col("cj")).as("cj"))
@@ -1074,8 +1088,10 @@ object SimilarityQueries {
     * ceiling (0.735); the re-rank variant recovers most of the gap.
     */
   private def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(ivfPqMemo, spark, dir) {
-      ivfAssigned(spark, dir, kmeansCodebook(spark, dir), kmListsMemo)
+    Memo.memoizeDisk(ivfPqMemo, spark, dir, "ivfpq_index",
+      s"$ivfConfigKey $pqConfigKey") {
+      ivfAssigned(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
+          "ivf_lists_kmeans")
         .select(col("cidx"), col("neighbor_id"))
         .join(pqCodes(spark, dir).withColumnRenamed("vec_id", "neighbor_id"),
           Seq("neighbor_id"))
@@ -1366,13 +1382,14 @@ object SimilarityQueries {
     * report is two IvfC-row aggregations + a union.
     */
   def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
-    def sizes(tag: String, cents: DataFrame, memo: Memo.Table): DataFrame =
-      ivfAssigned(spark, dir, cents, memo)
+    def sizes(tag: String, cents: DataFrame, memo: Memo.Table,
+        diskLabel: String): DataFrame =
+      ivfAssigned(spark, dir, cents, memo, diskLabel)
         .groupBy(col("cidx")).agg(count(lit(1)).as("n_vectors"))
         .select(lit(tag).as("codebook"), col("cidx").cast("long").as("cidx"),
           col("n_vectors"))
-    val both = sizes("sampled", codebook(spark, dir), ivfListsMemo)
-      .unionAll(sizes("lloyd", kmeansCodebook(spark, dir), kmListsMemo))
+    val both = sizes("sampled", codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled")
+      .unionAll(sizes("lloyd", kmeansCodebook(spark, dir), kmListsMemo, "ivf_lists_kmeans"))
     val totals = Window.partitionBy(col("codebook"))
     both.withColumn("share",
       col("n_vectors").cast("double") /

@@ -3,16 +3,16 @@ package graft.sources
 import java.nio.ByteBuffer
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.GenericRecord
+import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.avro.mapred.AvroKey
-import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
 import org.apache.avro.util.Utf8
 import org.apache.hadoop.io.NullWritable
 import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Avro container-file ingest — the one mainstream warehouse wire format
+/** Avro container-file ingest + export — the one mainstream warehouse wire format
   * Spark's bundled sources don't cover in this environment (the
   * `spark-avro` connector module isn't on the classpath; avro core +
   * avro-mapred are). Built the way a connector is: Hadoop's splittable
@@ -68,6 +68,60 @@ object AvroSource {
       }
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Write `df` to `path` as Avro container files — the export half of
+    * the ingest path above, closing the round trip (a delivery this
+    * engine writes must be re-ingestable by [[read]] and by any Avro
+    * consumer). Distributed the way the scan is: one container file per
+    * partition through Hadoop's `AvroKeyOutputFormat`, each with the
+    * block sync markers that make it SPLITTABLE on re-ingest — no
+    * driver-side funnel, no `coalesce(1)`; a 1000-partition DataFrame
+    * writes 1000 files in parallel exactly like the parquet sink.
+    *
+    * The writer schema is derived from `df.schema` by the same
+    * [[toAvroSchema]] mapping the reader uses (every field a
+    * `["null", T]` union), so written files resolve against any reader
+    * schema this source accepts and the flat-schema boundary is enforced
+    * symmetrically — a nested/array column fails FAST with the pointed
+    * unsupported-type error, at plan time on the driver, not per-task.
+    *
+    * Row→record conversion happens per partition inside the write tasks;
+    * strings pass as String (Avro encodes CharSequence), binary re-wraps
+    * as ByteBuffer. The Avro schema is shipped to executors as its JSON
+    * string (`Schema` itself is not serializable).
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val sparkSchema = df.schema
+    val avroSchema = toAvroSchema(sparkSchema, "graft_avro_row") // fails fast on non-flat types
+    val schemaJson = avroSchema.toString
+    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, avroSchema)
+    val fields = sparkSchema.fields
+    df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      it.map { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < fields.length) {
+          rec.put(fields(i).name,
+            if (row.isNullAt(i)) null else toAvro(row.get(i), fields(i).dataType))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(
+      path,
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+
+  /** Encode one Spark external value as the Avro datum for `dt`. */
+  private[graft] def toAvro(v: Any, dt: DataType): AnyRef = (v, dt) match {
+    case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
+    case (other, _) => other.asInstanceOf[AnyRef]
   }
 
   /** The reader schema for a flat StructType: a record of

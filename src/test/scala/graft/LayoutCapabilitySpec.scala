@@ -285,6 +285,77 @@ class LayoutCapabilitySpec extends SparkTestBase {
     assert(back.filter(col("n_chars") > 100L).count() === 2)
   }
 
+  test("Avro export: engine-written container files re-ingest, evolve, and split per partition") {
+    // The write half of the Avro surface (ORC's round-trip probe, for the
+    // row format): a delivery this engine EXPORTS must come back through
+    // its own reader, resolve under additive evolution, and be readable
+    // by a plain Avro consumer — the handoff contract to a non-Spark
+    // warehouse. Written distributed: one container file per partition
+    // (no driver funnel), each splittable on re-ingest.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val out = s"${freshDir("avro-export")}/docs"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("payload", BinaryType),
+      StructField("score", DoubleType)))
+    val data = Seq(
+      Row(1L, "en", Array[Byte](1, 2, 3), 0.5),
+      Row(2L, null, Array[Byte](), 1.25),
+      Row(3L, "de", null, -2.0),
+      Row(4L, "fr", Array[Byte](-1, 0, 127), 0.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), schema)
+    graft.sources.AvroSource.write(df, out)
+
+    // one container file per partition, written in parallel
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.length === 2, "expected one Avro container file per partition")
+
+    // 1) round trip through the engine's own reader: exact values incl.
+    // NULLs and binary payloads
+    val back = graft.sources.AvroSource.read(spark, out, schema).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+        Option(r.getAs[Array[Byte]](2)).map(_.toSeq).orNull, r.getDouble(3))).toSet
+    assert(back === data.map(r => (r.getLong(0), r.getString(1),
+      Option(r.getAs[Array[Byte]](2)).map(_.toSeq).orNull, r.getDouble(3))).toSet)
+
+    // 2) additive evolution over engine-written files: a reader field the
+    // export never had arrives as NULL
+    val evolved = StructType(Seq(StructField("doc_id", LongType),
+      StructField("quality", DoubleType)))
+    val ev = graft.sources.AvroSource.read(spark, out, evolved).collect()
+    assert(ev.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    assert(ev.forall(_.isNullAt(1)))
+
+    // 3) a PLAIN Avro consumer (no Spark) reads the files — the written
+    // schema is self-describing standard Avro, not an engine dialect
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val plain = parts.flatMap { f =>
+      val rd = DataFileReader.openReader(f,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        while (rd.hasNext) {
+          val rec = rd.next()
+          buf += ((rec.get("doc_id").asInstanceOf[Long],
+            Option(rec.get("lang")).map(_.toString).orNull))
+        }
+        buf
+      } finally rd.close()
+    }.toSet
+    assert(plain === Set((1L, "en"), (2L, null), (3L, "de"), (4L, "fr")))
+
+    // 4) the flat-schema boundary fails FAST at plan time with the
+    // pointed error, not per-task at write time
+    val nested = spark.range(1).selectExpr("array(id) AS ids")
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.AvroSource.write(nested, s"$out-nested")
+    }
+    assert(err.getMessage.contains("unsupported field type"))
+  }
+
   test("ORC round-trip: types survive; predicates push down to the ORC scan") {
     // Parquet is the house format, but a lakehouse ingests what it is
     // handed — ORC is the other columnar wire format (Hive-lineage

@@ -41,7 +41,10 @@ class PlanGuardSpec extends SparkTestBase {
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
     "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
     "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
-    "ivf_balance", // same IvfC-row codebook crossJoins as ann_ivf's assigner
+    // (ivf_balance left the list when its assignment tables became
+    // disk-cached index artifacts: the codebook crossJoins now run only
+    // inside Memo.memoizeDisk's build action, and the query plan is two
+    // aggregations over the cached parquet tables)
     // bounded-CHUNK broadcast of the query block (cap-sized, never the
     // corpus side; chunk count from parquet footer metadata)
     "ann_topk",
