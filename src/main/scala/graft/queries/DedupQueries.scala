@@ -1001,7 +1001,8 @@ object DedupQueries {
     // The O(V) score table is an iterative index-BUILD artifact (exactly
     // like [[dedupCluster]]'s label table): the unrolled-iteration jobs run
     // once per (session, dir); steady-state invocations read the cache.
-    memoize(prMemo, spark, dir)(
+    Memo.memoizeDisk(prMemo, spark, dir, "pagerank_scores",
+      s"$mhConfigKey iters=$PrIters scale=$PrScale")(
       pagerankScores(
         dedupMinhash(spark, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("v").as("doc_id"), col("d").as("degree"),

@@ -1676,7 +1676,7 @@ object RelationalQueries {
       .groupBy(col("event_type"))
       .agg(max(when(col("rk") === expr("(n * 50 + 99) div 100"),
         col("cents"))).as("med_cents")))
-    Memo.memoize(madModelMemo, spark, dir)(e
+    Memo.memoizeDisk(madModelMemo, spark, dir, "mad_model", "pct=hi-median")(e
       .join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("cents") - col("med_cents")))
       .withColumn("rk", row_number().over(wDev).cast("long"))
@@ -2557,7 +2557,8 @@ object RelationalQueries {
     // memoized basket-membership table: referenced four times below (supp,
     // both pair sides, basket total) — one distinct-collapse corpus pass
     // per (session, dir) instead of four
-    val m = Memo.memoize(basketMemo, spark, dir)(
+    val m = Memo.memoizeDisk(basketMemo, spark, dir, "basket_membership",
+      s"day=$dayNs")(
       Tables(spark, dir, "events")
         .select(col("user_id"), expr(s"ts div $dayNs").as("d"),
           col("event_type"))

@@ -358,7 +358,7 @@ object TextQueries {
   private val tfMemo = Memo.table()
 
   private def termFreq(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(tfMemo, spark, dir)(
+    Memo.memoizeDisk(tfMemo, spark, dir, "term_freq", "tok=letter-runs")(
       words(spark, dir)
         .groupBy(col("doc_id"), col("word").as("term"))
         .agg(count(lit(1)).as("tf")))
@@ -798,7 +798,8 @@ object TextQueries {
   private val sourceTermMemo = Memo.table()
 
   private def sourceTermFreq(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(sourceTermMemo, spark, dir)(
+    Memo.memoizeDisk(sourceTermMemo, spark, dir, "source_term_freq",
+      "tok=letter-runs")(
       termFreq(spark, dir)
         .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"), col("term"))
