@@ -590,7 +590,13 @@ object DedupQueries {
   private val interMemo = Memo.table()
 
   private def interCounts(spark: SparkSession, dir: String): DataFrame =
-    memoize(interMemo, spark, dir)(
+    // Disk-cached index artifact (see [[Memo.memoizeDisk]]): the pair
+    // fan-out + count aggregation is the dominant build of the exact
+    // n-gram family, and its output is τ-independent (thresholds apply
+    // downstream), so one build serves ngram_jaccard, ngram_containment
+    // AND cosine_rerank across processes.
+    Memo.memoizeDisk(interMemo, spark, dir, "shingle_inter",
+      s"tok=letter-runs n=3 P=$P cap=$MaxShingleBucket")(
       coocPairs(shinglePairsDf(spark, dir))
         .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
         .groupBy(col("da"), col("db"))
