@@ -683,6 +683,19 @@ object SimilarityQueries {
     ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
       "ivf_lists_kmeans")
 
+  /** The two halves of the k-means IVF index, exposed for the STREAMING
+    * probe job ([[graft.streaming.StreamingOps.annProbeStream]]): built
+    * (or read back from the disk cache) exactly as the batch query
+    * builds them, so a probe process in a different JVM serves queries
+    * against the same artifacts the build job wrote — the build-vs-probe
+    * separation made literal.
+    */
+  private[graft] def kmIndexCodebook(spark: SparkSession, dir: String): DataFrame =
+    kmeansCodebook(spark, dir)
+  private[graft] def kmIndexLists(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
+      "ivf_lists_kmeans")
+
   /** The Lloyd-codebook CTE chain (embCte, eq with (vec_id, v, nrm, qv),
     * init c0/cq/cent0, KmIters refinement steps → `cent$KmIters`) as a
     * WITH-body prefix. Shared by the k-means IVF oracle and the IVFADC

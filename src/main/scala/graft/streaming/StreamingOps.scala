@@ -807,6 +807,114 @@ object StreamingOps {
         (col("n_vectors") * lit(qScale * qScale)).cast("double"))
   }
 
+  /** Watermark horizon + top-k window for [[annProbeStream]]: a query's
+    * candidates all land in one processing-time window (they are produced
+    * by one micro-batch), so the window is a state-EVICTION boundary, not
+    * a semantic one.
+    */
+  val ProbeHorizon = "10 minutes"
+
+  /** Bounded top-k accumulator for the streaming ANN probe: the state a
+    * query holds is AT MOST k candidates — reduce/merge insert and trim,
+    * so arrival order and micro-batch boundaries cannot change the final
+    * set (top-k of a union = top-k of per-part top-k's: the merge is
+    * associative and commutative on trimmed buffers). A `collect_list`
+    * aggregation would instead hold EVERY probed candidate per query
+    * (Nprobe/C of the corpus) in the state store — the difference between
+    * O(k) and O(corpus) state at 100 TB.
+    *
+    * Ordering key (nc, nid) = (−round(cos, 6), neighbor_id): ascending
+    * lexicographic order is exactly the batch `ranked()` window order
+    * (cos6 DESC, neighbor_id ASC), so rank assignment agrees bit-for-bit.
+    */
+  private[streaming] case class ProbeCand(nc: Double, nid: Long, sim: Double)
+  private[streaming] case class TopKBuf(items: Seq[ProbeCand])
+  private[streaming] class TopKReducer(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[ProbeCand, TopKBuf, TopKBuf] {
+    private def trim(s: Seq[ProbeCand]): Seq[ProbeCand] =
+      s.sortBy(c => (c.nc, c.nid)).take(k)
+    def zero: TopKBuf = TopKBuf(Nil)
+    def reduce(b: TopKBuf, a: ProbeCand): TopKBuf = TopKBuf(trim(a +: b.items))
+    def merge(x: TopKBuf, y: TopKBuf): TopKBuf = TopKBuf(trim(x.items ++ y.items))
+    def finish(b: TopKBuf): TopKBuf = TopKBuf(trim(b.items))
+    def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
+      org.apache.spark.sql.Encoders.product[TopKBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
+      org.apache.spark.sql.Encoders.product[TopKBuf]
+  }
+
+  /** Streaming form of `ann_ivf_kmeans` — real-time similarity retrieval:
+    * a stream of query vectors probes the STATIC k-means IVF index that
+    * the batch build job wrote (served through `Memo.memoizeDisk`, so
+    * this probe process — typically a different JVM than the builder —
+    * reads the content-keyed parquet artifacts, never rebuilds). This is
+    * the production serving split: index build is a batch job, retrieval
+    * is a continuous query over arriving embeddings (live RAG lookup,
+    * online hard-negative mining, streaming near-dup checks against a
+    * frozen corpus).
+    *
+    * Plan shape, stage by stage, and why it scales:
+    *   1. probe-list selection is IN-ROW and stateless: the O(IvfC)
+    *      codebook attaches as a ONE-row static crossJoin (constant
+    *      broadcast — the [[graft.queries.SimilarityQueries]] pattern) and
+    *      each query picks its top-`Nprobe` centroids inside one
+    *      `transform`/`sort_array`/`slice` expression — the packed-long
+    *      (cos6 DESC, cidx ASC) order of the batch probe stage, no
+    *      shuffle, no state;
+    *   2. candidate generation is a stream-STATIC equi-join on `cidx`
+    *      (Spark executes it stateless — the static inverted lists are
+    *      the join's build side; the query stream is never broadcast and
+    *      never buffered);
+    *   3. per-query top-k is the ONLY stateful operator, with O(k) state
+    *      per (window, query) via [[TopKReducer]]; the processing-time
+    *      watermark ages finished queries out of the store.
+    * Update mode; each trigger refreshes the top-k of queries that gained
+    * candidates. On a closed input the final per-query rows equal the
+    * batch `ann_ivf_kmeans` rows exactly (same index artifacts, same
+    * integer-packed orderings end-to-end) — pinned by StreamingSpec.
+    *
+    * `emb` is any stream with (vec_id, embedding) — callers choose the
+    * query population (tests use the batch query stride).
+    */
+  def annProbeStream(spark: SparkSession, emb: DataFrame, dir: String): DataFrame = {
+    import graft.functions.VectorFns
+    import graft.queries.SimilarityQueries
+    import SimilarityQueries.{IvfC, Nprobe, TopK}
+    val cb1 = SimilarityQueries.kmIndexCodebook(spark, dir)
+      .agg(collect_list(struct(col("cidx"), col("cv2"), col("cn2"))).as("cb"))
+    val lists = SimilarityQueries.kmIndexLists(spark, dir)
+    val probes = emb
+      .select(col("vec_id").as("query_id"),
+        VectorFns.toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorFns.norm(col("qv")))
+      .crossJoin(cb1)
+      .withColumn("pl", slice(sort_array(transform(col("cb"), c => {
+        val cos6 = round(VectorFns.dot(col("qv"), c("cv2")) / (col("qn") * c("cn2")), 6)
+        struct(
+          (round(cos6 * lit(1000000d)).cast("long") * lit(128L) +
+            (lit(IvfC.toLong) - c("cidx"))).as("ord"),
+          c("cidx").as("cidx"))
+      }), asc = false), 1, Nprobe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("pl.cidx")).as("cidx"))
+    val cos = VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    val topk = udaf(new TopKReducer(TopK),
+      org.apache.spark.sql.Encoders.product[ProbeCand])
+    probes.join(lists, Seq("cidx"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), (-round(cos, 6)).as("nc"),
+        col("neighbor_id").as("nid"), round(cos, 4).as("sim"))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", ProbeHorizon)
+      .groupBy(window(col("ingest_ts"), ProbeHorizon).as("win"), col("query_id"))
+      .agg(topk(col("nc"), col("nid"), col("sim")).as("tk"))
+      .select(col("win"), col("query_id"), posexplode(col("tk.items")))
+      .select(col("win"), col("query_id"),
+        col("col.nid").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.sim").as("sim"))
+  }
+
   /** Streaming form of the `chunk_docs` query: documents chunk into
     * sliding token windows AS THEY ARRIVE — the ingestion path of a live
     * RAG index (chunk → embed → upsert). The whole transform is

@@ -401,6 +401,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size === 64 * 65 / 2)
   }
 
+  test("streaming annProbeStream equals batch ann_ivf_kmeans on the closed query set") {
+    // The probe job consumes the SAME k-means IVF index artifacts the
+    // batch query builds (or reads back from the disk cache): on a closed
+    // input the streamed per-query top-k must equal the batch rows
+    // exactly — neighbor ids, ranks AND rounded scores.
+    import org.apache.spark.sql.functions.col
+    val queries = StreamingOps.embStream(spark, dir)
+      .filter(col("vec_id") % graft.queries.SimilarityQueries.QueryMod === 0)
+    val stream = StreamingOps.annProbeStream(spark, queries, dir)
+    val q = stream.writeStream
+      .format("memory").queryName("ann_probe_stream")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // last update per (query, rank) wins (single closed input -> one trigger)
+    val got = spark.table("ann_probe_stream")
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expected = graft.queries.SimilarityQueries.annIvfKmeans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "no probe results on the closed input: broken index join")
+  }
+
   test("streaming manifest equals batch shard_manifest bit-for-bit") {
     val stream = StreamingOps.manifestStream(StreamingOps.docStream(spark, dir))
     val q = stream.writeStream
