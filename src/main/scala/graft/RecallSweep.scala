@@ -9,6 +9,8 @@ import graft.queries.SimilarityQueries
   * and wall-clock per setting for the probed index family at
   * `SPARK_GRAFT_SF_DIR`:
   *
+  *   - `ann_lsh` across multi-probe radii (Hamming 0/1/2 around the
+  *     query's own bucket)
   *   - `ann_ivf_kmeans` across probe depths (`nprobe`)
   *   - `ann_ivfpq_rerank` across (nprobe, rerank depth R)
   *
@@ -54,6 +56,15 @@ object RecallSweep {
       topSets(df) // second pass = steady-state probe cost (index memoized)
       val warm = (System.nanoTime() - warm0) / 1e9
       println(f"$label%-34s recall@10=$r%.3f first=$first%.2fs warm=$warm%.2fs")
+    }
+
+    for (tables <- Seq(1, 2); radius <- Seq(0, 1, 2)) {
+      val nProbes = 1 +
+        (if (radius >= 1) SimilarityQueries.LshBits else 0) +
+        (if (radius >= 2) SimilarityQueries.LshBits * (SimilarityQueries.LshBits - 1) / 2 else 0)
+      val scanFrac = 1.0 - math.pow(1.0 - nProbes.toDouble / (1 << SimilarityQueries.LshBits), tables)
+      timed(f"ann_lsh tables=$tables radius=$radius ($nProbes%2d probes/tbl, ~${scanFrac * 100}%.1f%% scanned)",
+        SimilarityQueries.annLshProbe(spark, sfDir, radius, tables))
     }
 
     val nprobes = Seq(2, 4, 8, 12, 16, 24, 32)

@@ -33,8 +33,16 @@ object VectorFns {
     * reproducible in SQL — at 100 TB this turns the O(n^2) similarity scan
     * into a per-bucket join (2^bits buckets).
     */
-  def axisLshBucket(v: Column, bits: Int): Column =
+  def axisLshBucket(v: Column, bits: Int): Column = axisLshBucketAt(v, bits, 0)
+
+  /** [[axisLshBucket]] over dimensions [offset, offset+bits): independent
+    * hash TABLES for multi-table LSH come from disjoint axis blocks
+    * (table t = offset t·bits) — isotropic corpora make every axis block
+    * an equally good hyperplane set, and the SQL mirror stays a plain
+    * sign test per dimension.
+    */
+  def axisLshBucketAt(v: Column, bits: Int, offset: Int): Column =
     (0 until bits)
-      .map(j => when(element_at(v, j + 1) > lit(0.0), lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(element_at(v, offset + j + 1) > lit(0.0), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 }

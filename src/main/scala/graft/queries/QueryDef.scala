@@ -60,11 +60,14 @@ private[queries] object Memo {
     * The content key covers: the artifact label, [[CacheEpoch]], the
     * caller's `configKey` (every tunable constant the artifact's content
     * depends on — a retune invalidates exactly the affected artifacts),
-    * and a byte-level footprint of the input directory (path, size, mtime
-    * of every file), so regenerated testdata can never serve a stale
-    * artifact. Correctness is unaffected: artifact builds are
-    * deterministic (oracle-pinned), so the parquet round-trip returns
-    * bit-identical rows.
+    * and a byte-level footprint of the input directory (path, size,
+    * nanosecond-resolution mtime of every file), so regenerated testdata
+    * is detected whenever the filesystem records sub-second mtimes (every
+    * Linux FS this runs on); a same-length in-place rewrite inside one
+    * mtime tick of a coarser filesystem is the one undetectable case.
+    * Correctness is unaffected: artifact builds are deterministic
+    * (oracle-pinned), so the parquet round-trip returns bit-identical
+    * rows.
     *
     * Concurrency: builders write to a process-unique temp dir and
     * atomically rename into place; a lost race reads the winner's table.
@@ -94,22 +97,48 @@ private[queries] object Memo {
     if (!ready) {
       val tmp = new java.io.File(root,
         s".$label-$key.tmp-${ProcessHandle.current().pid()}")
+      // Captured ONCE when we decide to serve the tmp table: the finally
+      // must not re-probe `ready` — a racing winner completing between the
+      // branch check and the finally would otherwise delete the tmp dir
+      // that the just-returned DataFrame still lazily reads.
+      var servingTmp = false
       try {
         build.write.mode("overwrite").parquet(tmp.getPath)
-        if (!tmp.renameTo(path) && !ready)
+        if (!tmp.renameTo(path) && !ready) {
           // lost a race AND the winner isn't readable — serve the build
+          servingTmp = true
+          inUse.add(tmp.getPath)
           return spark.read.parquet(tmp.getPath)
+        }
       } catch {
-        case _: Throwable if !ready =>
+        // NonFatal only: an OutOfMemoryError/InterruptedException must
+        // propagate, not silently trigger a second build evaluation
+        case scala.util.control.NonFatal(e) if !ready =>
           // cache write failed (read-only root, disk full): the artifact
-          // is an OPTIMIZATION — fall back to the in-memory build
+          // is an OPTIMIZATION — log and fall back to the in-memory build
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"index-cache write failed for $label under $root " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+              "serving the un-cached build; every cold process will rebuild")
           return build
-      } finally if (tmp.exists() && ready) deleteRecursively(tmp)
+      } finally if (tmp.exists() && !servingTmp) deleteRecursively(tmp)
     }
     // refresh the entry's use-time so active entries survive pruning
     new java.io.File(path, "_SUCCESS").setLastModified(System.currentTimeMillis())
+    inUse.add(path.getPath)
     spark.read.parquet(path.getPath)
   }
+
+  /** Artifact directories this process has handed out as lazily-read
+    * DataFrames: [[pruneStale]] must never delete these even when their
+    * 7-day marker lapses (a long-lived session can hold a persisted
+    * DataFrame whose cached blocks are evicted and re-scanned long after
+    * the diskCached call refreshed the mtime). Cross-PROCESS holders are
+    * still protected by the mtime refresh at their own call time — the
+    * residual race is a process holding an unread plan across 7+ idle
+    * days while a second process prunes, inherent to any TTL cache.
+    */
+  private val inUse = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Drop cache entries unused for 7 days (test corpora live in
     * fresh temp dirs, so their keys are single-use and would otherwise
@@ -119,7 +148,8 @@ private[queries] object Memo {
     val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
     Option(root.listFiles()).toSeq.flatten.foreach { e =>
       val marker = new java.io.File(e, "_SUCCESS")
-      if (e.isDirectory && marker.isFile && marker.lastModified() < cutoff)
+      if (e.isDirectory && marker.isFile && marker.lastModified() < cutoff &&
+          !inUse.contains(e.getPath))
         deleteRecursively(e)
     }
   }
@@ -131,6 +161,11 @@ private[queries] object Memo {
 
   /** Byte-level footprint of every file under `dir` (sorted walk of
     * relative path, length, mtime) — the staleness guard of the disk key.
+    * mtime is read at the filesystem's full resolution
+    * (`BasicFileAttributes.lastModifiedTime`, nanoseconds where the FS
+    * records them) rather than `File.lastModified`'s millisecond floor, so
+    * a same-length in-place rewrite is detected on any FS with sub-tick
+    * timestamps.
     */
   private def inputFootprint(dir: String): String = {
     val base = new java.io.File(dir)
@@ -138,8 +173,12 @@ private[queries] object Memo {
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
+    def mtime(f: java.io.File): String =
+      java.nio.file.Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+        .lastModifiedTime().toInstant.toString
     walk(base)
-      .map(f => s"${f.getPath.stripPrefix(base.getPath)}:${f.length}:${f.lastModified}")
+      .map(f => s"${f.getPath.stripPrefix(base.getPath)}:${f.length}:${mtime(f)}")
       .mkString("\n")
   }
 }

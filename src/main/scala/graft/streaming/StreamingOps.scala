@@ -902,7 +902,12 @@ object StreamingOps {
       org.apache.spark.sql.Encoders.product[ProbeCand])
     probes.join(lists, Seq("cidx"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), (-round(cos, 6)).as("nc"),
+      // + 0.0 collapses IEEE ±0.0 to one key: Scala's total ordering in
+      // TopKReducer ranks -0.0 < 0.0, but the batch window (Spark
+      // normalizes -0.0 == 0.0) treats them as neighbor_id-broken ties —
+      // without the normalization a rank-k boundary at cos6 = ±0.0 could
+      // order differently than batch ann_ivf_kmeans
+      .select(col("query_id"), (-round(cos, 6) + lit(0.0)).as("nc"),
         col("neighbor_id").as("nid"), round(cos, 4).as("sim"))
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", ProbeHorizon)

@@ -20,7 +20,7 @@ import graft.queries.{DedupQueries, SimilarityQueries}
 class OracleConstantSpec extends AnyFunSuite {
 
   import DedupQueries.{Bands, JaccardTau, MaxBandBucket, NgramJaccardTau, RowsPerBand}
-  import SimilarityQueries.{CosTau, LshBits, Nprobe, QueryMod, RerankR, TopK}
+  import SimilarityQueries.{CosTau, LshBits, LshRadius, LshTables, Nprobe, QueryMod, RerankR, TopK}
 
   // (query name, constant, marker that must appear in its oracle SQL)
   private val checks: Seq[(String, String, String)] = Seq(
@@ -33,8 +33,19 @@ class OracleConstantSpec extends AnyFunSuite {
     ("ann_topk", "QueryMod", s"% $QueryMod = 0"),
     // bucket width: the highest sign-bit term of the bucket expression
     ("ann_lsh", "LshBits(bucket)", s"THEN ${1L << (LshBits - 1)} ELSE"),
-    // probe set: the highest-bit Hamming-1 flip must be generated
-    ("ann_lsh", "LshBits(probes)", s"xor(q.bucket, ${1L << (LshBits - 1)})"),
+    // probe set: the highest-bit Hamming-1 flip of table 0 must be generated
+    ("ann_lsh", "LshBits(probes)", s"xor(q.b0, ${1L << (LshBits - 1)})"),
+    // radius: the largest Hamming-2 mask appears iff LshRadius >= 2 —
+    // pins the oracle's probe list to the committed radius
+    ("ann_lsh", "LshRadius(probes)",
+      if (LshRadius >= 2)
+        s"xor(q.b0, ${(1L << (LshBits - 1)) | (1L << (LshBits - 2))})"
+      else "q.b0"),
+    // tables: the last table's probe branch must be generated, and its
+    // bucket expression must start at the right axis offset
+    ("ann_lsh", "LshTables(probes)", s"${LshTables - 1} AS tbl"),
+    ("ann_lsh", "LshTables(bucket-offset)",
+      s"CASE WHEN v[${(LshTables - 1) * LshBits + 1}] > 0 THEN 1 ELSE 0 END"),
     ("similar_pairs", "CosTau", s">= $CosTau"),
     ("dedup_embed", "CosTau", s">= $CosTau"),
     // banding shape: the last band select and the last signature row index

@@ -41,10 +41,14 @@ class PlanGuardSpec extends SparkTestBase {
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
     "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
     "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
-    // (ivf_balance left the list when its assignment tables became
-    // disk-cached index artifacts: the codebook crossJoins now run only
-    // inside Memo.memoizeDisk's build action, and the query plan is two
-    // aggregations over the cached parquet tables)
+    // ivf_balance normally plans two aggregations over disk-cached
+    // assignment tables, but with SPARK_GRAFT_INDEX_CACHE set empty (the
+    // documented disable switch) or an unwritable cache root, diskCached
+    // returns the raw build plan and its constant-size codebook crossJoins
+    // surface here — the same safe O(K)-row shape as ann_ivf's, so it
+    // stays allowlisted rather than coupling this guard to the caller's
+    // environment
+    "ivf_balance",
     // bounded-CHUNK broadcast of the query block (cap-sized, never the
     // corpus side; chunk count from parquet footer metadata)
     "ann_topk",
@@ -80,10 +84,18 @@ class PlanGuardSpec extends SparkTestBase {
         "with the O(1)-broadcast justification")
   }
 
+  // Allowlisted for an ENVIRONMENT-dependent plan: with the index disk
+  // cache enabled (default) the query reads cached parquet and plans no
+  // BNLJ, but with SPARK_GRAFT_INDEX_CACHE set empty (the documented
+  // disable switch) or an unwritable cache root the raw build plan — and
+  // its constant-size codebook crossJoin — surfaces. Exempt from the
+  // tightness check; still covered by the allowlist when it matters.
+  private val bnljEnvDependent = Set("ivf_balance")
+
   test("the allowlist itself is tight: every member still plans a BNLJ") {
     // an allowlist entry whose query no longer needs it is stale — shrink
     // it so the guard stays meaningful
-    val stale = bnljAllowed.toSeq.filter { name =>
+    val stale = (bnljAllowed -- bnljEnvDependent).toSeq.filter { name =>
       val plan = SparkEntry.all(name).fn(spark, dir)
         .queryExecution.executedPlan.toString
       !plan.contains("BroadcastNestedLoopJoin")
