@@ -128,11 +128,18 @@ object Bench {
     // JSON is self-describing about what a cold first pass costs — warm
     // numbers are not comparable to any cold-start measurement otherwise.
     var coldTotal = -1.0
+    var coldQs = Map.empty[String, Double]
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val c0 = System.nanoTime()
-      picked.foreach { case (_, fn) =>
+      // per-query cold times ride along in the JSON ("queries_cold"): the
+      // cold-vs-warm spread per query is the profile of what a fresh JVM
+      // still rebuilds (JIT, first-touch I/O, in-memory memo builds) —
+      // without it a cold regression is a single opaque number
+      coldQs = picked.map { case (name, fn) =>
+        val q0 = System.nanoTime()
         try run(fn) catch { case _: Throwable => () } // timed pass re-reports
-      }
+        name -> (System.nanoTime() - q0) / 1e9
+      }.toMap
       coldTotal = (System.nanoTime() - c0) / 1e9
     }
     var errs = List.empty[(String, String)]
@@ -148,7 +155,10 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldJson = if (coldTotal >= 0) s""","cold_total":$coldTotal""" else ""
+    val coldJson =
+      if (coldTotal < 0) ""
+      else s""","cold_total":$coldTotal,"queries_cold":${
+        coldQs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")}"""
     val errJson =
       if (errs.isEmpty) ""
       else errs.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }

@@ -91,7 +91,12 @@ object DedupQueries {
     Memo.memoize(memo, spark, dir)(build)
 
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    memoize(shingleMemo, spark, dir)(
+    // Disk-cached index artifact (see [[Memo.memoizeDisk]]): the per-doc
+    // shingle-hash table is the build-once base of every dedup pipeline;
+    // a cold JVM scans the content-keyed parquet instead of re-running
+    // the tokenize→3-gram→hash kernel over the corpus.
+    Memo.memoizeDisk(shingleMemo, spark, dir, "shingle_hashes",
+      s"k=3,P=$P,tok=letter-runs")(
       // ShingleHash60Expr fuses tokenize -> 3-gram -> hash60 % P ->
       // distinct into one per-row kernel (no intermediate token/gram/
       // hash arrays; the split-pipeline form it replaces was the dedup
@@ -518,6 +523,48 @@ object DedupQueries {
        |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
        |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+
+  // ------------------------------------------------------- dup_cluster_stats
+  /** `dup_cluster_stats` — the duplication-multiplicity histogram of the
+    * near-dup clustering: one row per cluster SIZE with how many clusters
+    * have that size and how many documents they hold. This is the dedup
+    * audit every large-corpus pipeline reports ("N% of the corpus sits in
+    * duplicate groups of size k") — the number that justifies the dedup
+    * stage's cost and catches a banding/threshold retune that silently
+    * collapses or shatters the clustering. Size-1 rows are the unique
+    * documents (singleton clusters), so `n_docs` partitions the corpus
+    * exactly (test-pinned).
+    *
+    * Scale shape: one scan of the disk-cached cluster-label artifact
+    * ([[dedupCluster]]'s join against the memoized labels), then two
+    * partial-final hash aggregations whose outputs are ≤ |clusters| and
+    * ≤ |distinct sizes| rows — nothing after the first aggregate is
+    * corpus-sized. `n_docs = cluster_size × n_clusters` stays a BIGINT
+    * product (no double, no HUGEINT-promoting sum).
+    */
+  def dupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupCluster(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  val dupClusterStatsSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mhpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+       |reach(id, x) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x),
+       |comp AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id),
+       |assign AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |       cluster_size * count(*) AS n_docs
+       |FROM sizes GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------ dedup_simhash
   /** `dedup_simhash` — 32-bit SimHash fingerprint over distinct token
@@ -1325,6 +1372,7 @@ object DedupQueries {
     // hash-match against the brute-force SQL proves it per round
     "ngram_jaccard_prefix" -> QueryDef(ngramJaccardPrefix, Some(ngramJaccardSql)),
     "dedup_cluster" -> QueryDef(dedupCluster, Some(dedupClusterSql)),
+    "dup_cluster_stats" -> QueryDef(dupClusterStats, Some(dupClusterStatsSql)),
     "decontaminate" -> QueryDef(decontaminate, Some(decontaminateSql)),
     // same oracle as decontaminate: the Bloom pre-filter has no false
     // negatives and the exact join rejects its false positives, so the

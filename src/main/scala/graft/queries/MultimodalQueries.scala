@@ -142,7 +142,12 @@ object MultimodalQueries {
 
   def mediaNeardup(spark: SparkSession, dir: String): DataFrame = {
     val fb = graft.operators.MediaDecode.FrameBytes
-    val fps = Memo.memoize(mediaFpsMemo, spark, dir) {
+    // Disk-cached index artifact (see [[Memo.memoizeDisk]]): the CDC
+    // chunk-fingerprint table is the media dedup's build-once index; a
+    // cold JVM scans the content-keyed parquet instead of re-hexing and
+    // re-hashing every payload.
+    val fps = Memo.memoizeDisk(mediaFpsMemo, spark, dir, "media_fps",
+      s"fb=$fb") {
       val base = Tables.docs(spark, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .filter(octet_length(col("payload")) > 0)

@@ -224,7 +224,15 @@ object TextQueries {
     * stopword-ratio signals (training-data pipeline filter). All signals are
     * exact integer ratios, so the composite double is engine-identical.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(docs(spark, dir))
+
+  /** The scan-local scoring core of [[qualityScore]], shared VERBATIM by
+    * the streaming twin (`StreamingOps.qualityStream` — the ingest-time
+    * quality gate of a live pipeline): pure per-row expressions over any
+    * (doc_id, text) relation, batch or stream.
+    */
+  private[graft] def qualityOf(d: DataFrame): DataFrame = {
     val t = TextFns.tokens(col("text"))
     val nTok = size(t).cast("long")
     val nChars = length(col("text")).cast("long")
@@ -233,8 +241,7 @@ object TextQueries {
     val alphaRatio = nAlpha.cast("double") / nChars
     val stopRatio = nStop.cast("double") / nTok
     val lenScore = least(nTok.cast("double") / 200.0, lit(1.0))
-    docs(spark, dir)
-      .filter(nTok > 0 && nChars > 0)
+    d.filter(nTok > 0 && nChars > 0)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),

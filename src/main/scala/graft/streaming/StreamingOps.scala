@@ -697,18 +697,20 @@ object StreamingOps {
 
   case class ClEv(user_id: Long, ts: Long, event_type: String)
   case class ClState(signupNs: Option[Long], minPurchaseNs: Option[Long],
-      qualPurchaseNs: Option[Long])
+      qualPurchaseNs: Option[Long], dropped: Boolean = false)
   case class ClOut(user_id: Long, signup_ns: Long, purchase_ns: Option[Long],
-      lag_ns: Option[Long], converted: Boolean)
+      lag_ns: Option[Long], converted: Boolean, lossy_risk: Boolean = false)
 
   /** Streaming form of the `conversion_lag` query — ONLINE funnel-latency
     * tracking: each user's row re-emits as their state evolves (signup
     * seen → censored row; first at-or-after purchase seen → converted row
     * with the exact lag), the live view a growth dashboard reads while
     * the batch query computes the same table offline. State per user is
-    * THREE longs: earliest signup, earliest purchase EVER (held
-    * UNCONDITIONALLY — even before any signup is known), and earliest
-    * purchase at-or-after the current earliest signup. The ≥-signup rule
+    * THREE longs and a flag: earliest signup, earliest purchase EVER
+    * (held UNCONDITIONALLY — even before any signup is known), earliest
+    * purchase at-or-after the current earliest signup, and whether any
+    * purchase timestamp was ever discarded while still able to affect a
+    * future answer (the `lossy_risk` detectability bit below). The ≥-signup rule
     * is re-derived each trigger from (earliest-ever, this trigger's
     * arrivals), never baked irreversibly into what is kept, so the state
     * survives the splits that a two-field fold silently censors: a
@@ -724,9 +726,21 @@ object StreamingOps {
     * matches batch bit-for-bit (pinned in StreamingSpec single- and
     * multi-trigger). Under arbitrary REORDERING the row converges to
     * batch except the unbounded-state case: ≥2 distinct pre-signup
-    * purchases arriving before their signup where only a non-earliest
-    * one qualifies — exact recovery there requires holding every
-    * distinct pre-signup purchase timestamp, which no O(1) state can.
+    * purchases where only a non-earliest one qualifies AND that one was
+    * displaced in a trigger BEFORE its signup arrived (while the signup
+    * and the displacement share a trigger, the held earliest-ever ts is
+    * still at hand and qualifies exactly) — exact recovery there requires
+    * holding every distinct pre-signup purchase timestamp, which no O(1)
+    * state can.
+    * That case is not silent: the state tracks whether any purchase
+    * timestamp was ever DISCARDED (neither the earliest-ever nor the
+    * current qualifier), and an emitted row where a discarded timestamp
+    * could change the answer (current signup later than the earliest-ever
+    * purchase) carries `lossy_risk = true` — a consumer sees which rows
+    * to re-derive offline instead of trusting a silently-censored value.
+    * The flag is conservative (may mark rows that are in fact exact;
+    * never the reverse), and rows with `lossy_risk = false` are
+    * guaranteed batch-exact under any arrival order.
     * No watermark: like [[latestByKey]], the state IS the
     * materialization (one row per ever-seen funnel user).
     */
@@ -750,17 +764,37 @@ object StreamingOps {
           val purs = arr.collect { case e if e.event_type == conv => e.ts }
           val minSignup = (prev.signupNs.toSeq ++ sigs).minOption
           val minPurchase = (prev.minPurchaseNs.toSeq ++ purs).minOption
+          // the HELD earliest-ever purchase is itself a qualifier
+          // candidate: when a smaller pre-signup purchase displaces it in
+          // the very trigger the signup arrives, the displaced ts is
+          // still at hand and must be allowed to qualify (batch would)
           val qual = minSignup.flatMap { s =>
             (prev.qualPurchaseNs.toSeq ++
-              minPurchase.filter(_ >= s) ++ purs.filter(_ >= s)).minOption
+              (prev.minPurchaseNs.toSeq ++ purs).filter(_ >= s)).minOption
           }
-          val next = ClState(minSignup, minPurchase, qual)
+          // detectability of the documented lossy case: remember forever
+          // whether any purchase ts was seen but retained by NEITHER slot
+          // (minPurchase, qual) while still reachable — i.e. strictly
+          // between minPurchase and the current qualifier (a ts at or
+          // above a defined qual can never beat it for any future
+          // earlier signup, since qual >= s >= every future signup)
+          val upper = qual.getOrElse(Long.MaxValue)
+          val dropped = prev.dropped ||
+            (purs.toSet ++ prev.minPurchaseNs ++ prev.qualPurchaseNs)
+              .exists(t => minPurchase.exists(_ < t) && t < upper)
+          // a discarded ts can change THIS row only if it might lie at or
+          // after the current signup yet before the current qualifier —
+          // all discarded values exceed minPurchase, so s > minPurchase
+          // is the (conservative) reachability test
+          def risk(s: Long): Boolean = dropped && minPurchase.exists(_ < s)
+          val next = ClState(minSignup, minPurchase, qual, dropped)
           if (next != prev) state.update(next) // ALWAYS hold pre-signup purchases
-          val rowChanged = (minSignup, qual) !=
-            ((prev.signupNs, prev.qualPurchaseNs))
+          val rowChanged = (minSignup, qual, minSignup.exists(risk)) !=
+            ((prev.signupNs, prev.qualPurchaseNs,
+              prev.signupNs.exists(s => prev.dropped && prev.minPurchaseNs.exists(_ < s))))
           minSignup match {
             case Some(s) if rowChanged =>
-              Iterator(ClOut(user, s, qual, qual.map(_ - s), qual.isDefined))
+              Iterator(ClOut(user, s, qual, qual.map(_ - s), qual.isDefined, risk(s)))
             case _ => Iterator.empty
           }
         })
@@ -931,6 +965,20 @@ object StreamingOps {
     */
   def chunkStream(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.chunkOf(docs)
+
+  /** Streaming form of the `quality_score` query: documents are scored
+    * AS THEY ARRIVE — the ingest-time quality gate of a live training-data
+    * pipeline (score → filter → route to the keep/drop sink before
+    * anything downstream pays for the document). Shares the batch scoring
+    * core verbatim (`TextQueries.qualityOf`): pure per-row expressions
+    * (token/char/letter/stopword counts folded into the composite score),
+    * so the transform is STATELESS — append mode, no watermark, no state
+    * store — and batch/stream agreement is structural on any input split.
+    * Pinned by StreamingSpec anyway, because "obviously stateless" is
+    * exactly what a refactor to a stateful form would silently break.
+    */
+  def qualityStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.qualityOf(docs)
 
   /** Streaming form of the `shard_manifest` query: the export manifest
     * maintained LIVE while documents stream into their shards — count,

@@ -326,6 +326,29 @@ class DedupPropertySpec extends SparkTestBase {
       (5L, 3L, 12L, 1L)))
   }
 
+  test("dup_cluster_stats partitions the corpus and re-derives from dedup_cluster") {
+    val dir = sf("sf0.001")
+    val stats = DedupQueries.dupClusterStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats.nonEmpty)
+    stats.foreach { case (size, (nClusters, nDocs)) =>
+      assert(nDocs === size * nClusters, s"n_docs must be size*n_clusters at size $size")
+    }
+    // the histogram must partition the corpus exactly: every doc is in
+    // exactly one cluster, singletons included
+    val assignments = DedupQueries.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(stats.values.map(_._2).sum === assignments.length.toLong,
+      "sum of n_docs must equal the corpus size")
+    // and agree with the histogram computed directly from the assignment
+    val expected = assignments.groupBy(_._2).map(_._2.length.toLong).toSeq
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.length.toLong }
+    assert(stats.view.mapValues(_._1).toMap === expected)
+    // the corpus must actually exercise both branches
+    assert(stats.contains(1L), "no singleton clusters — histogram vacuous")
+    assert(stats.keys.exists(_ > 1L), "no multi-doc clusters — histogram vacuous")
+  }
+
   test("link_predict equals brute-force neighborhood Jaccard over the dup graph") {
     val dir = sf("sf0.001")
     val edges = DedupQueries.dedupMinhash(spark, dir)

@@ -383,4 +383,49 @@ class LayoutCapabilitySpec extends SparkTestBase {
       "column pruning must drop unreferenced ts from the ORC ReadSchema")
     assert(filtered.count() === ev.filter(col("user_id") === 7L).count())
   }
+
+  test("gzip text ingest: correct but NON-SPLITTABLE — one task per file, " +
+      "however small maxPartitionBytes is") {
+    // The 100 TB ingestion rule this pins: a .gz crawl dump reads
+    // CORRECTLY but each file is a single un-splittable task — a 10 GB
+    // .gz member caps that file's parallelism at 1 regardless of
+    // cluster size. Prefer splittable codecs (bzip2) or many small
+    // members at write time; Spark decompresses transparently either
+    // way, so the failure mode is silent slowness, never wrong rows.
+    val out = Paths.get(freshDir("gz"))
+    val lines = (0 until 5000).map(i => s"line-$i payload ${"x" * 40}")
+    val parts = lines.grouped(2500).zipWithIndex.toSeq
+    parts.foreach { case (chunk, i) =>
+      val gz = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(out.resolve(s"part-$i.txt.gz")))
+      try gz.write(chunk.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally gz.close()
+    }
+    val saved = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      // tiny split target: a SPLITTABLE source would fan out to many
+      // tasks; gzip must still plan exactly one partition per file
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val gzDf = spark.read.text(out.toString)
+      assert(gzDf.rdd.getNumPartitions === parts.size,
+        "gzip files must plan exactly one partition per file (non-splittable)")
+      assert(gzDf.collect().map(_.getString(0)).sorted.toSeq === lines.sorted,
+        "transparent decompression must round-trip every line")
+      // contrast: the same lines uncompressed DO split under the same cap
+      val plainDir = freshDir("gz-plain")
+      parts.foreach { case (chunk, i) =>
+        Files.write(Paths.get(plainDir, s"part-$i.txt"),
+          chunk.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val plainDf = spark.read.text(plainDir)
+      assert(plainDf.rdd.getNumPartitions > parts.size,
+        "uncompressed text must split beyond one task per file under the cap")
+      assert(plainDf.count() === lines.size.toLong)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
 }

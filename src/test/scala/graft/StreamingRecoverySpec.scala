@@ -272,12 +272,27 @@ class StreamingRecoverySpec extends SparkTestBase {
       (1L, 1000L, "purchase"),
       (2L, 100000L, "signup"), (2L, 50000L, "purchase"),
       (3L, 7000L, "purchase"),
-      (4L, 500L, "signup")), "batch0.parquet")
+      (4L, 500L, "signup"),
+      //  u5 TRUE lossy     — purchase 50k trigger 1, displaced by 30k in
+      //                      trigger 2 (50k discarded from O(1) state),
+      //                      signup 40k in trigger 3: batch converts at
+      //                      50k, the stream cannot — but must SAY so
+      //                      (lossy_risk = true), not censor silently
+      //  u6 displacement   — same 50k/30k displacement, but signup 40k
+      //    WITH signup       arrives in the SAME trigger as the 30k: the
+      //                      held 50k is still at hand → exact, unflagged
+      (5L, 50000L, "purchase"),
+      (6L, 50000L, "purchase")), "batch0.parquet")
     runOnce()
     writeEpoch(Seq(
       (1L, 1000L, "signup"),
       (2L, 10000L, "signup"),
-      (3L, 10000L, "signup"), (3L, 12000L, "purchase")), "batch1.parquet")
+      (3L, 10000L, "signup"), (3L, 12000L, "purchase"),
+      (5L, 30000L, "purchase"),
+      (6L, 30000L, "purchase"), (6L, 40000L, "signup")), "batch1.parquet")
+    runOnce()
+    writeEpoch(Seq(
+      (5L, 40000L, "signup")), "batch2.parquet")
     runOnce()
 
     // final row per user = the last (max signup... ) — update mode re-emits
@@ -302,5 +317,19 @@ class StreamingRecoverySpec extends SparkTestBase {
       "the qualifier may be a NON-earliest purchase arriving after signup")
     assert(finalByUser(4L) === ((4L, 500L, null, null, false)),
       "signup-only user stays censored")
+    assert(finalByUser(6L) === ((6L, 40000L, 50000L, 10000L, true)),
+      "a displaced earliest-ever purchase still at hand must qualify exactly")
+
+    // lossy-case detectability: u5's answer is unrecoverable from O(1)
+    // state (the qualifying 50k was discarded a trigger before its
+    // signup) — the row must carry lossy_risk = true; every exact row
+    // must NOT be flagged
+    val risks = spark.read.parquet(sink.toString).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).groupBy(_._1)
+      .view.mapValues(_.exists(_._2)).toMap
+    assert(risks(5L), "the unrecoverable censored row must be flagged lossy_risk")
+    Seq(1L, 2L, 3L, 4L, 6L).foreach { u =>
+      assert(!risks(u), s"exact row for user $u must not be flagged lossy_risk")
+    }
   }
 }

@@ -473,6 +473,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got.values.exists(_._4), "vacuous: no converted users")
   }
 
+  test("streaming quality gate equals batch quality_score (stateless ingest transform)") {
+    val stream = StreamingOps.qualityStream(StreamingOps.docStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("quality_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val got = spark.table("quality_stream").collect().map(key).toMap
+    val expected = graft.queries.TextQueries.qualityScore(spark, dir)
+      .collect().map(key).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming chunker equals batch chunk_docs (stateless ingest transform)") {
     val stream = StreamingOps.chunkStream(StreamingOps.docStream(spark, dir))
     val q = stream.writeStream
