@@ -90,7 +90,11 @@ class PlanGuardSpec extends SparkTestBase {
   // disable switch) or an unwritable cache root the raw build plan — and
   // its constant-size codebook crossJoin — surfaces. Exempt from the
   // tightness check; still covered by the allowlist when it matters.
-  private val bnljEnvDependent = Set("ivf_balance")
+  // ann_topk / ann_recall_report joined the set when the exact truth table
+  // became a disk-cached artifact: cache enabled they scan parquet (no
+  // BNLJ); cache disabled the bounded chunk-broadcast BNLJ re-surfaces.
+  private val bnljEnvDependent =
+    Set("ivf_balance", "ann_topk", "ann_recall_report")
 
   test("the allowlist itself is tight: every member still plans a BNLJ") {
     // an allowlist entry whose query no longer needs it is stale — shrink
