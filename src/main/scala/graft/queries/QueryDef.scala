@@ -140,11 +140,30 @@ private[queries] object Memo {
     */
   private val inUse = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Last prune wall-clock per cache root — [[pruneStale]] is a full
+    * directory stat walk, so it is rate-limited to once per hour per
+    * process instead of running on EVERY diskCached call (a long-lived
+    * multi-tenant driver touching many fresh test corpora would otherwise
+    * pay repeated I/O on the hot path; the 7-day TTL makes anything
+    * tighter than hourly pointless). `inUse` still grows for the process
+    * lifetime by design: entries are one path string per distinct
+    * artifact (label × corpus) this process ever handed out as a lazy
+    * DataFrame — bounded by work actually done, and the price of never
+    * deleting an artifact a live plan may still re-scan.
+    */
+  private val lastPrune = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Drop cache entries unused for 7 days (test corpora live in
     * fresh temp dirs, so their keys are single-use and would otherwise
-    * accumulate; _SUCCESS mtime is refreshed on every read).
+    * accumulate; _SUCCESS mtime is refreshed on every read). At most one
+    * walk per root per hour per process — see [[lastPrune]].
     */
   private def pruneStale(root: java.io.File): Unit = {
+    val now = System.currentTimeMillis()
+    val prev = lastPrune.getOrDefault(root.getPath, 0L)
+    if (now - prev < 3600L * 1000) return
+    if (!lastPrune.replace(root.getPath, prev, now) &&
+        lastPrune.putIfAbsent(root.getPath, now) != null) return // lost the race: someone else walks
     val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
     Option(root.listFiles()).toSeq.flatten.foreach { e =>
       val marker = new java.io.File(e, "_SUCCESS")

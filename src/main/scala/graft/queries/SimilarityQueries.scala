@@ -288,13 +288,16 @@ object SimilarityQueries {
     * plan construction — never per row.
     */
   private[graft] def lshProbeMasks(radius: Int): Seq[Long] = {
-    val single = (0 until LshBits).map(j => 1L << j)
-    val double = for {
-      i <- 0 until LshBits
-      j <- (i + 1) until LshBits
-    } yield (1L << i) | (1L << j)
-    Seq(0L) ++ (if (radius >= 1) single else Nil) ++
-      (if (radius >= 2) double else Nil)
+    // generic Hamming-r generation (not hand-unrolled per radius): a
+    // future retune to radius 3+ gets the FULL probe set rather than
+    // silently under-probing below the recall that RECALL.md and the
+    // SimilarityPropertySpec floors would then claim
+    require(0 <= radius && radius <= LshBits,
+      s"LSH probe radius $radius outside [0, $LshBits]")
+    (0 to radius).flatMap { d =>
+      (0 until LshBits).combinations(d)
+        .map(_.foldLeft(0L)((m, j) => m | (1L << j))).toSeq.sorted
+    }
   }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =

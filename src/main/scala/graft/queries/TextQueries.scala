@@ -465,7 +465,7 @@ object TextQueries {
     val qtf = tf.filter(col("term").isin(Bm25Terms: _*))
     val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs(spark, dir).agg(count(lit(1)).as("n_total"))
-      .crossJoin(tf.agg(sum(col("tf")).as("sum_dl")))
+      .crossJoin(broadcast(tf.agg(sum(col("tf")).as("sum_dl"))))
     val tfD = col("tf").cast("double")
     val dlD = col("dl").cast("double")
     val avgdl = col("sum_dl").cast("double") / col("n_total").cast("double")

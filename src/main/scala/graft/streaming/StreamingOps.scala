@@ -743,6 +743,15 @@ object StreamingOps {
     * guaranteed batch-exact under any arrival order.
     * No watermark: like [[latestByKey]], the state IS the
     * materialization (one row per ever-seen funnel user).
+    *
+    * STATE-SCHEMA BREAK (round 11): [[ClState]] gained the `dropped`
+    * field (and [[ClOut]] the `lossy_risk` column). A checkpoint written
+    * by the pre-round-11 operator does not decode into the new state
+    * case class — restarting an old query against this build requires a
+    * NEW checkpoint directory (replay the source; the state here is
+    * derived, nothing is lost). Checkpoint continuity across state-shape
+    * changes is out of scope by design: a versioned state codec would
+    * buy it at the cost of hand-rolled serialization for every twin.
     */
   def conversionLagStream(spark: SparkSession, events: DataFrame): Dataset[ClOut] = {
     import spark.implicits._

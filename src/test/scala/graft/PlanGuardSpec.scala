@@ -96,6 +96,39 @@ class PlanGuardSpec extends SparkTestBase {
   private val bnljEnvDependent =
     Set("ivf_balance", "ann_topk", "ann_recall_report")
 
+  test("env-dependent entries: the cache-enabled plan scans the disk artifact, no BNLJ") {
+    // the exemption above must still pin SOMETHING (round-11 advice): in
+    // the default cache-enabled environment each exempted query's plan
+    // must contain a parquet scan of the cache artifact and no BNLJ —
+    // otherwise the entry has gone stale in BOTH environments unnoticed
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE", "/tmp/graft-index-cache")
+    assume(root.nonEmpty, "index cache disabled: BNLJ shape is covered by the allowlist test")
+    bnljEnvDependent.foreach { name =>
+      val exec = SparkEntry.all(name).fn(spark, dir).queryExecution.executedPlan
+      if (!exec.toString.contains("BroadcastNestedLoopJoin")) {
+        // cache usable (the normal case) — pin the intended shape. The
+        // artifact DataFrame is persist()ed, so its parquet scan sits
+        // INSIDE an InMemoryTableScan leaf (and possibly an AQE wrapper)
+        // — traverse through both.
+        def scans(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.collectLeaves().exists {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.relation.location.rootPaths.exists(_.toString.contains(root))
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scans(a.executedPlan)
+            case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              scans(im.relation.cachedPlan)
+            case _ => false
+          }
+        val scansArtifact = scans(exec)
+        assert(scansArtifact,
+          s"$name plans neither a BNLJ nor a parquet scan under $root — " +
+            "its bnljEnvDependent exemption (and allowlist entry) is stale; remove both")
+      } // else: unwritable cache root fell back to the raw build — the
+        // BNLJ itself is covered by the allowlist membership test above
+    }
+  }
+
   test("the allowlist itself is tight: every member still plans a BNLJ") {
     // an allowlist entry whose query no longer needs it is stale — shrink
     // it so the guard stays meaningful

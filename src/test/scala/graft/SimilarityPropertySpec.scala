@@ -268,6 +268,27 @@ class SimilarityPropertySpec extends SparkTestBase {
       f"hard_negatives recall@1 $recall%.3f below floor (probe set mistuned?)")
   }
 
+  test("lshProbeMasks: complete Hamming ball at every radius, not a hand-unrolled cap") {
+    // round-11 advice: the old generator silently capped at radius 2 — a
+    // radius-3 retune would have under-probed below RECALL.md's claim.
+    // Pin the generic generator: exactly sum_{d<=r} C(bits, d) distinct
+    // masks, every popcount <= r, every <=r-bit mask PRESENT.
+    val bits = SimilarityQueries.LshBits
+    def choose(n: Int, k: Int): Int =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i).toInt
+    for (r <- 0 to 3) {
+      val masks = SimilarityQueries.lshProbeMasks(r)
+      val expectSize = (0 to r).map(choose(bits, _)).sum
+      assert(masks.size === expectSize, s"radius $r: incomplete Hamming ball")
+      assert(masks.distinct.size === masks.size, s"radius $r: duplicate masks")
+      assert(masks.forall(m => java.lang.Long.bitCount(m) <= r && m >= 0 &&
+        m < (1L << bits)), s"radius $r: mask outside the ball")
+    }
+    assertThrows[IllegalArgumentException](
+      SimilarityQueries.lshProbeMasks(SimilarityQueries.LshBits + 1))
+    assertThrows[IllegalArgumentException](SimilarityQueries.lshProbeMasks(-1))
+  }
+
   test("gram_matrix: equals the brute-force quantized X^T X; diagonal positive") {
     val dir = sf("sf0.001")
     val got = SimilarityQueries.gramMatrix(spark, dir).collect()

@@ -52,7 +52,12 @@ class StreamingInventorySpec extends AnyFunSuite {
     val words = (20 to 29).map(n => n -> ("twenty" +
       Seq("", "-one", "-two", "-three", "-four", "-five", "-six", "-seven",
         "-eight", "-nine")(n - 20))).toMap
-    val expected = s"all ${words(twins.size)}"
+    // words.get, not words(): a twin count outside the spelled table must
+    // fail with the lint's own message, not a NoSuchElementException
+    val word = words.getOrElse(twins.size, fail(
+      s"twin count ${twins.size} outside the spelled-number table (20-29) — " +
+        "extend `words` to cover it"))
+    val expected = s"all $word"
     assert(survey.contains(expected),
       s"SURVEY.md must say '$expected' in the batch/stream agreement " +
         s"sentence — twins (${twins.size}): ${twins.toSeq.sorted.mkString(", ")}")

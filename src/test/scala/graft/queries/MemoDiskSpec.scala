@@ -76,4 +76,20 @@ class MemoDiskSpec extends SparkTestBase {
     b.run(configKey = "k=1").count()
     assert(b.builds === 2)
   }
+
+  test("README documents the invalidation contract an operator relies on") {
+    // lint-style pointer: the staleness semantics this spec pins are only
+    // usable if an operator can FIND them — the README paragraph must
+    // exist and name the moving parts (env var, epoch, config key,
+    // footprint), or a doc refactor silently orphans the contract
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    Seq("Disk-cache invalidation contract", "SPARK_GRAFT_INDEX_CACHE",
+      "CacheEpoch", "configKey", "footprint").foreach { kw =>
+      assert(readme.contains(kw),
+        s"README.md lost the disk-cache contract keyword '$kw' — " +
+          "keep the operator paragraph in sync with Memo.memoizeDisk")
+    }
+  }
 }
