@@ -204,10 +204,16 @@ object Bench {
     // absolute inflation is noise against the total. The re-timed set is
     // reported under "retimed" so the artifact shows which numbers are
     // min-of-3 vs single-shot. Disable: SPARK_GRAFT_RETIME=0.
+    // SPARK_GRAFT_RETIME=force runs the pass even on a nominally quiet
+    // start: the load gate samples ONE instant, and a busy host can dip
+    // under it for a moment (observed: start load 1.2, +12% totals from
+    // activity resuming mid-run) — a RECORDED bench should force min-of-3.
     val RetimeFloor = 0.3
+    val retimeEnv = sys.env.getOrElse("SPARK_GRAFT_RETIME", "1")
     val jvmsMid = javaProcs()
-    val doRetime = (contended || jvmsMid > jvms0 || loadAvg1m() > hostCpus + GateLoad) &&
-      sys.env.getOrElse("SPARK_GRAFT_RETIME", "1") != "0"
+    val doRetime = retimeEnv == "force" ||
+      ((contended || jvmsMid > jvms0 || loadAvg1m() > hostCpus + GateLoad) &&
+        retimeEnv != "0")
     var retimed = Map.empty[String, Double]
     val finals: Map[String, Double] =
       if (!doRetime) results.toMap
