@@ -1488,13 +1488,18 @@ object RelationalQueries {
   private val PiiIpv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   private val PiiNumRe = "[0-9]+"
 
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+  /** The scrub core over any events relation — shared VERBATIM by the
+    * batch query and the streaming twin (`StreamingOps.piiScrubStream`),
+    * so batch/stream agreement is structural: pure per-row expressions,
+    * no shuffle, no state.
+    */
+  def piiScrubOf(events: DataFrame): DataFrame = {
     def nMatches(e: Column, re: String) =
       size(regexp_extract_all(e, lit(re), lit(0))).cast("long")
     val s1 = regexp_replace(col("props"), PiiEmailRe, "<EMAIL>")
     val s2 = regexp_replace(s1, PiiIpv4Re, "<IP>")
     val s3 = regexp_replace(s2, PiiNumRe, "<NUM>")
-    Tables(spark, dir, "events").select(
+    events.select(
       col("event_id"),
       graft.functions.TextFns
         .hash60(concat(lit("pseud:"), col("user_id").cast("string")))
@@ -1504,6 +1509,9 @@ object RelationalQueries {
       nMatches(s2, PiiNumRe).as("n_num"),
       s3.as("props_scrub"))
   }
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables(spark, dir, "events"))
 
   val piiScrubSql: String = {
     val pseud = Oracle.hash60("'pseud:' || CAST(user_id AS VARCHAR)")

@@ -989,6 +989,22 @@ object StreamingOps {
   def qualityStream(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.qualityOf(docs)
 
+  /** Streaming form of the `pii_scrub` query: events are pseudonymized
+    * and their free-text payloads scrubbed AS THEY ARRIVE — the
+    * ingest-time privacy boundary of a live pipeline (raw identifiers
+    * must never reach the retained/exported sink, so the scrub has to
+    * run ON the ingest path, not as a later batch repair). Shares the
+    * batch scrub core verbatim (`RelationalQueries.piiScrubOf`: salted
+    * user-id hash + the order-deterministic email → IP → digit-run
+    * regex chain, all pure per-row expressions), so the transform is
+    * STATELESS — append mode, no watermark, no state store — and
+    * batch/stream agreement is structural on any input split. Pinned by
+    * StreamingSpec anyway, because "obviously stateless" is exactly what
+    * a refactor to a stateful form would silently break.
+    */
+  def piiScrubStream(events: DataFrame): DataFrame =
+    graft.queries.RelationalQueries.piiScrubOf(events)
+
   /** Streaming form of the `shard_manifest` query: the export manifest
     * maintained LIVE while documents stream into their shards — count,
     * char volume, and the order-free `bit_xor` content checksum per

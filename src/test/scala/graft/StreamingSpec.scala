@@ -492,6 +492,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming PII scrub equals batch pii_scrub (stateless ingest transform)") {
+    val stream = StreamingOps.piiScrubStream(StreamingOps.eventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("pii_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val got = spark.table("pii_stream").collect().map(key).toMap
+    val expected = graft.queries.RelationalQueries.piiScrub(spark, dir)
+      .collect().map(key).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // vacuity guard: the digit-run stage must actually fire on this corpus
+    assert(got.values.exists(_._4 > 0L), "vacuous: no <NUM> scrubs happened")
+  }
+
   test("streaming chunker equals batch chunk_docs (stateless ingest transform)") {
     val stream = StreamingOps.chunkStream(StreamingOps.docStream(spark, dir))
     val q = stream.writeStream
