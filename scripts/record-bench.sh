@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Recorded-bench protocol, in one place (BASELINE.md "Recorded engine
+# BENCH" sections are produced exactly this way):
+#
+#   scripts/record-bench.sh [sf_dir] [out.json]
+#
+# - refuses to start until the 1-min load average is quiet (< 1.5), so
+#   the pre-flight gate never has to convert a busy host;
+# - forces the min-of-3 re-time pass (SPARK_GRAFT_RETIME=force): the
+#   load gate samples one instant, and background work resuming mid-run
+#   showed up as +12% totals on a "quiet" start (round 12);
+# - leaves the JVM prewarm ON (cold numbers profile data work only);
+# - writes the single JSON line to the output file and refuses to keep
+#   an artifact that self-flags "contended":true.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+sf=${1:-/root/testdata/sf0.1}
+out=${2:-/tmp/bench_recorded.json}
+for i in $(seq 1 60); do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  awk "BEGIN{exit !($load < 1.5)}" && break
+  echo "[record-bench] load $load >= 1.5 — waiting ($i/60)" >&2
+  sleep 10
+done
+load=$(cut -d' ' -f1 /proc/loadavg)
+awk "BEGIN{exit !($load < 1.5)}" || {
+  echo "[record-bench] host never went quiet (load $load) — aborting" >&2
+  exit 1
+}
+SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RETIME=force \
+  sbt -batch "runMain graft.Bench" 2>/dev/null |
+  grep -o '{"metric".*}' > "$out"
+if grep -q '"contended":true' "$out"; then
+  echo "[record-bench] run self-flagged contended — do NOT record $out" >&2
+  exit 1
+fi
+echo "[record-bench] recorded $(python3 -c "
+import json,sys; d=json.load(open('$out'))
+print(f\"warm {d['value']:.1f}s / cold {d.get('cold_total',-1):.1f}s / {len(d['queries'])} queries\")")" >&2
+echo "$out"
