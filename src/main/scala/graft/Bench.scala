@@ -30,6 +30,21 @@ import org.apache.spark.sql.functions._
   * classloading; its cost is reported as "prewarm_sec".
   */
 object Bench {
+  /** Pure re-time decision, extracted so the protocol is test-pinnable
+    * without forking a bench JVM (BenchProtocolSpec): `force` always
+    * re-times (recorded runs — the load gate samples one instant and a
+    * busy host can dip under it), `0` never does, and the default
+    * re-times when the run was contended at start, a competing JVM
+    * appeared mid-run, or end load exceeds what this bench alone can
+    * cause (its own threads push 1-min load toward hostCpus, never past
+    * hostCpus + gate headroom on an otherwise-idle host).
+    */
+  private[graft] def shouldRetime(envVal: String, contended: Boolean,
+      jvmsGrew: Boolean, loadEnd: Double, hostCpus: Int,
+      gateLoad: Double): Boolean =
+    envVal == "force" ||
+      ((contended || jvmsGrew || loadEnd > hostCpus + gateLoad) && envVal != "0")
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -211,9 +226,8 @@ object Bench {
     val RetimeFloor = 0.3
     val retimeEnv = sys.env.getOrElse("SPARK_GRAFT_RETIME", "1")
     val jvmsMid = javaProcs()
-    val doRetime = retimeEnv == "force" ||
-      ((contended || jvmsMid > jvms0 || loadAvg1m() > hostCpus + GateLoad) &&
-        retimeEnv != "0")
+    val doRetime = shouldRetime(retimeEnv, contended, jvmsMid > jvms0,
+      loadAvg1m(), hostCpus, GateLoad)
     var retimed = Map.empty[String, Double]
     val finals: Map[String, Double] =
       if (!doRetime) results.toMap

