@@ -238,10 +238,14 @@ object Bench {
         results.toMap.map { case (name, t1) =>
           if (t1 <= RetimeFloor || errs.exists(_._1 == name)) name -> t1
           else {
-            val reruns = (1 to 2).map { _ =>
+            // only SUCCESSFUL reruns count toward the min — a flaky
+            // failure can return faster than the real work and would
+            // otherwise under-report the query
+            val reruns = (1 to 2).flatMap { _ =>
               val r0 = System.nanoTime()
-              try run(picked(name)) catch { case _: Throwable => () }
-              (System.nanoTime() - r0) / 1e9
+              val ok = try { run(picked(name)); true }
+              catch { case _: Throwable => false }
+              if (ok) Some((System.nanoTime() - r0) / 1e9) else None
             }
             val best = (t1 +: reruns).min
             retimed += name -> best
