@@ -58,21 +58,29 @@ object RecallSweep {
       println(f"$label%-34s recall@10=$r%.3f first=$first%.2fs warm=$warm%.2fs")
     }
 
-    for (tables <- Seq(1, 2); radius <- Seq(0, 1, 2)) {
-      val nProbes = 1 +
-        (if (radius >= 1) SimilarityQueries.LshBits else 0) +
-        (if (radius >= 2) SimilarityQueries.LshBits * (SimilarityQueries.LshBits - 1) / 2 else 0)
-      val scanFrac = 1.0 - math.pow(1.0 - nProbes.toDouble / (1 << SimilarityQueries.LshBits), tables)
-      timed(f"ann_lsh tables=$tables radius=$radius ($nProbes%2d probes/tbl, ~${scanFrac * 100}%.1f%% scanned)",
-        SimilarityQueries.annLshProbe(spark, sfDir, radius, tables))
-    }
+    // optional arg: sweep only one family ("lsh" | "ivf" | "pq") — a
+    // retune session usually moves one knob and should not pay for the
+    // whole grid
+    val family = args.headOption
+    def want(f: String) = family.forall(_ == f)
+
+    if (want("lsh"))
+      // radius grid driven by the SAME generic mask generator the query
+      // uses (lshProbeMasks), so the sweep can never claim a probe count
+      // the operator would not actually issue
+      for (tables <- Seq(1, 2); radius <- 0 to 3) {
+        val nProbes = SimilarityQueries.lshProbeMasks(radius).size
+        val scanFrac = 1.0 - math.pow(1.0 - nProbes.toDouble / (1 << SimilarityQueries.LshBits), tables)
+        timed(f"ann_lsh tables=$tables radius=$radius ($nProbes%2d probes/tbl, ~${scanFrac * 100}%.1f%% scanned)",
+          SimilarityQueries.annLshProbe(spark, sfDir, radius, tables))
+      }
 
     val nprobes = Seq(2, 4, 8, 12, 16, 24, 32)
-    nprobes.foreach { np =>
+    if (want("ivf")) nprobes.foreach { np =>
       timed(f"ann_ivf_kmeans nprobe=$np%-3d (${np * 100.0 / SimilarityQueries.IvfC}%.0f%% lists)",
         SimilarityQueries.annIvfKmeansProbe(spark, sfDir, np))
     }
-    nprobes.foreach { np =>
+    if (want("pq")) nprobes.foreach { np =>
       Seq(50, 100).foreach { r =>
         timed(f"ann_ivfpq_rerank nprobe=$np%-3d R=$r%-4d",
           SimilarityQueries.annIvfPqRerankProbe(spark, sfDir, np, r))
