@@ -27,9 +27,19 @@ awk "BEGIN{exit !($load < 1.5)}" || {
   echo "[record-bench] host never went quiet (load $load) — aborting" >&2
   exit 1
 }
+# A failed run (query error -> nonzero sbt exit under pipefail) must not
+# leave a recordable-looking artifact: rename whatever was written to
+# .failed and point at the stderr log instead of exiting silently.
+log="${out%.json}.stderr.log"
+on_err() {
+  [ -s "$out" ] && mv "$out" "$out.failed"
+  echo "[record-bench] bench FAILED — partial artifact (if any) moved to $out.failed; diagnostics in $log" >&2
+}
+trap on_err ERR
 SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RETIME=force \
-  sbt -batch "runMain graft.Bench" 2>/dev/null |
+  sbt -batch "runMain graft.Bench" 2>"$log" |
   grep -o '{"metric".*}' > "$out"
+trap - ERR
 if grep -q '"contended":true' "$out"; then
   echo "[record-bench] run self-flagged contended — do NOT record $out" >&2
   exit 1

@@ -36,14 +36,18 @@ object Bench {
     * busy host can dip under it), `0` never does, and the default
     * re-times when the run was contended at start, a competing JVM
     * appeared mid-run, or end load exceeds what this bench alone can
-    * cause (its own threads push 1-min load toward hostCpus, never past
-    * hostCpus + gate headroom on an otherwise-idle host).
+    * cause. `benchCpus` is the bench's OWN executor-thread count
+    * (min(SPARK_GRAFT_CPUS, host cores), computed at the call site) —
+    * the bench only drives load toward local[cpus], so on a host with
+    * more cores than cpus a hostCpus-based threshold would silently
+    * attribute mid-run contention up to hostCpus+gate to the bench and
+    * never fire (round-12 advice).
     */
   private[graft] def shouldRetime(envVal: String, contended: Boolean,
-      jvmsGrew: Boolean, loadEnd: Double, hostCpus: Int,
+      jvmsGrew: Boolean, loadEnd: Double, benchCpus: Int,
       gateLoad: Double): Boolean =
     envVal == "force" ||
-      ((contended || jvmsGrew || loadEnd > hostCpus + gateLoad) && envVal != "0")
+      ((contended || jvmsGrew || loadEnd > benchCpus + gateLoad) && envVal != "0")
 
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
@@ -226,8 +230,11 @@ object Bench {
     val RetimeFloor = 0.3
     val retimeEnv = sys.env.getOrElse("SPARK_GRAFT_RETIME", "1")
     val jvmsMid = javaProcs()
+    // the bench's own contribution to load is bounded by its local[cpus]
+    // threads, not the host's core count — see shouldRetime's scaladoc
+    val benchCpus = math.min(cpus.toIntOption.getOrElse(hostCpus), hostCpus)
     val doRetime = shouldRetime(retimeEnv, contended, jvmsMid > jvms0,
-      loadAvg1m(), hostCpus, GateLoad)
+      loadAvg1m(), benchCpus, GateLoad)
     var retimed = Map.empty[String, Double]
     val finals: Map[String, Double] =
       if (!doRetime) results.toMap

@@ -60,8 +60,18 @@ object RecallSweep {
 
     // optional arg: sweep only one family ("lsh" | "ivf" | "pq") — a
     // retune session usually moves one knob and should not pay for the
-    // whole grid
+    // whole grid. Unknown names are an ERROR, not a silent empty sweep
+    // (a typo like "lhs" would otherwise make want() false for every
+    // family, run nothing, and exit 0 — the same failure mode Bench's
+    // unknown-query guard exists for).
+    val Families = Set("lsh", "ivf", "pq")
     val family = args.headOption
+    family.filterNot(Families).foreach { f =>
+      System.err.println(
+        s"[sweep] unknown family '$f' — known: ${Families.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     def want(f: String) = family.forall(_ == f)
 
     if (want("lsh"))
