@@ -91,7 +91,7 @@ object RecallSweep {
         SimilarityQueries.annIvfKmeansProbe(spark, sfDir, np))
     }
     if (want("pq")) nprobes.foreach { np =>
-      Seq(50, 100).foreach { r =>
+      Seq(25, 50, 100).foreach { r =>
         timed(f"ann_ivfpq_rerank nprobe=$np%-3d R=$r%-4d",
           SimilarityQueries.annIvfPqRerankProbe(spark, sfDir, np, r))
       }

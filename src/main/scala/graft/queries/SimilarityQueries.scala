@@ -303,11 +303,14 @@ object SimilarityQueries {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLshProbe(spark, dir, LshRadius, LshTables)
 
-  /** (radius, tables)-parameterized form backing [[annLsh]] and the
-    * RecallSweep grid — identical plan shape at every setting, only the
-    * size of the constant (table, probe-mask) array changes.
+  /** Candidate-pair stage of the (radius, tables)-parameterized LSH
+    * search backing [[annLshProbe]] — identical plan shape at every
+    * setting, only the size of the constant (table, probe-mask) array
+    * changes. Exposed separately so [[annRecallReport]] can count the
+    * exact-scored candidate set (the deduped pairs — the same set the
+    * RECALL.md "~X% scanned" figures describe).
     */
-  def annLshProbe(spark: SparkSession, dir: String, radius: Int,
+  private def lshCandidates(spark: SparkSession, dir: String, radius: Int,
       tables: Int = 1): DataFrame = {
     val masks = lshProbeMasks(radius)
     // per-table buckets computed ONCE per row, before the probe explode
@@ -336,12 +339,15 @@ object SimilarityQueries {
     // parallelism (bucket count is the join's max fan-out) — probe count
     // grows O(tables·LshBits²) at radius 2 while the scanned fraction
     // falls O(LshBits²/2^LshBits) per table.
-    val cand = q.hint("shuffle_hash").join(c,
+    q.hint("shuffle_hash").join(c,
       col("qtbl") === col("ctbl") && col("pb") === col("cb") &&
         col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    ranked(cand)
   }
+
+  def annLshProbe(spark: SparkSession, dir: String, radius: Int,
+      tables: Int = 1): DataFrame =
+    ranked(lshCandidates(spark, dir, radius, tables))
 
   private val bucketSql: String =
     (0 until LshBits)
@@ -633,15 +639,22 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("cidx"), col("v").as("qv"), col("nrm").as("qn"))
   }
 
+  /** Candidate-pair stage of the IVF search (probes ⋈ inverted lists) —
+    * exposed separately so [[annRecallReport]] can count the scanned set.
+    * Shuffle-hash join on cidx, NOT broadcast(probes): the probe side
+    * is O(corpus·Nprobe/QueryMod) and grows unboundedly; the centroid
+    * broadcast inside the helpers is O(IvfC) — constant — by
+    * construction.
+    */
+  private def ivfCandidates(spark: SparkSession, dir: String, cents: DataFrame,
+      listsMemo: Memo.Table, diskLabel: String, nprobe: Int = Nprobe): DataFrame =
+    ivfProbes(spark, dir, cents, nprobe).hint("shuffle_hash")
+      .join(ivfAssigned(spark, dir, cents, listsMemo, diskLabel), Seq("cidx"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+
   private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
       listsMemo: Memo.Table, diskLabel: String, nprobe: Int = Nprobe): DataFrame =
-    // Shuffle-hash join on cidx, NOT broadcast(probes): the probe side
-    // is O(corpus·Nprobe/QueryMod) and grows unboundedly; the centroid
-    // broadcast inside the helpers is O(IvfC) — constant — by
-    // construction.
-    ranked(ivfProbes(spark, dir, cents, nprobe).hint("shuffle_hash")
-      .join(ivfAssigned(spark, dir, cents, listsMemo, diskLabel), Seq("cidx"))
-      .filter(col("query_id") =!= col("neighbor_id")))
+    ranked(ivfCandidates(spark, dir, cents, listsMemo, diskLabel, nprobe))
 
   /** Sweep hook (dev + property tests): [[annIvfKmeans]] at an arbitrary
     * probe depth, sharing every memoized index artifact.
@@ -862,7 +875,7 @@ object SimilarityQueries {
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the 64-dim
     * vector splits into [[PqM]] contiguous subvectors; each subvector is
     * vector-quantized against a [[PqK]]-entry sub-codebook; a corpus
-    * vector is then just [[PqM]] small codes (8 bytes here vs 256+ for the
+    * vector is then just [[PqM]] small codes (16 bytes here vs 256+ for the
     * raw floats — PQ's role at 100 TB is COMPRESSION: the whole corpus'
     * codes fit in memory where the vectors don't). Search is ADC
     * (asymmetric distance): per query, precompute the PqM×PqK table of
@@ -888,14 +901,22 @@ object SimilarityQueries {
     * the IVF probe lists (IVFADC) when even a compressed full scan is too
     * much.
     */
-  val PqM = 8
+  val PqM = 16
   val PqSub = KmDim / PqM
-  /** 256 sub-centroids = 8-bit codes → the standard PQ8×8 layout (8 bytes
-    * per vector). Measured recall@10 on the near-uniform sf0.1 corpus:
-    * 0.385 with 2-step Lloyd-refined sub-codebooks (0.380 at 1 step,
-    * 0.265 hash-sampled, 0.090 at K=16) — quantization distortion
-    * dominates recall here, so training the sub-codebooks pays for
-    * itself; the codes stay 8 bytes either way.
+  /** 256 sub-centroids = 8-bit codes → the standard PQ16×8 layout
+    * (16 bytes per vector, 16× smaller than the 256-byte raw floats).
+    * M is the capacity knob that matters on THIS corpus: the embeddings
+    * are near-uniform on the unit sphere, so the coarse quantizer removes
+    * only ~14% of the variance (measured residual variance 0.86 vs raw
+    * 1.0; mean centroid norm 0.38) and recall is quantization-capacity
+    * limited — the round-12 PQ8×8 point measured 0.385 full-scan /
+    * 0.365 IVFADC recall@10 no matter what was encoded. Doubling M
+    * (PqSub 8 → 4 per subspace) roughly halves per-subspace distortion;
+    * measured full-scan recall@10 at PQ16×8 with the 2-step Lloyd
+    * sub-codebooks is recorded in RECALL.md. A clustered production
+    * corpus bends the other way: residuals shrink, and M can drop back
+    * toward 8 for the same recall — M is a per-deployment knob like
+    * Nprobe.
     */
   val PqK = 256
 
@@ -933,29 +954,38 @@ object SimilarityQueries {
     * is memoized index-BUILD cost.
     */
   private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoizeDisk(pqCodebookMemo, spark, dir, "pq_codebook", pqConfigKey) {
-      val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
-      val init0 = quantized(emb(spark, dir)).withColumn("ch", ch)
-        .orderBy(col("ch").asc, col("vec_id").asc).limit(PqK)
-        .withColumn("cj",
-          row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
-        .select(col("cj"), col("qv").as("qc"))
-      // per-subspace view of init and corpus: (m, cj, sc) / (vec_id, m, sv)
-      val subSlice = (src: Column) =>
-        slice(src, (col("m") * PqSub + 1).cast("int"), lit(PqSub))
-      val init = init0
-        .select(col("cj"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qc"))
-        .select(col("m"), col("cj"), subSlice(col("qc")).as("sc"))
-      val eqSubs = quantized(emb(spark, dir))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
-        .select(col("vec_id"), col("m"), subSlice(col("qv")).as("sv"))
-      val refined = (1 to PqIters).foldLeft(init)((c, _) => pqLloydStep(eqSubs, c))
-      // reassemble (m, cj, sc) blocks into the full-vector layout
-      refined.groupBy(col("cj"))
-        .agg(sort_array(collect_list(struct(col("m"), col("sc")))).as("ms"))
-        .select(col("cj"),
-          flatten(transform(col("ms"), x => x.getField("sc"))).as("qc"))
-    }
+    Memo.memoizeDisk(pqCodebookMemo, spark, dir, "pq_codebook", pqConfigKey)(
+      trainPqCodebook(quantized(emb(spark, dir)).select(col("vec_id"), col("qv"))))
+
+  /** The PQ training loop over ANY (vec_id, qv) integer-vector source —
+    * shared verbatim by the raw-vector sub-codebooks ([[annPq]]'s full
+    * compressed scan) and the RESIDUAL sub-codebooks ([[annIvfPq]]'s
+    * IVFADC), so the two quantizers can never drift in training
+    * semantics; only the vectors they are trained ON differ.
+    */
+  private def trainPqCodebook(src: DataFrame): DataFrame = {
+    val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
+    val init0 = src.withColumn("ch", ch)
+      .orderBy(col("ch").asc, col("vec_id").asc).limit(PqK)
+      .withColumn("cj",
+        row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
+      .select(col("cj"), col("qv").as("qc"))
+    // per-subspace view of init and corpus: (m, cj, sc) / (vec_id, m, sv)
+    val subSlice = (c: Column) =>
+      slice(c, (col("m") * PqSub + 1).cast("int"), lit(PqSub))
+    val init = init0
+      .select(col("cj"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qc"))
+      .select(col("m"), col("cj"), subSlice(col("qc")).as("sc"))
+    val eqSubs = src
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"), subSlice(col("qv")).as("sv"))
+    val refined = (1 to PqIters).foldLeft(init)((c, _) => pqLloydStep(eqSubs, c))
+    // reassemble (m, cj, sc) blocks into the full-vector layout
+    refined.groupBy(col("cj"))
+      .agg(sort_array(collect_list(struct(col("m"), col("sc")))).as("ms"))
+      .select(col("cj"),
+        flatten(transform(col("ms"), x => x.getField("sc"))).as("qc"))
+  }
 
   /** One Lloyd step over all subspaces at once: assign every (vector,
     * subspace) to its nearest (m, cj) sub-centroid — equi-join on m +
@@ -993,33 +1023,38 @@ object SimilarityQueries {
     }.reduceLeft(_ + _)
 
   /** (vec_id, m, cj, d): distance of every vector's subspace-m subvector
-    * to every sub-centroid — the shared base of encoding (argmin over cj)
-    * and the query distance tables (all cj kept).
+    * to every sub-centroid of `cb` — the shared base of encoding (argmin
+    * over cj) and the query distance tables (all cj kept). `cb` is an
+    * O(PqK)-row codebook, always broadcast.
     */
-  private def pqDistances(spark: SparkSession, dir: String, side: DataFrame): DataFrame =
+  private def pqDistances(side: DataFrame, cb: DataFrame): DataFrame =
     side
       .select(col("vec_id"), col("qv"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
-      .crossJoin(broadcast(pqCodebook(spark, dir)))
+      .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("m"), col("cj"),
         pqSubDist(col("qv"), col("qc"), col("m")).as("d"))
 
-  /** The PQ index: one row per corpus vector, codes = array of PqM codes.
-    * d·(2·PqK)+cj packs (d asc, cj asc) into one long (d < 2^45,
+  /** Encode (vec_id, m, cj, d) distances into one codes row per vector.
+    * d·(2·PqK)+cj packs (d asc, cj asc) into one long (d < 2^50,
     * cj ≤ PqK) so the per-(vector, subspace) argmin stays a HashAggregate.
     */
+  private def encodeCodes(dists: DataFrame): DataFrame = {
+    val enc = dists
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cj"), col("d") * lit(2L * PqK) + col("cj")).as("cj"))
+    val pivots = (0 until PqM).map(m =>
+      max(when(col("m") === m, col("cj"))).as(s"c$m"))
+    enc.groupBy(col("vec_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("vec_id"),
+        array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
+  }
+
+  /** The PQ index: one row per corpus vector, codes = array of PqM codes. */
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoizeDisk(pqCodesMemo, spark, dir, "pq_codes", pqConfigKey) {
-      val enc = pqDistances(spark, dir, quantized(emb(spark, dir)))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("cj"), col("d") * lit(2L * PqK) + col("cj")).as("cj"))
-      val pivots = (0 until PqM).map(m =>
-        max(when(col("m") === m, col("cj"))).as(s"c$m"))
-      enc.groupBy(col("vec_id"))
-        .agg(pivots.head, pivots.tail: _*)
-        .select(col("vec_id"),
-          array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
-    }
+    Memo.memoizeDisk(pqCodesMemo, spark, dir, "pq_codes", pqConfigKey)(
+      encodeCodes(pqDistances(quantized(emb(spark, dir)), pqCodebook(spark, dir))))
 
   /** Query-side ADC tables (query_id, tds): tds = the PqM×PqK distances
     * flattened in (m, cj) order — entry for (m, cj) sits at 1-based index
@@ -1031,8 +1066,9 @@ object SimilarityQueries {
     * touches each group once.
     */
   private def pqQueryTables(spark: SparkSession, dir: String): DataFrame =
-    pqDistances(spark, dir,
-      quantized(emb(spark, dir)).filter(col("vec_id") % QueryMod === 0))
+    pqDistances(
+      quantized(emb(spark, dir)).filter(col("vec_id") % QueryMod === 0),
+      pqCodebook(spark, dir))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(
         (col("m") * PqK + col("cj")).as("key"), col("d")))).as("kd"))
@@ -1076,18 +1112,19 @@ object SimilarityQueries {
     pqRank(joined)
   }
 
-  /** The PQ CTE chain AFTER `eq` (cb0 → Lloyd steps → cb, then
-    * ed/codes/qd): requires an `eq` CTE with at least (vec_id, qv) in
-    * scope. Stacked on the plain quantized `eq` by the full-scan oracle
-    * and on [[kmCentSqlCtes]]'s richer `eq` by the IVFADC oracle, so
-    * encode/table semantics cannot drift between them. Mirrors
+  /** The PQ train+encode CTE chain over a (vec_id, qv) source CTE named
+    * `src` (cb0 → Lloyd steps → cb, then ed/codes). Generated ONCE and
+    * instantiated on the plain quantized `eq` by the full-scan oracle and
+    * on the residual table `rq` by the IVFADC oracle, so training/encode
+    * semantics cannot drift between the two — the same sharing
+    * [[trainPqCodebook]] gives the Spark side. Mirrors
     * [[pqCodebook]]/[[pqLloydStep]]: integer sub-distances, argmin by
     * (d, cj), re-quantized integer centroid means, empty clusters keep
     * the previous centroid, blocks reassembled in m order.
     */
-  private val pqSqlCtesAfterEq: String = {
+  private def pqSqlCtesOver(src: String): String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
-    def sq(cbn: String) =
+    val sq =
       s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
     val sumCols = (1 to PqSub)
       .map(i => s"sum(t.qv[a.m*$PqSub+$i]) AS s$i").mkString(", ")
@@ -1098,10 +1135,10 @@ object SimilarityQueries {
       val prev = s"cb${n - 1}"
       s"""pa$n AS (SELECT t.vec_id, s.m, c.cj,
          |                row_number() OVER (PARTITION BY t.vec_id, s.m
-         |                  ORDER BY list_sum([${sq(prev)} for i in generate_series(1, $PqSub)]), c.cj) AS rn
-         |         FROM eq t CROSS JOIN sub s CROSS JOIN $prev c),
+         |                  ORDER BY list_sum([$sq for i in generate_series(1, $PqSub)]), c.cj) AS rn
+         |         FROM $src t CROSS JOIN sub s CROSS JOIN $prev c),
          |ps$n AS (SELECT a.m, a.cj, count(*) AS cnt, $sumCols
-         |         FROM pa$n a JOIN eq t ON t.vec_id = a.vec_id
+         |         FROM pa$n a JOIN $src t ON t.vec_id = a.vec_id
          |         WHERE a.rn = 1 GROUP BY a.m, a.cj),
          |pm$n AS (SELECT s.m, c.cj,
          |                CASE WHEN p.cnt IS NULL THEN c.qc[s.m*$PqSub+1 : s.m*$PqSub+$PqSub]
@@ -1113,18 +1150,17 @@ object SimilarityQueries {
     }
     s"""cb0 AS (SELECT qv AS qc,
        |              CAST(row_number() OVER (ORDER BY $ch, vec_id) AS BIGINT) AS cj
-       |       FROM eq QUALIFY cj <= $PqK),
+       |       FROM $src QUALIFY cj <= $PqK),
        |sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
        |${(1 to PqIters).map(step).mkString(",\n")},
        |cb AS (SELECT cj, qc FROM cb$PqIters),
        |ed AS (SELECT t.vec_id, s.m, c.cj,
-       |              list_sum([${sq("cb")} for i in generate_series(1, $PqSub)]) AS d
-       |       FROM eq t CROSS JOIN sub s CROSS JOIN cb c),
+       |              list_sum([$sq for i in generate_series(1, $PqSub)]) AS d
+       |       FROM $src t CROSS JOIN sub s CROSS JOIN cb c),
        |codes AS (SELECT vec_id, m, cj FROM (
        |            SELECT vec_id, m, cj,
        |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cj) AS rn
-       |            FROM ed) WHERE rn = 1),
-       |qd AS (SELECT * FROM ed WHERE vec_id % $QueryMod = 0)""".stripMargin
+       |            FROM ed) WHERE rn = 1)""".stripMargin
   }
 
   private val pqSqlCtes: String = {
@@ -1132,7 +1168,8 @@ object SimilarityQueries {
       s"[CAST(floor(v[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
     s"""$embCte,
        |eq AS (SELECT vec_id, $qvList AS qv FROM e),
-       |$pqSqlCtesAfterEq""".stripMargin
+       |${pqSqlCtesOver("eq")},
+       |qd AS (SELECT * FROM ed WHERE vec_id % $QueryMod = 0)""".stripMargin
   }
 
   private val pqSqlRank: String =
@@ -1151,84 +1188,171 @@ object SimilarityQueries {
        |$pqSqlRank""".stripMargin
 
   // --------------------------------------------------------------- ann_ivfpq
-  /** `ann_ivfpq` — IVFADC (Jégou et al. 2011, §IV): the composition of the
-    * two ANN index halves this engine already builds. IVF prunes WHICH
-    * candidates to score (each query reads only its Nprobe inverted
-    * lists, ~Nprobe/IvfC of the corpus); PQ compresses HOW each candidate
-    * is scored (8 integer table lookups against an 8-byte code instead of
-    * a 64-dim double dot). This is the standard billion-scale ANN layout:
-    * at 100 TB the raw vectors never enter the search path at all — the
-    * probe join touches the (cidx, neighbor_id, codes) index, whose codes
-    * are ~30× smaller than the vectors they stand for.
+  /** `ann_ivfpq` — IVFADC with RESIDUAL encoding (Jégou et al. 2011,
+    * §III-IV — see reference survey row; "the residual vector r(y) =
+    * y − q_c(y) is encoded" is the defining step of IVFADC, not an
+    * optional refinement): IVF prunes WHICH candidates to score (each
+    * query reads only its Nprobe inverted lists, ~Nprobe/IvfC of the
+    * corpus); PQ compresses HOW each candidate is scored — but what gets
+    * PQ-encoded is the residual x − c(x) against the vector's assigned
+    * Lloyd-refined coarse centroid, NOT the raw vector. Residuals have a
+    * fraction of the raw vectors' variance (the coarse quantizer removed
+    * the rest), so the same PqM×PqK budget spends its quantization cells
+    * on a much smaller ball — the round-12 raw-code variant measured
+    * recall@10 0.365 against the 0.735 candidate ceiling, and residual
+    * encoding exists to close exactly that gap. The query side pays the
+    * standard IVFADC price: one PqM×PqK ADC table PER PROBED LIST (the
+    * query's residual differs per centroid), i.e. nq·Nprobe tables
+    * instead of nq — still O(1) per (query, list) and tiny next to the
+    * list scans they replace.
     *
-    * Both index halves are the SAME memoized artifacts the component
-    * queries build — the lists from ann_ivf's assignment, the codes and
-    * query tables from ann_pq — so the composition adds one join at index
-    * build and nothing per query. A candidate sits in exactly one list
-    * and probe lists are distinct, so no (query, candidate) pair is
-    * scored twice. Same exact-BIGINT adist as ann_pq; same shuffle-hash
-    * probe join on cidx as ann_ivf (probe side grows with the corpus —
-    * never broadcast).
+    * Residual arithmetic stays engine-exact end to end: centroids are the
+    * integer-derived doubles of [[kmeansCodebook]], re-quantized to
+    * integers by one exactly-rounded floor(cv·2^20 + 0.5) per component
+    * ([[qCentroids]]), so residuals are differences of exact BIGINTs and
+    * every sub-distance/adist/rank below them is associative integer
+    * arithmetic the oracle reproduces bit-for-bit.
+    *
+    * Index shape at 100 TB is unchanged from the raw-code variant: the
+    * search path touches only (cidx, neighbor_id, codes) — 16-byte codes,
+    * 16× smaller than the vectors — via a shuffle-hash probe join on
+    * cidx (probe side grows with the corpus — never broadcast). The
+    * residual sub-codebooks are ONE shared PqM×PqK table (Jégou §III's
+    * memory-bounded choice), trained by the same [[trainPqCodebook]]
+    * loop as ann_pq's, just on residual vectors.
     */
-  private val ivfPqMemo = Memo.table()
+  private val rpqCodebookMemo = Memo.table()
+  private val rIvfPqMemo = Memo.table()
+  private val residualsMemo = Memo.table()
 
-  /** The IVFADC index uses the Lloyd-REFINED coarse quantizer (the
-    * production pairing — FAISS's IVFx,PQy trains its coarse quantizer;
-    * list balance is what bounds per-probe work at scale). The assignment
-    * lists are the SAME memoized artifact ann_ivf_kmeans searches
-    * (kmListsMemo), so the composition still adds only the codes join.
-    * Measured recall@10 on sf0.1 at the committed Nprobe=24 is recorded
-    * in RECALL.md and floored in SimilarityPropertySpec: the raw ADC
-    * ranks sit between PQ distortion and the probed lists' candidate
-    * ceiling (0.735); the re-rank variant recovers most of the gap.
+  /** The Lloyd coarse centroids re-quantized to the integer domain
+    * (cidx, qc): one exactly-rounded floor per component of an
+    * engine-identical double → engine-identical BIGINTs.
     */
-  private def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoizeDisk(ivfPqMemo, spark, dir, "ivfpq_index",
+  private def qCentroids(spark: SparkSession, dir: String): DataFrame =
+    kmeansCodebook(spark, dir).select(col("cidx"),
+      transform(col("cv2"), x => floor(x * QScale + lit(0.5))).as("qc"))
+
+  /** (vec_id, cidx, qv): each corpus vector's exact integer residual
+    * against its assigned coarse centroid — the vectors IVFADC actually
+    * encodes. Memoized in-memory (feeds both the residual-codebook build
+    * and the encode pass); the derived artifacts are disk-cached.
+    */
+  private def residuals(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoize(residualsMemo, spark, dir) {
+      kmIndexLists(spark, dir).select(col("neighbor_id").as("vec_id"), col("cidx"))
+        .join(quantized(emb(spark, dir)).select(col("vec_id"), col("qv")), Seq("vec_id"))
+        .join(broadcast(qCentroids(spark, dir)), Seq("cidx"))
+        .select(col("vec_id"), col("cidx"),
+          zip_with(col("qv"), col("qc"), (a, b) => a - b).as("qv"))
+    }
+
+  /** Residual sub-codebooks: the same hash-sampled-init + Lloyd training
+    * loop as [[pqCodebook]], run on residuals.
+    */
+  private def rpqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoizeDisk(rpqCodebookMemo, spark, dir, "rpq_codebook",
+      s"$ivfConfigKey $pqConfigKey")(
+      trainPqCodebook(residuals(spark, dir).select(col("vec_id"), col("qv"))))
+
+  /** The IVFADC index: (cidx, neighbor_id, codes) with codes = the PqM
+    * residual codes. One disk-cached artifact — at 100 TB this table IS
+    * the in-memory index a probe fleet serves from.
+    */
+  private def ivfPqResIndex(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoizeDisk(rIvfPqMemo, spark, dir, "ivfpq_res_index",
       s"$ivfConfigKey $pqConfigKey") {
-      ivfAssigned(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
-          "ivf_lists_kmeans")
-        .select(col("cidx"), col("neighbor_id"))
-        .join(pqCodes(spark, dir).withColumnRenamed("vec_id", "neighbor_id"),
+      val r = residuals(spark, dir)
+      encodeCodes(pqDistances(r, rpqCodebook(spark, dir)))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(r.select(col("vec_id").as("neighbor_id"), col("cidx")),
           Seq("neighbor_id"))
     }
 
+  /** Query-side ADC tables, one per (query, probed list): the query's
+    * residual against THAT list's centroid, tabulated against the
+    * residual sub-codebooks. (query_id, cidx, tds) with tds laid out
+    * exactly like [[pqQueryTables]]' so [[pqRank]] scores both variants.
+    */
+  private def rpqQueryTables(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val qInt = quantized(emb(spark, dir)).filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qvi"))
+    val qres = ivfProbes(spark, dir, kmeansCodebook(spark, dir), nprobe)
+      .select(col("query_id"), col("cidx"))
+      .join(qInt, Seq("query_id"))
+      .join(broadcast(qCentroids(spark, dir)), Seq("cidx"))
+      .select(col("query_id"), col("cidx"),
+        zip_with(col("qvi"), col("qc"), (a, b) => a - b).as("qv"))
+    qres
+      .select(col("query_id"), col("cidx"), col("qv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .crossJoin(broadcast(rpqCodebook(spark, dir)))
+      .select(col("query_id"), col("cidx"), col("m"), col("cj"),
+        pqSubDist(col("qv"), col("qc"), col("m")).as("d"))
+      .groupBy(col("query_id"), col("cidx"))
+      .agg(sort_array(collect_list(struct(
+        (col("m") * PqK + col("cj")).as("key"), col("d")))).as("kd"))
+      .select(col("query_id"), col("cidx"),
+        transform(col("kd"), x => x.getField("d")).as("tds"))
+  }
+
   /** The IVFADC candidate stage shared by [[annIvfPq]] (k = TopK, result
     * ranks ARE the ADC ranks) and [[annIvfPqRerank]] (k = RerankR,
-    * candidates only): probes ⋈ (lists ⋈ codes) shuffle-hash on cidx, ADC
-    * scoring, top-k per query.
+    * candidates only): per-(query, list) tables ⋈ (lists ⋈ residual
+    * codes) shuffle-hash on cidx, ADC scoring, top-k per query. A
+    * candidate sits in exactly one list and probe lists are distinct, so
+    * no (query, candidate) pair is scored twice.
     */
   private def ivfPqAdc(spark: SparkSession, dir: String, k: Int,
-      nprobe: Int = Nprobe): DataFrame = {
-    val p = ivfProbes(spark, dir, kmeansCodebook(spark, dir), nprobe)
-      .select(col("query_id"), col("cidx"))
-      .join(pqQueryTables(spark, dir), Seq("query_id"))
-    pqRank(p.hint("shuffle_hash").join(ivfPqIndex(spark, dir), Seq("cidx"))
+      nprobe: Int = Nprobe): DataFrame =
+    pqRank(rpqQueryTables(spark, dir, nprobe).hint("shuffle_hash")
+      .join(ivfPqResIndex(spark, dir), Seq("cidx"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
-  }
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
     ivfPqAdc(spark, dir, TopK)
 
-  /** The probe/assign/ADC CTE chain shared by the IVFADC oracle and its
-    * re-rank twin: everything up to `ad` (query_id, neighbor_id, adist).
+  /** The residual probe/assign/encode/ADC CTE chain shared by the IVFADC
+    * oracle and its re-rank twin: everything up to `ad` (query_id,
+    * neighbor_id, adist). Mirrors the Spark build step for step: quantized
+    * centroids, per-vector residuals, residual sub-codebook training
+    * ([[pqSqlCtesOver]] on `rq` — the SAME generated chain ann_pq uses on
+    * `eq`), residual encoding, per-(query, probed list) tables.
     */
   private val ivfPqAdcSqlCtes: String = {
     val cent = s"cent$KmIters"
+    val qcList =
+      s"[CAST(floor(cv[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
+    val resList = s"[eq.qv[i] - qc.qc[i] for i in generate_series(1, $KmDim)]"
+    val sq =
+      s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
     s"""$kmCentSqlCtes,
-       |$pqSqlCtesAfterEq,
+       |qcent AS (SELECT cidx, $qcList AS qc FROM $cent),
        |tc AS (SELECT e.vec_id, c.cidx,
        |              row_number() OVER (PARTITION BY e.vec_id
        |                ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
        |                         c.cidx) AS cr
        |       FROM e CROSS JOIN $cent c),
        |assigned AS (SELECT cidx, vec_id FROM tc WHERE cr = 1),
+       |rq AS (SELECT eq.vec_id, a.cidx, $resList AS qv
+       |       FROM eq JOIN assigned a ON a.vec_id = eq.vec_id
+       |       JOIN qcent qc ON qc.cidx = a.cidx),
+       |${pqSqlCtesOver("rq")},
        |probes AS (SELECT vec_id, cidx FROM tc
        |           WHERE vec_id % $QueryMod = 0 AND cr <= $Nprobe),
+       |qres AS (SELECT p.vec_id, p.cidx, $resList AS qv
+       |         FROM probes p JOIN eq ON eq.vec_id = p.vec_id
+       |         JOIN qcent qc ON qc.cidx = p.cidx),
+       |qd AS (SELECT t.vec_id, t.cidx, s.m, c.cj,
+       |              list_sum([$sq for i in generate_series(1, $PqSub)]) AS d
+       |       FROM qres t CROSS JOIN sub s CROSS JOIN cb c),
        |ad AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
        |              CAST(sum(q.d) AS BIGINT) AS adist
        |       FROM probes p JOIN assigned a ON a.cidx = p.cidx AND a.vec_id <> p.vec_id
        |       JOIN codes x ON x.vec_id = a.vec_id
-       |       JOIN qd q ON q.vec_id = p.vec_id AND q.m = x.m AND q.cj = x.cj
+       |       JOIN qd q ON q.vec_id = p.vec_id AND q.cidx = p.cidx
+       |                AND q.m = x.m AND q.cj = x.cj
        |       GROUP BY 1, 2)""".stripMargin
   }
 
@@ -1242,9 +1366,11 @@ object SimilarityQueries {
     * compressed-domain candidates per query, then the EXACT cosine against
     * the raw vectors re-orders just those R and keeps the top-10. This
     * recovers the quantization distortion ADC ranks suffer (RECALL.md
-    * sweep at Nprobe=24: recall@10 0.650 at R=50 → 0.725 at R=100,
-    * approaching the 0.735 candidate-generation ceiling of the probed
-    * lists) for one bounded join — nq·R rows probe the vector table by id
+    * sweep at Nprobe=24 with the residual PQ16×8 codes: recall@10 0.695
+    * at R=25 → 0.725 at R=50 → 0.735 at R=100 — the FULL
+    * candidate-generation ceiling of the probed lists; the round-12
+    * raw-code PQ8×8 point needed R=100 to reach 0.725) for one bounded
+    * join — nq·R rows probe the vector table by id
     * — while the corpus-sized scan stays in the compressed domain. At
     * 100 TB this is exactly the production layout: codes in memory, raw
     * vectors fetched by id for R candidates per query only.
@@ -1433,7 +1559,7 @@ object SimilarityQueries {
     * crosses the network but 8 partial sums per partition.
     */
   def pqDistortion(spark: SparkSession, dir: String): DataFrame =
-    pqDistances(spark, dir, quantized(emb(spark, dir)))
+    pqDistances(quantized(emb(spark, dir)), pqCodebook(spark, dir))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("d") * lit(2L * PqK) + col("cj")).as("packed"))
       .select(col("m").cast("long").as("m"),
@@ -1541,17 +1667,49 @@ object SimilarityQueries {
     * no candidates in some index counts as recall 0 for that index (left
     * join + coalesce), not a dropped row.
     */
+  /** Besides recall, the report carries each index's SCANNED FRACTION —
+    * exact-scored candidate pairs / (n_queries · (corpus − 1)) — so the
+    * recall-per-scan trade the RECALL.md sweeps show offline is visible
+    * in the same in-engine audit (an index is only "better" at equal
+    * scan cost; recall alone rewards scanning more). Candidate counts
+    * come from the same candidate stages the searches rank: the deduped
+    * LSH pair set, the IVF probed lists (which are ALSO what the IVFADC
+    * ADC pass scans — the composition prunes identically, it only scores
+    * compressed; the re-rank adds R raw-vector fetches per query on
+    * top, not a wider scan), and the full corpus for the PQ linear scan
+    * (1.0 by construction). All counting is one aggregate per index over
+    * already-memoized artifacts; the one-row count tables combine on a
+    * constant key with broadcast hash joins — no BNLJ, nothing
+    * corpus-sized crosses the driver.
+    */
   def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopkCached(spark, dir).select(col("query_id"), col("neighbor_id"))
     val truth = exact.groupBy("query_id").agg(count(lit(1)).as("t"))
-    val indexes: Seq[(String, DataFrame)] = Seq(
-      "ann_lsh" -> annLsh(spark, dir),
-      "ann_ivf" -> annIvf(spark, dir),
-      "ann_ivf_kmeans" -> annIvfKmeans(spark, dir),
-      "ann_pq" -> annPq(spark, dir),
-      "ann_ivfpq" -> annIvfPq(spark, dir),
-      "ann_ivfpq_rerank" -> annIvfPqRerank(spark, dir))
-    indexes.map { case (nm, df) =>
+    val nCorpus = emb(spark, dir).agg(count(lit(1)).as("nc")).withColumn("k", lit(1))
+    val nQueries = truth.agg(count(lit(1)).as("nq")).withColumn("k", lit(1))
+    def scanFrac(cand: Option[DataFrame]): DataFrame = cand match {
+      case None => // linear compressed scan: every non-self pair scored
+        nQueries.select(col("k"), lit(1.0).as("scan_frac"))
+      case Some(c) =>
+        c.agg(count(lit(1)).as("ncand")).withColumn("k", lit(1))
+          .join(broadcast(nQueries), Seq("k"))
+          .join(broadcast(nCorpus), Seq("k"))
+          .select(col("k"), round(col("ncand").cast("double") /
+            (col("nq") * (col("nc") - 1)).cast("double"), 4).as("scan_frac"))
+    }
+    val kmCand = () => ivfCandidates(spark, dir, kmeansCodebook(spark, dir),
+      kmListsMemo, "ivf_lists_kmeans")
+    val indexes: Seq[(String, DataFrame, Option[DataFrame])] = Seq(
+      ("ann_lsh", annLsh(spark, dir),
+        Some(lshCandidates(spark, dir, LshRadius, LshTables))),
+      ("ann_ivf", annIvf(spark, dir),
+        Some(ivfCandidates(spark, dir, codebook(spark, dir), ivfListsMemo,
+          "ivf_lists_sampled"))),
+      ("ann_ivf_kmeans", annIvfKmeans(spark, dir), Some(kmCand())),
+      ("ann_pq", annPq(spark, dir), None),
+      ("ann_ivfpq", annIvfPq(spark, dir), Some(kmCand())),
+      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmCand())))
+    indexes.map { case (nm, df, cand) =>
       val hits = exact
         .join(df.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
@@ -1559,7 +1717,10 @@ object SimilarityQueries {
       truth.join(hits, Seq("query_id"), "left")
         .select(col("t"), (coalesce(col("h"), lit(0L)).cast("double") / col("t")).as("r"))
         .agg(count(lit(1)).as("n_queries"), round(avg(col("r")), 4).as("recall_at_10"))
-        .select(lit(nm).as("index"), col("n_queries"), col("recall_at_10"))
+        .withColumn("k", lit(1))
+        .join(broadcast(scanFrac(cand)), Seq("k"))
+        .select(lit(nm).as("index"), col("n_queries"), col("recall_at_10"),
+          col("scan_frac"))
     }.reduce(_.unionByName(_))
   }
 

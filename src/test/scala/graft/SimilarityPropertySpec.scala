@@ -191,23 +191,24 @@ class SimilarityPropertySpec extends SparkTestBase {
     // sampled codebook.
     assert(ivfKm >= 0.50,
       f"ann_ivf_kmeans recall@10 $ivfKm%.3f below floor (Lloyd refinement regressed retrieval)")
-    // pq 0.385 (PQ8×256, 2-step Lloyd-refined sub-codebooks; 0.380 at
-    // 1 step, 0.265 sampled: full compressed scan — recall loss here is
-    // pure quantization distortion, there is no candidate pruning);
-    // floor at ~0.7×
-    assert(pq >= 0.27,
+    // pq 0.545 (PQ16×256, 2-step Lloyd-refined sub-codebooks; the
+    // round-12 PQ8×256 point measured 0.385: full compressed scan —
+    // recall loss here is pure quantization distortion, there is no
+    // candidate pruning, and on this near-uniform corpus capacity M is
+    // the binding knob); floor at ~0.7×
+    assert(pq >= 0.38,
       f"ann_pq recall@10 $pq%.3f below floor (sub-codebook/quantization regressed)")
-    // ivfpq 0.365: bounded above by the kmeans-IVF 0.735 candidate
-    // ceiling, degraded by PQ scoring distortion (≈ the 0.385 full-scan
-    // PQ recall gated by the probed lists) — the expected IVFADC trade;
-    // floor at ~0.7× measurement
-    assert(ivfPq >= 0.25,
+    // ivfpq 0.515 (residual-encoded PQ16×8; the round-12 raw-code PQ8×8
+    // point measured 0.365): bounded above by the kmeans-IVF 0.735
+    // candidate ceiling, degraded by residual-ADC scoring distortion —
+    // the expected IVFADC trade; floor at ~0.7× measurement
+    assert(ivfPq >= 0.36,
       f"ann_ivfpq recall@10 $ivfPq%.3f below floor (probe/quantization composition regressed)")
     // exact re-rank recovers the ADC quantization distortion: measured
-    // 0.725 ≈ the kmeans-IVF candidate-generation ceiling (0.735) — the
-    // re-rank cannot beat the probed lists' recall, but must recover
-    // (nearly) all of it from the top-R ADC candidates
-    assert(ivfPqR >= 0.50,
+    // 0.735 = EXACTLY the kmeans-IVF candidate-generation ceiling — the
+    // re-rank cannot beat the probed lists' recall, and with residual
+    // codes it recovers all of it from the top-R ADC candidates
+    assert(ivfPqR >= 0.51,
       f"ann_ivfpq_rerank recall@10 $ivfPqR%.3f below floor (re-rank stage regressed)")
     assert(ivfPqR >= ivfPq - 0.02,
       f"re-rank ($ivfPqR%.3f) lost recall vs raw ADC ranks ($ivfPq%.3f)")
@@ -217,7 +218,7 @@ class SimilarityPropertySpec extends SparkTestBase {
     // a report that disagrees with the measurement it claims to publish is
     // worse than none.
     val report = SimilarityQueries.annRecallReport(spark, dir).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     val expected = Map("ann_lsh" -> lsh, "ann_ivf" -> ivf,
       "ann_ivf_kmeans" -> ivfKm, "ann_pq" -> pq, "ann_ivfpq" -> ivfPq,
       "ann_ivfpq_rerank" -> ivfPqR)
@@ -227,6 +228,22 @@ class SimilarityPropertySpec extends SparkTestBase {
       assert(math.abs(report(nm)._2 - r) < 5e-5,
         f"$nm: report says ${report(nm)._2}%.4f, driver-side measured $r%.4f")
     }
+    // scan_frac must match the sweep's numbers at the operating point:
+    // LSH 2 tables × radius-2 covers ~27% of a near-uniform corpus
+    // (1 − (1 − 37/256)²), the IVF family probes 24/64 ≈ 37.5% of
+    // near-balanced lists (IVFADC scans exactly the probed lists, only
+    // in the compressed domain), and the PQ linear scan is 1.0 by
+    // construction. Bands at ±~0.1 absorb corpus regeneration noise,
+    // not plan changes.
+    val fracs = report.map { case (nm, (_, _, f)) => nm -> f }
+    assert(fracs("ann_pq") === 1.0, "PQ linear scan must report scan_frac 1.0")
+    assert(fracs("ann_lsh") > 0.17 && fracs("ann_lsh") < 0.37,
+      f"ann_lsh scan_frac ${fracs("ann_lsh")}%.3f far from the ~0.27 sweep figure")
+    Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivfpq", "ann_ivfpq_rerank").foreach { nm =>
+      assert(fracs(nm) > 0.27 && fracs(nm) < 0.48,
+        f"$nm scan_frac ${fracs(nm)}%.3f far from the ~0.375 (24/64 lists) figure")
+    }
+    info(s"scan_frac: ${fracs.toSeq.sortBy(_._1).map { case (n, f) => f"$n=$f%.3f" }.mkString(" ")}")
   }
 
   test("hard_negatives: cross-label only, contiguous ranks, recall@1 floor vs exact argmax") {
