@@ -64,7 +64,7 @@ object RecallSweep {
     // (a typo like "lhs" would otherwise make want() false for every
     // family, run nothing, and exit 0 — the same failure mode Bench's
     // unknown-query guard exists for).
-    val Families = Set("lsh", "ivf", "pq")
+    val Families = Set("lsh", "ivf", "pq", "hn")
     val family = args.headOption
     family.filterNot(Families).foreach { f =>
       System.err.println(
@@ -94,6 +94,37 @@ object RecallSweep {
       Seq(25, 50, 100).foreach { r =>
         timed(f"ann_ivfpq_rerank nprobe=$np%-3d R=$r%-4d",
           SimilarityQueries.annIvfPqRerankProbe(spark, sfDir, np, r))
+      }
+    }
+    if (want("hn")) {
+      // hard_negatives has its own truth set (the exact cross-label argmax
+      // per ANCHOR, not ann_topk's query-sample top-10) — brute-forced
+      // driver-side exactly like SimilarityPropertySpec's floor test,
+      // with the same round-1e6 + id tiebreak the engine ranks by
+      import org.apache.spark.sql.functions.col
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "label", "embedding").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Float](2).map(_.toDouble).toArray))
+      def cosA(a: Array[Double], b: Array[Double]): Double = {
+        var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val exactBest = vecs.map { case (id, l, v) =>
+        id -> vecs.filter(_._2 != l)
+          .map { case (cid, _, cv) => (math.rint(cosA(v, cv) * 1e6) / 1e6, cid) }
+          .minBy { case (c, cid) => (-c, cid) }._2
+      }.toMap
+      for (np <- Seq(1, 2, 3, 4, 8)) {
+        val t0 = System.nanoTime()
+        val got = SimilarityQueries.hardNegativesProbe(spark, sfDir, np)
+          .filter(col("rank") === 1).select("anchor_id", "neg_id").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rec = exactBest.count { case (a, b) => got.get(a).contains(b) }
+          .toDouble / exactBest.size
+        println(f"hard_negatives nprobe=$np%-3d (~${np * 100.0 / SimilarityQueries.IvfC}%.1f%% scanned) recall@1=$rec%.3f first=$secs%.2fs")
       }
     }
     spark.stop()

@@ -1416,48 +1416,85 @@ object SimilarityQueries {
   // ------------------------------------------------------------ hard_negatives
   /** `hard_negatives` — contrastive-training hard-negative mining: for
     * EVERY vector (not just the `ann_*` query sample) the top-[[HardNegK]]
-    * most-similar vectors with a DIFFERENT label, found among its
-    * multi-probe LSH candidates (own sign-bucket + all Hamming-1 probes,
-    * exactly [[annLsh]]'s candidate generator). This is the miner behind
-    * triplet/InfoNCE training sets: the negatives that matter are the ones
-    * the current representation confuses across class boundaries, and at
-    * corpus scale you harvest them from an ANN structure, never from an
-    * all-pairs scan.
+    * most-similar vectors with a DIFFERENT label, found among the members
+    * of its [[HardNegProbe]] nearest kmeans-IVF lists — the Lloyd index
+    * ([[kmeansCodebook]] + [[kmIndexLists]], the engine's best-measured
+    * candidate generator: recall@10 0.735 at 38% scan) reused as the
+    * miner's candidate source, replacing the round-12 LSH radius-1 probes
+    * (recall@1 0.150 at ~3.5% scan; the IVF lists at a comparable
+    * fraction measure better — RECALL.md row). This is the miner behind
+    * triplet/InfoNCE training sets: the negatives that matter are the
+    * ones the current representation confuses across class boundaries,
+    * and at corpus scale you harvest them from an ANN index you already
+    * built, never from an all-pairs scan.
     *
-    * Semantics are engine-exact: candidate generation is deterministic
-    * (float sign tests), ranking is `(round(cos, 6) DESC, neg_id)` like
-    * every ANN query here, and anchors whose probes hold no cross-label
-    * candidate simply emit nothing (inner-join semantics, mirrored by the
-    * oracle). A recall floor vs the exact cross-label argmax is pinned in
-    * SimilarityPropertySpec — the LSH miner is approximate BY DESIGN and
-    * its quality is a tested contract, not an accident.
+    * Semantics are engine-exact: probe selection orders by
+    * `(round(cos, 6) DESC, cidx)` like every IVF stage, ranking by
+    * `(round(cos, 6) DESC, neg_id)` like every ANN query here, and
+    * anchors whose probed lists hold no cross-label candidate simply emit
+    * nothing (inner-join semantics, mirrored by the oracle). A recall
+    * floor vs the exact cross-label argmax is pinned in
+    * SimilarityPropertySpec — the miner is approximate BY DESIGN and its
+    * quality is a tested contract, not an accident.
     *
-    * Scale shape: both sides shuffle on the bucket equi-key (shuffle-hash,
-    * never broadcast — the anchor side IS the corpus); per-bucket fan-out
-    * is (1+LshBits)/2^LshBits of the corpus (~3.5% here), and the top-k
-    * window partitions by anchor, so no task ever sees more than one
-    * bucket's candidates. At 100 TB raise LshBits so bucket count tracks
-    * cluster parallelism — identical knob and identical reasoning to
-    * [[annLsh]].
+    * Scale shape: the anchor side IS the corpus, so the per-anchor
+    * top-[[HardNegProbe]] centroid selection must NOT be a window over
+    * the n·C assignment rows (that shuffles C× the corpus); instead the
+    * broadcast-codebook crossJoin collapses map-side into ONE hash
+    * aggregate collecting the C packed (cos6, cidx) longs per anchor —
+    * the exchange carries n rows — and the top-nprobe probes unpack from
+    * the sorted array (cidx = IvfC − ord mod 128, the same packing the
+    * assignment argmax uses). The probe join is shuffle-hash on the cidx
+    * equi-key (never broadcast); per-anchor fan-out is the probed lists'
+    * ~HardNegProbe/IvfC of the corpus, and the top-k window partitions by
+    * anchor. At 100 TB raise IvfC so list count tracks cluster
+    * parallelism — identical knob and identical reasoning to [[annIvf]].
     */
   val HardNegK = 3
 
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", VectorFns.axisLshBucket(col("v"), LshBits))
-    val probeBuckets = array(
-      col("ab") +: (0 until LshBits).map(j => col("ab").bitwiseXOR(lit(1L << j))): _*)
-    val a = e.select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
-        col("bucket").as("ab"), col("v").as("av"), col("nrm").as("an"))
-      .withColumn("pb", explode(probeBuckets))
-    val c = e.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
-      col("bucket").as("cb"), col("v").as("cv"), col("nrm").as("cn"))
-    // a (anchor, neg) pair meets at most once: the negative has ONE bucket
-    // and the anchor's probe buckets are distinct (same as ann_lsh)
+  /** 2 of 64 lists ≈ 3.1% of a balanced corpus — the operating point
+    * matching the round-12 LSH miner's ~3.5% scan for an
+    * apples-to-apples recall comparison (RECALL.md).
+    */
+  val HardNegProbe = 2
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesProbe(spark, dir, HardNegProbe)
+
+  /** Sweep hook: the miner at arbitrary probe depth. */
+  private[graft] def hardNegativesProbe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = kmeansCodebook(spark, dir)
+    val cos6c = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
+    val ord = round(cos6c * lit(1000000d)).cast("long") * lit(128L) +
+      (lit(IvfC.toLong) - col("cidx"))
+    // top-nprobe lists per anchor WITHOUT a window over n·C rows: one
+    // collect_list hash aggregate (partial collapses map-side after the
+    // broadcast crossJoin), slice the descending sort, unpack cidx from
+    // the packed long (pmod handles negative cos6 cleanly)
+    val probes = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), ord.as("ord"))
+      .groupBy(col("vec_id"))
+      .agg(slice(reverse(sort_array(collect_list(col("ord")))), 1, nprobe).as("ords"))
+      .select(col("vec_id"), explode(col("ords")).as("ord"))
+      .select(col("vec_id"),
+        (lit(IvfC.toLong) - pmod(col("ord"), lit(128L))).as("cidx"))
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("cidx"), col("v").as("av"), col("nrm").as("an"))
+    val negs = kmIndexLists(spark, dir)
+      .select(col("cidx"), col("neighbor_id").as("neg_id"), col("cv"), col("cn"))
+      .join(e.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+        Seq("neg_id"))
+    // a (anchor, neg) pair meets at most once: the negative sits in ONE
+    // list and the anchor's probed lists are distinct; self-pairs die on
+    // the label filter (anchor_label = its own label)
     val cos = cosine(col("av"), col("cv"), col("an"), col("cn"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(round(cos, 6).desc, col("neg_id").asc)
-    a.hint("shuffle_hash").join(c,
-        col("pb") === col("cb") && col("anchor_label") =!= col("neg_label"))
+    probes.hint("shuffle_hash").join(negs, Seq("cidx"))
+      .filter(col("anchor_label") =!= col("neg_label"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("sim", round(cos, 4))
       .filter(col("rank") <= HardNegK)
@@ -1466,16 +1503,23 @@ object SimilarityQueries {
   }
 
   val hardNegativesSql: String = {
-    val probeList = ("a.bucket" +: (0 until LshBits).map(j => s"xor(a.bucket, ${1L << j})"))
-      .mkString("[", ", ", "]")
-    s"""WITH $embCte,
-       |eb AS (SELECT *, $bucketSql AS bucket FROM e),
-       |probes AS (SELECT a.*, p.pb FROM eb a, unnest($probeList) AS p(pb)),
+    val cent = s"cent$KmIters"
+    s"""WITH $kmCentSqlCtes,
+       |tc AS (SELECT e.vec_id, c.cidx,
+       |              row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
+       |                         c.cidx) AS cr
+       |       FROM e CROSS JOIN $cent c),
+       |assigned AS (SELECT cidx, vec_id FROM tc WHERE cr = 1),
+       |probes AS (SELECT vec_id, cidx FROM tc WHERE cr <= $HardNegProbe),
        |r AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
-       |             c.vec_id AS neg_id, c.label AS neg_label,
-       |             round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cos6,
-       |             round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 4) AS sim
-       |      FROM probes a JOIN eb c ON a.pb = c.bucket AND a.label <> c.label),
+       |             n.vec_id AS neg_id, n.label AS neg_label,
+       |             round(list_dot_product(a.v, n.v) / (a.nrm * n.nrm), 6) AS cos6,
+       |             round(list_dot_product(a.v, n.v) / (a.nrm * n.nrm), 4) AS sim
+       |      FROM probes p
+       |      JOIN e a ON a.vec_id = p.vec_id
+       |      JOIN assigned asg ON asg.cidx = p.cidx
+       |      JOIN e n ON n.vec_id = asg.vec_id AND n.label <> a.label),
        |rk AS (SELECT anchor_id, anchor_label, neg_id, neg_label, sim,
        |              CAST(row_number() OVER (PARTITION BY anchor_id
        |                   ORDER BY cos6 DESC, neg_id) AS BIGINT) AS rank

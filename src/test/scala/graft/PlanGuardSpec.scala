@@ -41,6 +41,7 @@ class PlanGuardSpec extends SparkTestBase {
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
     "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
     "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
+    "hard_negatives", // same IvfC-row codebook crossJoin (per-anchor probe selection)
     // ivf_balance normally plans two aggregations over disk-cached
     // assignment tables, but with SPARK_GRAFT_INDEX_CACHE set empty (the
     // documented disable switch) or an unwritable cache root, diskCached

@@ -277,11 +277,12 @@ class SimilarityPropertySpec extends SparkTestBase {
     val recall = exactBest.count { case (a, b) => got.get(a).contains(b) }.toDouble /
       exactBest.size
     info(f"hard_negatives recall@1 vs exact cross-label argmax (sf0.01): $recall%.3f")
-    // near-uniform corpus: the multi-probe candidate set covers ~3.5% of
-    // the corpus, but the true hardest negative is cosine-aligned with the
-    // anchor and so disproportionately shares its sign-bucket neighborhood
-    // — measured 0.150 (4× the scan fraction); floor at ~0.7× measurement
-    assert(recall >= 0.10,
+    // The miner probes the anchor's HardNegProbe=2 nearest kmeans-IVF
+    // lists (~3.1% of a balanced corpus) — measured 0.368 here (round-13
+    // sweep; the round-12 LSH radius-1 miner measured 0.150 at ~3.5%
+    // scan, so the Lloyd index is a strictly better candidate generator
+    // at the same cost — RECALL.md). Floor at ~0.7× measurement.
+    assert(recall >= 0.25,
       f"hard_negatives recall@1 $recall%.3f below floor (probe set mistuned?)")
   }
 
