@@ -960,6 +960,140 @@ object TextQueries {
        |      FROM a)
        |SELECT pair, n, rnk FROM r WHERE rnk <= $BpeK""".stripMargin
 
+  // ---------------------------------------------------------------- bpe_train
+  /** `bpe_train` — the ITERATED byte-pair-encoding training loop
+    * ([[bpePairs]] is one merge round; a tokenizer-training job runs the
+    * loop): [[BpeRounds]] unrolled rounds over the word-count dictionary,
+    * each round = count adjacent symbol pairs (in-word multiplicity, as
+    * BPE requires) → pick the best merge (count desc, then pair
+    * lexicographic — Sennrich's deterministic tie-break) → apply it to
+    * every word's symbol sequence with the standard GREEDY LEFTMOST
+    * NON-OVERLAPPING scan ("aaaa" under merge (a,a) becomes [aa, aa],
+    * never [a, aa, a]) → recount. Output is the learned merge table,
+    * (round, lhs, rhs, merged, n) — the artifact a tokenizer ships.
+    *
+    * Exactness across engines: counts are BIGINTs and the merge scan is
+    * purely symbolic, so the only risk is SCAN-SEMANTICS drift — Spark
+    * applies the merge as an in-row left fold (`aggregate` HOF: append,
+    * or replace the tail symbol when (tail, next) = (lhs, rhs); a merged
+    * tail can never re-match, exactly the single-pass greedy), while the
+    * oracle derives the SAME set positionally (matches overlap only
+    * inside equal-symbol runs, so greedy = every odd match within each
+    * maximal run of adjacent match positions — two window functions).
+    * Two independent formulations of one semantics, hash-compared.
+    *
+    * Scale shape: the [[pagerank]] pattern on the vocabulary axis — the
+    * corpus collapses ONCE to (word, count) (sublinear, Heaps' law;
+    * Sennrich's original trains on exactly this dictionary), every round
+    * is one explode + partial-final hash agg + a 1-row TakeOrdered over
+    * PAIR vocabulary, and the merge application is a map-side projection
+    * under a 1-row broadcast. Fixed small round count → shallow unrolled
+    * lineage; the learned table is a disk-cached index-BUILD artifact
+    * (train once, tokenize everywhere), so steady-state invocations read
+    * 10 rows.
+    */
+  val BpeRounds = 10
+
+  private val bpeTrainMemo = Memo.table()
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoizeDisk(bpeTrainMemo, spark, dir, "bpe_merges",
+      s"rounds=$BpeRounds")(
+      bpeTrainMerges(
+        words(spark, dir).groupBy(col("word")).agg(count(lit(1)).as("c"))))
+
+  /** Greedy leftmost non-overlapping merge of (lhs, rhs) over a symbol
+    * array, as an in-row left fold: append each symbol, or replace the
+    * accumulated tail when (tail, next) matches the pair. A merged tail
+    * is a strictly longer string than lhs, so it can never re-match in
+    * the same round — the fold IS the single-pass greedy scan.
+    */
+  private def mergeFold(syms: Column, lhs: Column, rhs: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .when(element_at(acc, -1) === lhs && x === rhs,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(lhs, rhs))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The training loop over any (word, c) dictionary — factored so the
+    * determinism/greedy semantics are property-testable on crafted
+    * dictionaries (runs, ties) against a driver-side reference BPE.
+    */
+  private[graft] def bpeTrainMerges(wc: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    var v = wc.select(col("c"), expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+    val outs = (1 to rounds).map { rnd =>
+      val b = v.filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> named_struct('l', element_at(syms, i),
+            |                    'r', element_at(syms, i + 1)))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc).limit(1)
+      val out = b.select(lit(rnd.toLong).as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+      // 1-row best-merge broadcast; if the dictionary ever runs out of
+      // pairs the round emits nothing and the remaining rounds stay empty
+      // (mirrored by the oracle's LIMIT 1 over an empty pair table)
+      v = v.crossJoin(broadcast(b))
+        .select(col("c"), mergeFold(col("syms"), col("lhs"), col("rhs")).as("syms"))
+      out
+    }
+    outs.reduce(_.unionByName(_))
+  }
+
+  /** Oracle: the same loop unrolled as a CTE chain. The merge application
+    * is positional — matches of (lhs, rhs) overlap ONLY inside runs of an
+    * identical symbol (a match at i and i+1 forces lhs = rhs), so greedy
+    * leftmost = keep every ODD match within each maximal run of adjacent
+    * match positions (run grouping by i − row_number, the standard
+    * gaps-and-islands step); rebuild emits the merged pair at kept
+    * positions and drops the absorbed right half (kept positions are
+    * never adjacent, so the two rules can't collide).
+    */
+  val bpeTrainSql: String = {
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""p$i AS (SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(c) AS BIGINT) AS n
+         |        FROM (SELECT c, unnest([[syms[i], syms[i+1]]
+         |                                FOR i IN generate_series(1, len(syms) - 1)]) AS pr
+         |              FROM $prev WHERE len(syms) >= 2)
+         |        GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |mp$i AS (SELECT word, unnest([i FOR i IN generate_series(1, len(v.syms) - 1)
+         |                              IF v.syms[i] = b.lhs AND v.syms[i+1] = b.rhs]) AS i
+         |         FROM $prev v CROSS JOIN b$i b),
+         |kp$i AS (SELECT word, i FROM (
+         |           SELECT word, i, row_number() OVER (PARTITION BY word, grp
+         |                                              ORDER BY i) AS k
+         |           FROM (SELECT word, i,
+         |                        i - row_number() OVER (PARTITION BY word
+         |                                               ORDER BY i) AS grp
+         |                 FROM mp$i))
+         |         WHERE k % 2 = 1),
+         |ks$i AS (SELECT word, list(i) AS ki FROM kp$i GROUP BY word),
+         |v$i AS MATERIALIZED (SELECT v.word, v.c,
+         |               [CASE WHEN k.ki IS NOT NULL AND list_contains(k.ki, xi)
+         |                     THEN b.lhs || b.rhs ELSE v.syms[xi] END
+         |                FOR xi IN generate_series(1, len(v.syms))
+         |                IF k.ki IS NULL OR NOT list_contains(k.ki, xi - 1)] AS syms
+         |        FROM $prev v CROSS JOIN b$i b LEFT JOIN ks$i k USING (word))""".stripMargin
+    }
+    val unions = (1 to BpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (${Oracle.toksCte}),
+       |w AS (SELECT unnest(t) AS word FROM toks),
+       |wc AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT word, c,
+       |              [word[i:i] FOR i IN generate_series(1, length(word))] AS syms
+       |       FROM wc),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |$unions""".stripMargin
+  }
+
   // ----------------------------------------------------------- vocab_coverage
   /** `vocab_coverage` — the TOKENIZER COVERAGE CURVE: for each vocabulary
     * budget k in [[VocabSizes]], the fraction of all corpus token
@@ -1333,6 +1467,7 @@ object TextQueries {
     "term_vector" -> QueryDef(termVector, Some(termVectorSql)),
     "chi2_keywords" -> QueryDef(chi2Keywords, Some(chi2KeywordsSql)),
     "bpe_pairs" -> QueryDef(bpePairs, Some(bpePairsSql)),
+    "bpe_train" -> QueryDef(bpeTrain, Some(bpeTrainSql)),
     "pack_windows" -> QueryDef(packWindows, Some(packWindowsSql)),
     "vocab_coverage" -> QueryDef(vocabCoverage, Some(vocabCoverageSql)),
     "rare_bigram_rate" -> QueryDef(rareBigramRate, Some(rareBigramRateSql)),

@@ -56,6 +56,9 @@ class PlanGuardSpec extends SparkTestBase {
     // composes the SAME allowlisted subplans (ann_topk's chunk broadcast,
     // the ann_* codebook crossJoins) — no new BNLJ shape of its own
     "ann_recall_report",
+    // 1-row best-merge broadcast per unrolled training round (the learned
+    // merge table is disk-cached, so the BNLJ only surfaces cache-disabled)
+    "bpe_train",
     // the declared non-equi range lookup: a CONSTANT 4-row band table
     // broadcast per-row into the scan stage — the BNLJ here IS the
     // intended operator (see bandJoin's scaladoc), never corpus-sized
@@ -95,7 +98,7 @@ class PlanGuardSpec extends SparkTestBase {
   // became a disk-cached artifact: cache enabled they scan parquet (no
   // BNLJ); cache disabled the bounded chunk-broadcast BNLJ re-surfaces.
   private val bnljEnvDependent =
-    Set("ivf_balance", "ann_topk", "ann_recall_report")
+    Set("ivf_balance", "ann_topk", "ann_recall_report", "bpe_train")
 
   test("env-dependent entries: the cache-enabled plan scans the disk artifact, no BNLJ") {
     // the exemption above must still pin SOMETHING (round-11 advice): in

@@ -46,4 +46,53 @@ class TokenizerPropertySpec extends SparkTestBase {
       assert(appTokens === fieldsFuncIsLetter(s), s"input=${s.replace("\n", "\\n")}")
     }
   }
+
+  test("bpe_train: merge table equals a textbook greedy-scan reference (runs, ties, cascades)") {
+    // Independent reference: the INDEX-BASED greedy leftmost scan from the
+    // BPE definition (i += 2 on a merge) — deliberately a different
+    // formulation than the engine's fold, so a fold-semantics bug (e.g.
+    // re-matching a just-merged tail) cannot cancel out. The dictionary
+    // forces the hard cases: same-symbol runs ("aaaa" must merge to
+    // [aa, aa], never [a, aa, a]), a count TIE broken lexicographically
+    // (cd vs ce), and cascades where a merged symbol feeds later rounds.
+    def applyGreedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refBpe(wc: Seq[(String, Long)], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+      var vocab = wc.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to rounds).flatMap { rnd =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          (0 until syms.length - 1).foreach { i =>
+            val k = (syms(i), syms(i + 1)); counts(k) = counts.getOrElse(k, 0L) + c
+          }
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), n) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+          vocab = vocab.map { case (syms, c) => (applyGreedy(syms, l, r), c) }
+          Some((rnd.toLong, l, r, l + r, n))
+        }
+      }
+    }
+    val wc = Seq(("aaaa", 5L), ("aab", 5L), ("abab", 3L), ("ba", 2L),
+      ("cd", 7L), ("ce", 7L), ("aaab", 1L), ("z", 1L))
+    import spark.implicits._
+    val got = graft.queries.TextQueries.bpeTrainMerges(wc.toDF("word", "c"), rounds = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val want = refBpe(wc, 6)
+    assert(want.length === 6, "reference ran out of pairs — test corpus too small to pin 6 rounds")
+    assert(got === want)
+    // the tie round must exist and break lexicographically: cd and ce both
+    // count 7, cd must win its round
+    assert(want.exists { case (_, l, r, _, n) => l == "c" && r == "d" && n == 7L },
+      s"expected the (c,d) tie-break round in $want")
+  }
 }
