@@ -425,6 +425,43 @@ object StreamingOps {
         (unix_micros(col("tb")) - unix_micros(col("ta"))).as("gap_us"))
   }
 
+  /** Streaming "user stalled" alert — the stream-stream LEFT OUTER
+    * interval join that COMPLETES the module's join matrix next to
+    * [[followUps]] (stream-stream INNER) and [[decontaminateDocs]]
+    * (stream-static): anchors that saw NO same-user event within the
+    * 30-minute follow-up window, each emitted exactly once when its
+    * window expires unmatched. This is the shape Structured Streaming
+    * supports ONLY with a watermark plus two-sided event-time join
+    * bounds: the null-side row can be emitted only once the watermark
+    * proves no future match can arrive (ta + gap < watermark), and the
+    * same bound is what lets both sides' join state expire — so the
+    * operator is simultaneously the alert AND the state-eviction proof.
+    * Consequence (pinned in StreamingSpec): anchors younger than
+    * watermark-delay + gap at end-of-input are still buffered, NOT
+    * emitted — on an open stream they emit as the watermark advances;
+    * the batch twin (events anti-joined against `funnel_pairs` anchors)
+    * agrees exactly on the watermark-expired prefix.
+    *
+    * Same µs time axis as [[followUps]]; `tb > ta` strict, so the anchor
+    * row itself (and same-timestamp peers) never counts as its own
+    * follow-up, matching the batch funnel semantics.
+    */
+  def noFollowUps(events: DataFrame): DataFrame = {
+    val gapS = graft.queries.RelationalQueries.FunnelGapS
+    val e = events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+    val a = e.select(col("user_id").as("ua"), col("event_id").as("event_id"),
+      col("ets").as("ta"))
+    val b = e.select(col("user_id").as("ub"), col("event_id").as("next_event_id"),
+      col("ets").as("tb"))
+    a.join(b, col("ua") === col("ub") && col("tb") > col("ta") &&
+        col("tb") <= col("ta") + expr(s"INTERVAL $gapS SECONDS"), "left_outer")
+      .filter(col("next_event_id").isNull) // expiry-emitted null rows = the stalled anchors
+      .select(col("event_id"), col("ua").as("user_id"),
+        unix_micros(col("ta")).as("ta_us"))
+  }
+
   case class Ev(user_id: Long, ts: Long)
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -332,4 +332,69 @@ class StreamingRecoverySpec extends SparkTestBase {
       assert(!risks(u), s"exact row for user $u must not be flagged lossy_risk")
     }
   }
+
+  test("STATEFUL restart: noFollowUps outer-join state survives — late follow-ups suppress, expiry emits") {
+    // The outer interval join's buffered-anchor state is the recovery-
+    // critical piece: an epoch-1 anchor must survive the restart so that
+    // (a) an epoch-2 follow-up INSIDE its window suppresses the stalled
+    // alert (the anchor must never emit), and (b) a genuinely stalled
+    // epoch-1 anchor emits exactly once when epoch 2's watermark advance
+    // expires its window. Both happen across the checkpoint boundary.
+    val in = Files.createTempDirectory("graft-nfu-in")
+    val ckpt = Files.createTempDirectory("graft-nfu-ckpt")
+    val sink = Files.createTempDirectory("graft-nfu-sink")
+    val scratch = Files.createTempDirectory("graft-nfu-scratch")
+    val t0 = 1700000000000000000L // ns, well past epoch
+    def ns(min: Long): Long = t0 + min * 60L * 1000000000L
+
+    def writeEpoch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "ts", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.resolve(name).toString)
+      val part = Files.list(scratch.resolve(name)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), in.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val q = StreamingOps.noFollowUps(
+          spark.readStream.schema(schema).parquet(in.toString))
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // epoch 1: u1 anchor (follow-up arrives only in epoch 2), u4 anchor
+    // (stalled forever), u2 anchor + its 10-min follower. Max event time
+    // ns(10) keeps the watermark below every window end: nothing emits.
+    writeEpoch("e1", Seq((10L, ns(0), 1L), (40L, ns(0), 4L),
+      (20L, ns(0), 2L), (21L, ns(10), 2L)))
+    runOnce()
+    assert(spark.read.parquet(sink.toString).count() === 0L,
+      "no window can have expired in epoch 1")
+
+    // epoch 2: the LATE follower for u1 (25 min — inside the 30-min
+    // window of the buffered epoch-1 anchor) plus a clock event pushing
+    // the watermark to ns(120), past every epoch-1 window end.
+    writeEpoch("e2", Seq((11L, ns(25), 1L), (99L, ns(180), 9L)))
+    runOnce()
+    val got = spark.read.parquet(sink.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === got.distinct.length, "an anchor emitted twice across the restart")
+    val ids = got.map(_._1).toSet
+    // stalled and expired: u4's anchor, u2's follower, u1's late follower
+    assert(ids === Set(40L, 21L, 11L),
+      s"expected exactly the stalled+expired anchors, got $ids — " +
+        "id 10 present means the recovered state LOST the late match; " +
+        "id 40/21 missing means buffered anchors didn't expire after restart")
+  }
 }

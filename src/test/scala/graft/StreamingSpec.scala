@@ -223,6 +223,46 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming noFollowUps: stalled anchors equal the batch anti-join on the watermark-expired prefix") {
+    val q = StreamingOps.noFollowUps(StreamingOps.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("no_follow_ups")
+      .outputMode("append") // outer-null rows emit on watermark expiry
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val gotRows = spark.table("no_follow_ups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotRows.distinct.length === gotRows.length,
+      "a stalled anchor was emitted more than once")
+    val got = gotRows.toSet
+
+    // batch truth: anchors with NO same-user event in (ta, ta + gap], µs axis
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gapUs = graft.queries.RelationalQueries.FunnelGapUs
+    val byUser = ev.groupBy(_._2)
+    val stalled = ev.filter { case (_, u, us) =>
+      !byUser(u).exists { case (_, _, us2) => us2 > us && us2 <= us + gapUs }
+    }.toSet
+    // correctness: nothing emitted that actually has a follow-up
+    assert(got.subsetOf(stalled),
+      s"emitted anchors that HAVE a follow-up: ${(got -- stalled).take(3)}")
+    // completeness on the watermark-expired prefix: the final watermark is
+    // max event time − 1 h (the declared delay); an anchor is guaranteed
+    // emitted once its window end is strictly past it (1 s slack keeps the
+    // assertion off Spark's internal boundary predicate). Anchors younger
+    // than that are ALLOWED to stay buffered — the documented outer-join
+    // semantics on a closed input.
+    val wmUs = ev.map(_._3).max - 3600L * 1000000L
+    val mustEmit = stalled.filter { case (_, _, us) => us + gapUs + 1000000L < wmUs }
+    assert(mustEmit.nonEmpty,
+      "no anchor old enough to be watermark-expired — test is vacuous")
+    assert(mustEmit.subsetOf(got),
+      s"watermark-expired stalled anchors not emitted: ${(mustEmit -- got).take(3)}")
+  }
+
   test("streaming propsStats equals batch props_stats on a closed input") {
     val stream = StreamingOps.propsStats(StreamingOps.eventStream(spark, dir))
     val q = stream.writeStream
