@@ -2234,25 +2234,38 @@ object RelationalQueries {
     * Global ranking is what a naive `row_number() OVER (ORDER BY …)`
     * cannot do at scale — one task sorts the whole corpus (Spark even
     * warns). The scalable decomposition mirrors the range-partitioned
-    * sort: (1) assign each row a deterministic, data-independent value
-    * bucket (`vc div` [[RankBucketCents]] — fixed width, so bucket ids
-    * are reproducible at any parallelism; a production TeraSort samples
-    * bounds, trading determinism for balance); (2) per-bucket counts
-    * collapse to a TINY table whose running sum over buckets-above gives
-    * each bucket's global OFFSET (the only unpartitioned window —
-    * |buckets| rows, the codebook-window adjudication); (3) offsets
-    * broadcast back and each bucket ranks internally in parallel
-    * (`row_number` partitioned BY bucket) — global rank = offset +
-    * local rank. One corpus exchange (on bucket, which IS the range
-    * partitioning), one tiny aggregate exchange.
+    * sort: (1) assign each row a value bucket via SAMPLED RANGE BOUNDS —
+    * the production TeraSort step, made deterministic: a hash-selected
+    * [[RankSampleK]]-row sample (smallest hash60(event_id), the IVF-
+    * codebook selection trick) yields the [[RankBuckets]]-quantile bound
+    * values, and a row's bucket is the count of bounds ≤ its value (a
+    * monotone function of vc, so bucketing can NEVER change the output —
+    * partitioning-invariance is pinned by test against both the fixed-
+    * width variant and a driver-side sort, on a skewed distribution
+    * where it matters); (2) per-bucket counts collapse to a TINY table
+    * whose running sum over buckets-above gives each bucket's global
+    * OFFSET (an unpartitioned window over |buckets| rows, the
+    * codebook-window adjudication — likewise the sample-rank window runs
+    * over ≤ RankSampleK rows); (3) offsets broadcast back and each
+    * bucket ranks internally in parallel (`row_number` partitioned BY
+    * bucket) — global rank = offset + local rank. One corpus exchange
+    * (on bucket, which IS the range partitioning), one tiny sample pass
+    * + aggregate exchange. Sampled bounds are what keep the buckets
+    * BALANCED under skewed value distributions (a fixed width collapses
+    * an exponential distribution into its first bucket — one straggler
+    * task sorts ~everything; the sample splits by mass instead); equal
+    * values necessarily co-bucket under any vc-functional bucketing, so
+    * a single massively-duplicated value remains the one irreducible
+    * hot key — the documented limit of every range-partitioned sort.
     */
-  val RankBucketCents = 500L // 112 buckets over the [0, 560.21] value range
+  val RankBucketCents = 500L // the fixed-width variant (kept for the invariance test)
+  val RankSampleK = 1024
+  val RankBuckets = 128
 
-  def globalRank(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events").select(
-      col("event_id"),
-      round(col("value") * 100).cast("long").as("vc"))
-      .withColumn("bkt", expr(s"vc div $RankBucketCents"))
+  /** Bucket-decomposed global rank over any (event_id, vc) input with a
+    * `bkt` column that is monotone non-decreasing in vc.
+    */
+  private[graft] def rankByBucket(ev: DataFrame): DataFrame = {
     val above = Window.orderBy(col("bkt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ev.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
@@ -2264,6 +2277,41 @@ object RelationalQueries {
       .withColumn("rnk", row_number().over(local).cast("long") + col("off"))
       .select(col("event_id"), col("vc"), col("rnk"))
   }
+
+  /** Deterministic sampled range bounds: hash-sample `sampleK` rows, take
+    * the `buckets`-quantile vc values of the sample as bounds (the last
+    * row of each quantile block, B−1 bounds), broadcast the 1-row sorted
+    * bounds array, and assign bkt = #bounds ≤ vc per row (scan-local).
+    */
+  private[graft] def sampledRangeBuckets(ev: DataFrame,
+      buckets: Int = RankBuckets, sampleK: Int = RankSampleK): DataFrame = {
+    import graft.functions.TextFns
+    val byRank = Window.orderBy(col("vc").asc, col("r0").asc)
+    val bounds = ev
+      .withColumn("h", TextFns.hash60(col("event_id").cast("string")))
+      .orderBy(col("h").asc, col("event_id").asc).limit(sampleK)
+      .select(col("vc"), col("event_id").as("r0"))
+      .withColumn("r", row_number().over(byRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("r") < col("n") &&
+        expr(s"(r * $buckets) div n") > expr(s"((r - 1) * $buckets) div n"))
+      .agg(sort_array(collect_list(col("vc"))).as("bs"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bkt", size(filter(col("bs"), b => b <= col("vc"))).cast("long"))
+      .drop("bs")
+  }
+
+  /** The fixed-width bucketing the query used before round 13 — retained
+    * as the second partitioning for the invariance property test.
+    */
+  private[graft] def fixedWidthBuckets(ev: DataFrame): DataFrame =
+    ev.withColumn("bkt", expr(s"vc div $RankBucketCents"))
+
+  def globalRank(spark: SparkSession, dir: String): DataFrame =
+    rankByBucket(sampledRangeBuckets(
+      Tables(spark, dir, "events").select(
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))))
 
   val globalRankSql: String =
     """WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events)

@@ -1528,6 +1528,51 @@ class QueriesSpec extends SparkTestBase {
     assert(got.toSet === want)
   }
 
+  test("global_rank: sampled bounds are partitioning-invariant AND balance a skewed distribution") {
+    // An exponential-ish value distribution is where bound SAMPLING earns
+    // its keep: fixed-width buckets collapse ~all mass into bucket 0 (one
+    // straggler task sorts everything) while sampled bounds split by
+    // mass. The OUTPUT must be identical under both bucketings and equal
+    // the driver-side sort — bucketing is a plan choice, never semantics.
+    import graft.queries.RelationalQueries
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // vc ~ floor(exp(U·ln(5e5))): dense near 0, tail to ~500k cents
+    val rows = Seq.tabulate(20000) { i =>
+      (i.toLong, math.exp(rnd.nextDouble() * math.log(5e5)).toLong)
+    }
+    val ev = rows.toDF("event_id", "vc")
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      RelationalQueries.rankByBucket(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sampled = ranked(RelationalQueries.sampledRangeBuckets(ev))
+    val fixed = ranked(RelationalQueries.fixedWidthBuckets(ev))
+    val exact = rows.sortBy { case (eid, vc) => (-vc, eid) }
+      .zipWithIndex.map { case ((eid, vc), i) => (eid, vc, i + 1L) }.toSet
+    assert(sampled === exact, "sampled-bounds rank diverged from the exact sort")
+    assert(fixed === exact, "fixed-width rank diverged from the exact sort")
+
+    // balance: the biggest sampled bucket must hold at most the
+    // irreducible duplicate mass (equal values MUST co-bucket under any
+    // value-functional bucketing — the log-uniform fixture piles ~1k rows
+    // on vc=1) plus a small multiple of the uniform share, while
+    // fixed-width degenerates into a straggler bucket
+    def maxBucket(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("bkt").count().collect().map(_.getLong(1)).max
+    val n = rows.length.toLong
+    val uniform = n / RelationalQueries.RankBuckets
+    val maxDup = rows.groupBy(_._2).map(_._2.size).max.toLong
+    val maxSampled = maxBucket(RelationalQueries.sampledRangeBuckets(ev))
+    val maxFixed = maxBucket(RelationalQueries.fixedWidthBuckets(ev))
+    info(s"skewed 20k rows: max bucket sampled=$maxSampled " +
+      s"(uniform share $uniform, biggest duplicate group $maxDup) fixed=$maxFixed")
+    assert(maxSampled <= maxDup + 4 * uniform,
+      s"sampled bounds failed to balance the skew: max bucket $maxSampled vs " +
+        s"irreducible $maxDup + 4×uniform ${4 * uniform}")
+    assert(maxFixed > n / 3,
+      "the skew fixture no longer degenerates fixed-width buckets — pick a harsher distribution")
+  }
+
   test("distributed_grep: counts equal a driver-side regex scan; misses dropped") {
     import graft.queries.TextQueries
     val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
