@@ -1044,16 +1044,64 @@ object TextQueries {
     outs.reduce(_.unionByName(_))
   }
 
-  /** Oracle: the same loop unrolled as a CTE chain. The merge application
-    * is positional — matches of (lhs, rhs) overlap ONLY inside runs of an
-    * identical symbol (a match at i and i+1 forces lhs = rhs), so greedy
-    * leftmost = keep every ODD match within each maximal run of adjacent
-    * match positions (run grouping by i − row_number, the standard
-    * gaps-and-islands step); rebuild emits the merged pair at kept
-    * positions and drops the absorbed right half (kept positions are
-    * never adjacent, so the two rules can't collide).
+  // ---------------------------------------------------------------- bpe_vocab
+  /** `bpe_vocab` — the tokenizer APPLY stage consuming [[bpeTrain]]'s
+    * learned merge table (train once, tokenize everywhere — the
+    * build-vs-probe split of the ANN indexes, on the tokenizer axis):
+    * every corpus word re-tokenized by replaying the [[BpeRounds]] merges
+    * IN TRAINING ORDER with the same greedy leftmost scan, then the
+    * resulting subword vocabulary with corpus occurrence counts — the
+    * (token, frequency) table a tokenizer ships next to its merges, and
+    * the number a data pipeline reads as tokens-per-byte after BPE.
+    *
+    * The Spark side does NOT retrain: it reads the disk-cached merge
+    * artifact, collapses it to ONE row carrying the ordered (round, lhs,
+    * rhs) array, broadcasts it, and applies a NESTED fold per word —
+    * outer `aggregate` over the merges array, inner [[mergeFold]] over
+    * the symbol array. The oracle re-derives the whole chain (it must)
+    * and tokenizes `v$BpeRounds` directly — so the hash compare also
+    * re-proves the artifact equals a from-scratch training run.
+    *
+    * Scale shape: vocabulary collapse first (the [[bpePairs]] layout),
+    * then a purely scan-local projection under a 1-row broadcast — no
+    * exchange beyond the (word, count) collapse and the final ≤
+    * |alphabet + merges| -row aggregation.
     */
-  val bpeTrainSql: String = {
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, dir)
+      .agg(sort_array(collect_list(struct(col("round"), col("lhs"), col("rhs"))))
+        .as("ms"))
+    val wc = words(spark, dir).groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val init = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    wc.crossJoin(broadcast(merges))
+      .select(col("c"), aggregate(col("ms"), init, (syms, m) =>
+        mergeFold(syms, m.getField("lhs"), m.getField("rhs"))).as("syms"))
+      .select(col("c"), explode(col("syms")).as("token"))
+      .groupBy(col("token")).agg(sum(col("c")).as("n"))
+  }
+
+  val bpeVocabSql: String =
+    s"""$bpeChainSqlCtes
+       |SELECT t AS token, CAST(sum(c) AS BIGINT) AS n
+       |FROM (SELECT c, unnest(syms) AS t FROM v$BpeRounds) GROUP BY 1""".stripMargin
+
+  /** Oracle chain shared by `bpe_train` and `bpe_vocab`: the training
+    * loop unrolled as CTEs (wc → v0 → per-round p/b/mp/kp/ks/v). The
+    * merge application is positional — matches of (lhs, rhs) overlap
+    * ONLY inside runs of an identical symbol (a match at i and i+1
+    * forces lhs = rhs), so greedy leftmost = keep every ODD match within
+    * each maximal run of adjacent match positions (run grouping by
+    * i − row_number, the standard gaps-and-islands step); rebuild emits
+    * the merged pair at kept positions and drops the absorbed right half
+    * (kept positions are never adjacent, so the two rules can't
+    * collide). The v/b CTEs are MATERIALIZED: each round references its
+    * predecessor three times, and inlining would re-derive the base
+    * table 3^rounds times.
+    */
+  // a def, not a val: bpeVocabSql initializes earlier in the object and
+  // a val here would still be null at that point
+  private def bpeChainSqlCtes: String = {
     def round(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""p$i AS (SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(c) AS BIGINT) AS n
@@ -1081,16 +1129,20 @@ object TextQueries {
          |                IF k.ki IS NULL OR NOT list_contains(k.ki, xi - 1)] AS syms
          |        FROM $prev v CROSS JOIN b$i b LEFT JOIN ks$i k USING (word))""".stripMargin
     }
-    val unions = (1 to BpeRounds).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, n FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""WITH toks AS (${Oracle.toksCte}),
        |w AS (SELECT unnest(t) AS word FROM toks),
        |wc AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
        |v0 AS MATERIALIZED (SELECT word, c,
        |              [word[i:i] FOR i IN generate_series(1, length(word))] AS syms
        |       FROM wc),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val unions = (1 to BpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""$bpeChainSqlCtes
        |$unions""".stripMargin
   }
 
@@ -1468,6 +1520,7 @@ object TextQueries {
     "chi2_keywords" -> QueryDef(chi2Keywords, Some(chi2KeywordsSql)),
     "bpe_pairs" -> QueryDef(bpePairs, Some(bpePairsSql)),
     "bpe_train" -> QueryDef(bpeTrain, Some(bpeTrainSql)),
+    "bpe_vocab" -> QueryDef(bpeVocab, Some(bpeVocabSql)),
     "pack_windows" -> QueryDef(packWindows, Some(packWindowsSql)),
     "vocab_coverage" -> QueryDef(vocabCoverage, Some(vocabCoverageSql)),
     "rare_bigram_rate" -> QueryDef(rareBigramRate, Some(rareBigramRateSql)),

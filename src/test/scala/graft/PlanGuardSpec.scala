@@ -60,6 +60,9 @@ class PlanGuardSpec extends SparkTestBase {
     // 1-row best-merge broadcast per unrolled training round (the learned
     // merge table is disk-cached, so the BNLJ only surfaces cache-disabled)
     "bpe_train",
+    // 1-row ordered-merges array broadcast (the apply stage collapses the
+    // cached 10-row merge table to one array row per query)
+    "bpe_vocab",
     // the declared non-equi range lookup: a CONSTANT 4-row band table
     // broadcast per-row into the scan stage — the BNLJ here IS the
     // intended operator (see bandJoin's scaladoc), never corpus-sized

@@ -1573,6 +1573,48 @@ class QueriesSpec extends SparkTestBase {
       "the skew fixture no longer degenerates fixed-width buckets — pick a harsher distribution")
   }
 
+  test("bpe_vocab: equals replaying the reference-trained merges; characters conserved") {
+    import graft.queries.TextQueries
+    // driver-side reference: train BpeRounds merges on the real corpus'
+    // word counts with the textbook index-based greedy scan (the same
+    // independent formulation TokenizerPropertySpec pins bpe_train with),
+    // then tokenize and count
+    val words = Tables(spark, dir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty))
+    val wc = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def applyGreedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab = wc.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    for (_ <- 1 to TextQueries.BpeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        (0 until syms.length - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1)); counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), _) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        vocab = vocab.map { case (syms, c) => (applyGreedy(syms, l, r), c) }
+      }
+    }
+    val want = vocab.flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = TextQueries.bpeVocab(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // BPE merges never create or destroy characters: Σ n·len(token) must
+    // equal the corpus' total word characters
+    assert(got.map { case (t, n) => n * t.length }.sum ===
+      words.map(_.length.toLong).sum)
+    assert(got.keys.exists(_.length >= 2), "no merged token surfaced — apply stage vacuous")
+  }
+
   test("distributed_grep: counts equal a driver-side regex scan; misses dropped") {
     import graft.queries.TextQueries
     val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
