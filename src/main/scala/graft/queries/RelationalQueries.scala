@@ -2263,31 +2263,51 @@ object RelationalQueries {
   val RankBuckets = 128
 
   /** Bucket-decomposed global rank over any (event_id, vc) input with a
-    * `bkt` column that is monotone non-decreasing in vc.
+    * `bkt` column that is monotone non-decreasing in vc. The input is
+    * explicitly repartitioned on bkt FIRST: both consumers (the offsets
+    * aggregation and the per-bucket rank window) are then satisfied by
+    * that one hash partitioning, so ReuseExchange computes the bucketed
+    * corpus — including the sampled-bounds subtree — exactly ONCE (two
+    * bare references would run the bound sampling twice).
     */
   private[graft] def rankByBucket(ev: DataFrame): DataFrame = {
+    val evb = ev.repartition(col("bkt"))
     val above = Window.orderBy(col("bkt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ev.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    val offsets = evb.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(above), lit(0L)))
       .select(col("bkt"), col("off"))
     val local = Window.partitionBy(col("bkt"))
       .orderBy(col("vc").desc, col("event_id").asc)
-    ev.join(broadcast(offsets), "bkt")
+    evb.join(broadcast(offsets), "bkt")
       .withColumn("rnk", row_number().over(local).cast("long") + col("off"))
       .select(col("event_id"), col("vc"), col("rnk"))
   }
 
   /** Deterministic sampled range bounds: hash-sample `sampleK` rows, take
     * the `buckets`-quantile vc values of the sample as bounds (the last
-    * row of each quantile block, B−1 bounds), broadcast the 1-row sorted
-    * bounds array, and assign bkt = #bounds ≤ vc per row (scan-local).
+    * row of each quantile block, B−1 bounds), and assign
+    * bkt = #bounds ≤ vc per row.
+    *
+    * The bound VALUES are pulled to the driver — O(buckets) longs of
+    * PLANNING metadata, the same class of driver pull as the parquet
+    * footer row counts and the finished Bloom sketch, and exactly what a
+    * production TeraSort does (the driver computes split points in one
+    * sampling pass and ships them inside the partitioner; the sampling
+    * PLAN never reaches the sort). Two wins over carrying the bounds as
+    * a broadcast array column: the sample pass runs ONCE (the bucketed
+    * corpus is consumed twice and column pruning makes the copies
+    * canonically different, defeating exchange reuse — measured as the
+    * sample re-executing per consumer), and the per-row assignment
+    * becomes an UNROLLED BINARY-SEARCH CASE tree over literals —
+    * ⌈log₂ buckets⌉ codegen'd comparisons per row instead of a
+    * 127-element interpreted array-HOF scan.
     */
   private[graft] def sampledRangeBuckets(ev: DataFrame,
       buckets: Int = RankBuckets, sampleK: Int = RankSampleK): DataFrame = {
     import graft.functions.TextFns
     val byRank = Window.orderBy(col("vc").asc, col("r0").asc)
-    val bounds = ev
+    val bs: Array[Long] = ev
       .withColumn("h", TextFns.hash60(col("event_id").cast("string")))
       .orderBy(col("h").asc, col("event_id").asc).limit(sampleK)
       .select(col("vc"), col("event_id").as("r0"))
@@ -2296,9 +2316,16 @@ object RelationalQueries {
       .filter(col("r") < col("n") &&
         expr(s"(r * $buckets) div n") > expr(s"((r - 1) * $buckets) div n"))
       .agg(sort_array(collect_list(col("vc"))).as("bs"))
-    ev.crossJoin(broadcast(bounds))
-      .withColumn("bkt", size(filter(col("bs"), b => b <= col("vc"))).cast("long"))
-      .drop("bs")
+      .head().getSeq[Long](0).toArray
+    // bkt = #bounds ≤ vc, as a balanced CASE tree: answer ∈ [lo, hi];
+    // vc < bs(mid) keeps bounds mid.. all above vc → recurse left
+    def bkt(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(col("vc") < lit(bs(mid)), bkt(lo, mid)).otherwise(bkt(mid + 1, hi))
+      }
+    ev.withColumn("bkt", bkt(0, bs.length))
   }
 
   /** The fixed-width bucketing the query used before round 13 — retained

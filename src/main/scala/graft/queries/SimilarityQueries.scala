@@ -1716,43 +1716,57 @@ object SimilarityQueries {
     * recall-per-scan trade the RECALL.md sweeps show offline is visible
     * in the same in-engine audit (an index is only "better" at equal
     * scan cost; recall alone rewards scanning more). Candidate counts
-    * come from the same candidate stages the searches rank: the deduped
-    * LSH pair set, the IVF probed lists (which are ALSO what the IVFADC
-    * ADC pass scans — the composition prunes identically, it only scores
-    * compressed; the re-rank adds R raw-vector fetches per query on
-    * top, not a wider scan), and the full corpus for the PQ linear scan
-    * (1.0 by construction). All counting is one aggregate per index over
-    * already-memoized artifacts; the one-row count tables combine on a
-    * constant key with broadcast hash joins — no BNLJ, nothing
-    * corpus-sized crosses the driver.
+    * are exact but never re-execute a search: the LSH count aggregates
+    * the deduped candidate-pair stage, and the IVF counts use the
+    * identity |probes ⋈ lists| = Σ_(q, probed list) list_size − nq (each
+    * query's rank-1 probe IS its own assigned list — identical ordering
+    * — so self-pairs contribute exactly nq), i.e. one join of the probe
+    * lists against the 64-row list-size table instead of re-running the
+    * corpus-sized candidate join per index. The IVF probed lists are
+    * ALSO what the IVFADC ADC pass scans (the composition prunes
+    * identically, it only scores compressed; the re-rank adds R
+    * raw-vector fetches per query on top, not a wider scan), and the PQ
+    * linear scan is 1.0 by construction. The one-row count tables
+    * combine on a constant key with broadcast hash joins — no BNLJ,
+    * nothing corpus-sized crosses the driver.
     */
   def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopkCached(spark, dir).select(col("query_id"), col("neighbor_id"))
     val truth = exact.groupBy("query_id").agg(count(lit(1)).as("t"))
     val nCorpus = emb(spark, dir).agg(count(lit(1)).as("nc")).withColumn("k", lit(1))
     val nQueries = truth.agg(count(lit(1)).as("nq")).withColumn("k", lit(1))
+    // 1-row (k, ncand) from the probe lists × the IvfC-row size table
+    def ivfScan(cents: DataFrame, listsMemo: Memo.Table,
+        diskLabel: String): DataFrame = {
+      val sizes = ivfAssigned(spark, dir, cents, listsMemo, diskLabel)
+        .groupBy(col("cidx")).agg(count(lit(1)).as("sz"))
+      ivfProbes(spark, dir, cents).select(col("cidx"))
+        .join(broadcast(sizes), Seq("cidx"))
+        .agg(sum(col("sz")).as("raw")).withColumn("k", lit(1))
+        .join(broadcast(nQueries), Seq("k"))
+        .select(col("k"), (col("raw") - col("nq")).as("ncand"))
+    }
     def scanFrac(cand: Option[DataFrame]): DataFrame = cand match {
       case None => // linear compressed scan: every non-self pair scored
         nQueries.select(col("k"), lit(1.0).as("scan_frac"))
       case Some(c) =>
-        c.agg(count(lit(1)).as("ncand")).withColumn("k", lit(1))
-          .join(broadcast(nQueries), Seq("k"))
+        c.join(broadcast(nQueries), Seq("k"))
           .join(broadcast(nCorpus), Seq("k"))
           .select(col("k"), round(col("ncand").cast("double") /
             (col("nq") * (col("nc") - 1)).cast("double"), 4).as("scan_frac"))
     }
-    val kmCand = () => ivfCandidates(spark, dir, kmeansCodebook(spark, dir),
-      kmListsMemo, "ivf_lists_kmeans")
+    val lshCount = lshCandidates(spark, dir, LshRadius, LshTables)
+      .agg(count(lit(1)).as("ncand")).withColumn("k", lit(1))
+    val kmScan = () => ivfScan(kmeansCodebook(spark, dir), kmListsMemo,
+      "ivf_lists_kmeans")
     val indexes: Seq[(String, DataFrame, Option[DataFrame])] = Seq(
-      ("ann_lsh", annLsh(spark, dir),
-        Some(lshCandidates(spark, dir, LshRadius, LshTables))),
+      ("ann_lsh", annLsh(spark, dir), Some(lshCount)),
       ("ann_ivf", annIvf(spark, dir),
-        Some(ivfCandidates(spark, dir, codebook(spark, dir), ivfListsMemo,
-          "ivf_lists_sampled"))),
-      ("ann_ivf_kmeans", annIvfKmeans(spark, dir), Some(kmCand())),
+        Some(ivfScan(codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled"))),
+      ("ann_ivf_kmeans", annIvfKmeans(spark, dir), Some(kmScan())),
       ("ann_pq", annPq(spark, dir), None),
-      ("ann_ivfpq", annIvfPq(spark, dir), Some(kmCand())),
-      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmCand())))
+      ("ann_ivfpq", annIvfPq(spark, dir), Some(kmScan())),
+      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan())))
     indexes.map { case (nm, df, cand) =>
       val hits = exact
         .join(df.select(col("query_id"), col("neighbor_id")),

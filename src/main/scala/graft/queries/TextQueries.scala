@@ -1018,11 +1018,25 @@ object TextQueries {
   /** The training loop over any (word, c) dictionary — factored so the
     * determinism/greedy semantics are property-testable on crafted
     * dictionaries (runs, ties) against a driver-side reference BPE.
+    *
+    * Each round's dictionary and best-merge row are `localCheckpoint`ed
+    * (eager): round r's plan references round r−1 TWICE (the pair count
+    * and the merge application), so without lineage truncation the
+    * logical tree DOUBLES per round — 2¹⁰× plan nodes by round 10, which
+    * the optimizer re-walks per round and per output branch (measured:
+    * 64 s cold at sf0.1 for the fully-lazy loop, and an 8 GB driver OOM
+    * for a persist-only variant, whose InMemoryRelations shallow the
+    * physical plan but still nest the logical one). Checkpointing cuts
+    * each round to a flat scan of materialized blocks — the loop is
+    * linear in rounds, and lineage-free intermediates are exactly right
+    * for a build that [[bpeTrain]] immediately persists as a durable
+    * disk artifact anyway.
     */
   private[graft] def bpeTrainMerges(wc: DataFrame,
       rounds: Int = BpeRounds): DataFrame = {
     var v = wc.select(col("c"), expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .localCheckpoint()
     val outs = (1 to rounds).map { rnd =>
       val b = v.filter(size(col("syms")) >= 2)
         .select(col("c"), explode(expr(
@@ -1032,6 +1046,7 @@ object TextQueries {
         .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
         .agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc).limit(1)
+        .localCheckpoint()
       val out = b.select(lit(rnd.toLong).as("round"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("n"))
       // 1-row best-merge broadcast; if the dictionary ever runs out of
@@ -1039,6 +1054,7 @@ object TextQueries {
       // (mirrored by the oracle's LIMIT 1 over an empty pair table)
       v = v.crossJoin(broadcast(b))
         .select(col("c"), mergeFold(col("syms"), col("lhs"), col("rhs")).as("syms"))
+        .localCheckpoint()
       out
     }
     outs.reduce(_.unionByName(_))

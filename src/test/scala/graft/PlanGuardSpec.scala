@@ -36,7 +36,6 @@ class PlanGuardSpec extends SparkTestBase {
     "chi2_keywords", // 1-row corpus token total (contingency-table N)
     "basket_rules", // 1-row basket-total broadcast (lift numerator)
     "incremental_merge", // 1-row cut_ns bound splitting base from delta
-    "global_rank", // 1-row sampled range-bounds array (TeraSort bound sampling)
     "triangle_count", // 1-row edge/triangle stat rows assembling the summary
     "fk_cardinality", // 1-row parent-count × 1-row child-stats assembly
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
