@@ -30,7 +30,9 @@ awk "BEGIN{exit !($load < 1.5)}" || {
 # A failed run (query error -> nonzero sbt exit under pipefail) must not
 # leave a recordable-looking artifact: rename whatever was written to
 # .failed and point at the stderr log instead of exiting silently.
-log="${out%.json}.stderr.log"
+# diagnostics land in /tmp, not next to a repo-root artifact (a recorded
+# run would otherwise leave a half-megabyte sbt log in the repo)
+log="/tmp/$(basename "${out%.json}").stderr.log"
 on_err() {
   [ -s "$out" ] && mv "$out" "$out.failed"
   echo "[record-bench] bench FAILED — partial artifact (if any) moved to $out.failed; diagnostics in $log" >&2
