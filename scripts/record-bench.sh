@@ -27,25 +27,35 @@ awk "BEGIN{exit !($load < 1.5)}" || {
   echo "[record-bench] host never went quiet (load $load) — aborting" >&2
   exit 1
 }
-# A failed run (query error -> nonzero sbt exit under pipefail) must not
-# leave a recordable-looking artifact: rename whatever was written to
-# .failed and point at the stderr log instead of exiting silently.
-# diagnostics land in /tmp, not next to a repo-root artifact (a recorded
-# run would otherwise leave a half-megabyte sbt log in the repo)
+# The run writes to a TEMP file and only moves into place after every
+# check passes: a failed re-run must never truncate or replace a
+# previously recorded artifact at $out (the bare `> "$out"` redirection
+# did exactly that before sbt even started), and a failure keeps its
+# partial output as $out.failed with the sbt stderr log for diagnosis.
+# Diagnostics land in /tmp, not next to a repo-root artifact (a recorded
+# run would otherwise leave a half-megabyte sbt log in the repo).
 log="/tmp/$(basename "${out%.json}").stderr.log"
+tmp="$out.tmp.$$"
 on_err() {
-  [ -s "$out" ] && mv "$out" "$out.failed"
-  echo "[record-bench] bench FAILED — partial artifact (if any) moved to $out.failed; diagnostics in $log" >&2
+  if [ -s "$tmp" ]; then
+    mv "$tmp" "$out.failed"
+    echo "[record-bench] bench FAILED — partial output kept at $out.failed; diagnostics in $log" >&2
+  else
+    rm -f "$tmp"
+    echo "[record-bench] bench FAILED before emitting a metric line — nothing recorded ($out untouched); diagnostics in $log" >&2
+  fi
 }
 trap on_err ERR
 SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RETIME=force \
   sbt -batch "runMain graft.Bench" 2>"$log" |
-  grep -o '{"metric".*}' > "$out"
+  grep -o '{"metric".*}' > "$tmp"
 trap - ERR
-if grep -q '"contended":true' "$out"; then
-  echo "[record-bench] run self-flagged contended — do NOT record $out" >&2
+if grep -q '"contended":true' "$tmp"; then
+  mv "$tmp" "$out.failed"
+  echo "[record-bench] run self-flagged contended — NOT recorded (kept at $out.failed)" >&2
   exit 1
 fi
+mv "$tmp" "$out"
 echo "[record-bench] recorded $(python3 -c "
 import json,sys; d=json.load(open('$out'))
 print(f\"warm {d['value']:.1f}s / cold {d.get('cold_total',-1):.1f}s / {len(d['queries'])} queries\")")" >&2

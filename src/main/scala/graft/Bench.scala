@@ -37,11 +37,14 @@ object Bench {
     * re-times when the run was contended at start, a competing JVM
     * appeared mid-run, or end load exceeds what this bench alone can
     * cause. `benchCpus` is the bench's OWN executor-thread count
-    * (min(SPARK_GRAFT_CPUS, host cores), computed at the call site) —
-    * the bench only drives load toward local[cpus], so on a host with
-    * more cores than cpus a hostCpus-based threshold would silently
-    * attribute mid-run contention up to hostCpus+gate to the bench and
-    * never fire (round-12 advice).
+    * (SPARK_GRAFT_CPUS, the local[cpus] parallelism) — the 1-min load
+    * average counts RUNNABLE THREADS, and the bench keeps up to `cpus`
+    * of them runnable no matter how many cores the host has. A
+    * hostCpus-based threshold was wrong in both directions: on a wide
+    * host it attributed foreign load up to hostCpus+gate to the bench
+    * and never fired (round-12 advice), and min(cpus, hostCpus) on a
+    * NARROW host would spuriously fire on every quiet run (local[32] on
+    * 16 cores keeps ~32 threads runnable — load ~32 is the bench's own).
     */
   private[graft] def shouldRetime(envVal: String, contended: Boolean,
       jvmsGrew: Boolean, loadEnd: Double, benchCpus: Int,
@@ -231,8 +234,9 @@ object Bench {
     val retimeEnv = sys.env.getOrElse("SPARK_GRAFT_RETIME", "1")
     val jvmsMid = javaProcs()
     // the bench's own contribution to load is bounded by its local[cpus]
-    // threads, not the host's core count — see shouldRetime's scaladoc
-    val benchCpus = math.min(cpus.toIntOption.getOrElse(hostCpus), hostCpus)
+    // thread count (runnable threads, core-count independent) — see
+    // shouldRetime's scaladoc
+    val benchCpus = cpus.toIntOption.getOrElse(hostCpus)
     val doRetime = shouldRetime(retimeEnv, contended, jvmsMid > jvms0,
       loadAvg1m(), benchCpus, GateLoad)
     var retimed = Map.empty[String, Double]

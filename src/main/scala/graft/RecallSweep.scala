@@ -35,12 +35,35 @@ object RecallSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional arg: sweep only one family ("lsh" | "ivf" | "pq" | "hn") —
+    // a retune session usually moves one knob and should not pay for the
+    // whole grid. Unknown names are an ERROR, not a silent empty sweep
+    // (a typo like "lhs" would otherwise make want() false for every
+    // family, run nothing, and exit 0 — the same failure mode Bench's
+    // unknown-query guard exists for), and the check runs BEFORE the
+    // exact baseline below so the typo fails fast instead of after the
+    // costliest step of the sweep.
+    val Families = Set("lsh", "ivf", "pq", "hn")
+    val family = args.headOption
+    family.filterNot(Families).foreach { f =>
+      System.err.println(
+        s"[sweep] unknown family '$f' — known: ${Families.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
+    def want(f: String) = family.forall(_ == f)
+
     def topSets(df: DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-    val exact = topSets(SimilarityQueries.annTopk(spark, sfDir))
-    require(exact.nonEmpty, "baseline empty")
+    // lazy: the hn family builds its own cross-label truth set and must
+    // not pay for the all-pairs ann_topk baseline it never reads
+    lazy val exact: Map[Long, Set[Long]] = {
+      val e = topSets(SimilarityQueries.annTopk(spark, sfDir))
+      require(e.nonEmpty, "baseline empty")
+      e
+    }
     def recall(approx: Map[Long, Set[Long]]): Double = {
       val per = exact.map { case (q, t) =>
         approx.getOrElse(q, Set.empty).count(t).toDouble / t.size
@@ -57,22 +80,6 @@ object RecallSweep {
       val warm = (System.nanoTime() - warm0) / 1e9
       println(f"$label%-34s recall@10=$r%.3f first=$first%.2fs warm=$warm%.2fs")
     }
-
-    // optional arg: sweep only one family ("lsh" | "ivf" | "pq") — a
-    // retune session usually moves one knob and should not pay for the
-    // whole grid. Unknown names are an ERROR, not a silent empty sweep
-    // (a typo like "lhs" would otherwise make want() false for every
-    // family, run nothing, and exit 0 — the same failure mode Bench's
-    // unknown-query guard exists for).
-    val Families = Set("lsh", "ivf", "pq", "hn")
-    val family = args.headOption
-    family.filterNot(Families).foreach { f =>
-      System.err.println(
-        s"[sweep] unknown family '$f' — known: ${Families.toSeq.sorted.mkString(", ")}")
-      spark.stop()
-      sys.exit(2)
-    }
-    def want(f: String) = family.forall(_ == f)
 
     if (want("lsh"))
       // radius grid driven by the SAME generic mask generator the query

@@ -834,6 +834,20 @@ object SimilarityQueries {
     s"""WITH $kmCentSqlCtes,
        |${ivfSearchSqlTail(s"cent$KmIters")}""".stripMargin
 
+  /** The bare corpus→centroid assignment as tc/assigned CTEs (vec_id and
+    * cidx only — [[ivfSearchSqlTail]]'s richer tc also carries vectors).
+    * Shared by the IVFADC oracle and the hard_negatives oracle so the
+    * assignment ordering/tiebreak cannot drift between them — the same
+    * one-generated-chain rule as [[kmCentSqlCtes]]/[[pqSqlCtesOver]].
+    */
+  private def kmAssignSqlCtes(cent: String): String =
+    s"""tc AS (SELECT e.vec_id, c.cidx,
+       |              row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
+       |                         c.cidx) AS cr
+       |       FROM e CROSS JOIN $cent c),
+       |assigned AS (SELECT cidx, vec_id FROM tc WHERE cr = 1)""".stripMargin
+
   // --------------------------------------------------------- label_centroids
   /** `label_centroids` — per-label mean embedding (class centroids): the
     * semantic-aggregation primitive behind label-balanced sampling,
@@ -1329,12 +1343,7 @@ object SimilarityQueries {
       s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
     s"""$kmCentSqlCtes,
        |qcent AS (SELECT cidx, $qcList AS qc FROM $cent),
-       |tc AS (SELECT e.vec_id, c.cidx,
-       |              row_number() OVER (PARTITION BY e.vec_id
-       |                ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
-       |                         c.cidx) AS cr
-       |       FROM e CROSS JOIN $cent c),
-       |assigned AS (SELECT cidx, vec_id FROM tc WHERE cr = 1),
+       |${kmAssignSqlCtes(cent)},
        |rq AS (SELECT eq.vec_id, a.cidx, $resList AS qv
        |       FROM eq JOIN assigned a ON a.vec_id = eq.vec_id
        |       JOIN qcent qc ON qc.cidx = a.cidx),
@@ -1505,12 +1514,7 @@ object SimilarityQueries {
   val hardNegativesSql: String = {
     val cent = s"cent$KmIters"
     s"""WITH $kmCentSqlCtes,
-       |tc AS (SELECT e.vec_id, c.cidx,
-       |              row_number() OVER (PARTITION BY e.vec_id
-       |                ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
-       |                         c.cidx) AS cr
-       |       FROM e CROSS JOIN $cent c),
-       |assigned AS (SELECT cidx, vec_id FROM tc WHERE cr = 1),
+       |${kmAssignSqlCtes(cent)},
        |probes AS (SELECT vec_id, cidx FROM tc WHERE cr <= $HardNegProbe),
        |r AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
        |             n.vec_id AS neg_id, n.label AS neg_label,

@@ -1113,7 +1113,12 @@ object TextQueries {
     * (kept positions are never adjacent, so the two rules can't
     * collide). The v/b CTEs are MATERIALIZED: each round references its
     * predecessor three times, and inlining would re-derive the base
-    * table 3^rounds times.
+    * table 3^rounds times. The dictionary carries through an EXHAUSTED
+    * round via LEFT JOIN b ON TRUE (b empty → syms unchanged), so a
+    * degenerate corpus that runs out of pairs before the last round
+    * still tokenizes in `bpe_vocab`'s tail — a CROSS JOIN would empty
+    * the dictionary and diverge from the Spark side, which replays only
+    * the learned (non-empty) merges.
     */
   // a def, not a val: bpeVocabSql initializes earlier in the object and
   // a val here would still be null at that point
@@ -1143,7 +1148,7 @@ object TextQueries {
          |                     THEN b.lhs || b.rhs ELSE v.syms[xi] END
          |                FOR xi IN generate_series(1, len(v.syms))
          |                IF k.ki IS NULL OR NOT list_contains(k.ki, xi - 1)] AS syms
-         |        FROM $prev v CROSS JOIN b$i b LEFT JOIN ks$i k USING (word))""".stripMargin
+         |        FROM $prev v LEFT JOIN b$i b ON TRUE LEFT JOIN ks$i k USING (word))""".stripMargin
     }
     s"""WITH toks AS (${Oracle.toksCte}),
        |w AS (SELECT unnest(t) AS word FROM toks),
