@@ -50,6 +50,22 @@ SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RETIME=force \
   sbt -batch "runMain graft.Bench" 2>"$log" |
   grep -o '{"metric".*}' > "$tmp"
 trap - ERR
+# The artifact must be EXACTLY one parseable JSON line: a run that ever
+# emitted two metric lines (or a mangled one) would otherwise be mv'd
+# into place as malformed JSON and only the post-record summary below
+# would fail — leaving a recorded but unparseable artifact at $out.
+if ! python3 - "$tmp" <<'PY'
+import json, sys
+lines = [l for l in open(sys.argv[1]) if l.strip()]
+if len(lines) != 1:
+    sys.exit(f"expected exactly 1 metric line, got {len(lines)}")
+json.loads(lines[0])
+PY
+then
+  mv "$tmp" "$out.failed"
+  echo "[record-bench] metric output malformed — NOT recorded (kept at $out.failed)" >&2
+  exit 1
+fi
 if grep -q '"contended":true' "$tmp"; then
   mv "$tmp" "$out.failed"
   echo "[record-bench] run self-flagged contended — NOT recorded (kept at $out.failed)" >&2

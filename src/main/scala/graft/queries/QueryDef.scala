@@ -34,7 +34,23 @@ private[queries] object Memo {
       build.persist()
     })
 
-  private def evictOnEnd(memo: Table, spark: SparkSession, dir: String): Unit =
+  /** Memoize a driver-side PLANNING value (split-point bounds, row
+    * counts) per (session, dir) — same lifecycle as [[memoize]] but for
+    * plain values that are pulled to the driver once and embedded in
+    * plans as literals, so repeated plan constructions (the bench loop's
+    * warm repeats) don't re-run the sampling job each time.
+    */
+  def memoizeValue[A](
+      memo: scala.collection.concurrent.TrieMap[(SparkSession, String), A],
+      spark: SparkSession, dir: String)(build: => A): A =
+    memo.getOrElseUpdate((spark, dir), {
+      evictOnEnd(memo, spark, dir)
+      build
+    })
+
+  private def evictOnEnd[A](
+      memo: scala.collection.concurrent.TrieMap[(SparkSession, String), A],
+      spark: SparkSession, dir: String): Unit =
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onApplicationEnd(
           e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =

@@ -2304,11 +2304,19 @@ object RelationalQueries {
     * 127-element interpreted array-HOF scan.
     */
   private[graft] def sampledRangeBuckets(ev: DataFrame,
-      buckets: Int = RankBuckets, sampleK: Int = RankSampleK): DataFrame = {
+      buckets: Int = RankBuckets, sampleK: Int = RankSampleK): DataFrame =
+    applyRangeBounds(ev, sampledRangeBounds(ev, buckets, sampleK))
+
+  /** The driver-side sampling job: runs a full scan + top-K, so callers
+    * on the hot path must memoize the result per (session, dir) —
+    * [[globalRank]] does, via [[Memo.memoizeValue]] — rather than re-run
+    * it on every plan construction.
+    */
+  private[graft] def sampledRangeBounds(ev: DataFrame,
+      buckets: Int = RankBuckets, sampleK: Int = RankSampleK): Array[Long] = {
     import graft.functions.TextFns
     val byRank = Window.orderBy(col("vc").asc, col("r0").asc)
-    val bs: Array[Long] = ev
-      .withColumn("h", TextFns.hash60(col("event_id").cast("string")))
+    ev.withColumn("h", TextFns.hash60(col("event_id").cast("string")))
       .orderBy(col("h").asc, col("event_id").asc).limit(sampleK)
       .select(col("vc"), col("event_id").as("r0"))
       .withColumn("r", row_number().over(byRank).cast("long"))
@@ -2317,6 +2325,9 @@ object RelationalQueries {
         expr(s"(r * $buckets) div n") > expr(s"((r - 1) * $buckets) div n"))
       .agg(sort_array(collect_list(col("vc"))).as("bs"))
       .head().getSeq[Long](0).toArray
+  }
+
+  private[graft] def applyRangeBounds(ev: DataFrame, bs: Array[Long]): DataFrame = {
     // bkt = #bounds ≤ vc, as a balanced CASE tree: answer ∈ [lo, hi];
     // vc < bs(mid) keeps bounds mid.. all above vc → recurse left
     def bkt(lo: Int, hi: Int): Column =
@@ -2334,11 +2345,21 @@ object RelationalQueries {
   private[graft] def fixedWidthBuckets(ev: DataFrame): DataFrame =
     ev.withColumn("bkt", expr(s"vc div $RankBucketCents"))
 
-  def globalRank(spark: SparkSession, dir: String): DataFrame =
-    rankByBucket(sampledRangeBuckets(
-      Tables(spark, dir, "events").select(
-        col("event_id"),
-        round(col("value") * 100).cast("long").as("vc"))))
+  /** Memo for globalRank's sampled split points — O(RankBuckets) longs of
+    * planning metadata (like the codebooks and parquet row counts): the
+    * sampling scan runs once per (session, dir), not once per plan
+    * construction.
+    */
+  private val rankBoundsMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Long]]
+
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val bs = Memo.memoizeValue(rankBoundsMemo, spark, dir)(sampledRangeBounds(ev))
+    rankByBucket(applyRangeBounds(ev, bs))
+  }
 
   val globalRankSql: String =
     """WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events)
