@@ -74,6 +74,31 @@ class StreamingRecoverySpec extends SparkTestBase {
   }
 
   test("STATEFUL restart: trailingFeatures 7-day buffer survives the checkpoint") {
+    trailingFeaturesRestart(rocksdb = false)
+  }
+
+  test("STATEFUL restart under RocksDB: the provider a production deployment " +
+    "runs round-trips the same state") {
+    // Same scenario, state store swapped to the bundled RocksDB provider
+    // (spark.sql.streaming.stateStore.providerClass) — the off-heap,
+    // disk-spilling store a 100 TB streaming deployment actually runs
+    // (HDFSBackedStateStore keeps every key in executor heap; RocksDB
+    // state is bounded by local disk). The batch-agreement and
+    // cross-boundary assertions are identical, so this pins that the
+    // checkpointed state SEMANTICS are provider-independent, and the
+    // layout check pins that RocksDB actually served the run.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try trailingFeaturesRestart(rocksdb = true)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def trailingFeaturesRestart(rocksdb: Boolean): Unit = {
     // The flatMapGroupsWithState buffer must persist across a restart:
     // epoch-2 events' features look back INTO epoch 1, so any state loss
     // (or replay) diverges from the batch backfill over the union. The
@@ -140,6 +165,18 @@ class StreamingRecoverySpec extends SparkTestBase {
         col("ts") - col("gap_ns") <= epoch1Max)
     assert(crossBoundary.count() > 0,
       "vacuous: no epoch-2 feature referenced epoch-1 state")
+
+    // Provider-layout pin: HDFSBackedStateStore checkpoints <v>.delta
+    // files; RocksDB checkpoints <v>.zip snapshots (+ optional
+    // changelogs). Asserting on the files proves the intended provider
+    // actually held the state, not a silently-defaulted fallback.
+    val stateFiles = Files.walk(ckpt.resolve("state")).toArray.map(_.toString)
+    val deltas = stateFiles.count(_.endsWith(".delta"))
+    val zips = stateFiles.count(_.endsWith(".zip"))
+    if (rocksdb) assert(zips > 0 && deltas == 0,
+      s"RocksDB run should checkpoint .zip snapshots, saw $deltas deltas / $zips zips")
+    else assert(deltas > 0 && zips == 0,
+      s"HDFS-backed run should checkpoint .delta files, saw $deltas deltas / $zips zips")
   }
 
   test("STATEFUL restart with EVICTION: skyline frontier survives the checkpoint " +

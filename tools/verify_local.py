@@ -20,6 +20,7 @@ Scala/Spark.
 """
 import datetime
 import json
+import os
 import math
 import sys
 
@@ -64,7 +65,12 @@ def norm_val(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; generated scale-up dirs
+        # (GenScale) are <table>.parquet/part-*.parquet directories
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     failures = []
