@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 object StageProfile {
   def main(args: Array[String]): Unit = {
     val q = if (args.nonEmpty) args(0) else "ngram_jaccard_prefix"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -15,7 +16,7 @@ object StageProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(): Unit =
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
     val t0 = System.nanoTime(); run()
     println(f"[cold] ${(System.nanoTime() - t0) / 1e9}%.2f s")

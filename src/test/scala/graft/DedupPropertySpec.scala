@@ -61,12 +61,34 @@ class DedupPropertySpec extends SparkTestBase {
   }
 
   test("prefix filtering is lossless: prefix == brute force on a random near-dup corpus") {
+    // forceCountPlan = Some(false) pins the PREFIX branch: the 12-word
+    // vocabulary saturates the trigram universe, so the cost-based router
+    // would (correctly) pick the count plan here — which is ngramJaccard
+    // itself and would make this losslessness test vacuous.
     def collectPairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = collectPairs(DedupQueries.ngramJaccard(spark, randomCorpusDir))
-    val prefix = collectPairs(DedupQueries.ngramJaccardPrefix(spark, randomCorpusDir))
+    val prefix = collectPairs(
+      DedupQueries.ngramJaccardPrefixRouted(spark, randomCorpusDir, Some(false)))
     assert(exact.nonEmpty, "corpus produced no qualifying pairs — test is vacuous")
     assert(prefix === exact)
+  }
+
+  test("prefix routing: both plans agree with the routed entry point, and the " +
+      "saturated-universe corpus routes to the count plan") {
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val routed = collectPairs(DedupQueries.ngramJaccardPrefix(spark, randomCorpusDir))
+    val forcedPrefix = collectPairs(
+      DedupQueries.ngramJaccardPrefixRouted(spark, randomCorpusDir, Some(false)))
+    val forcedCount = collectPairs(
+      DedupQueries.ngramJaccardPrefixRouted(spark, randomCorpusDir, Some(true)))
+    assert(routed === forcedPrefix && routed === forcedCount)
+    // the 12-word random corpus saturates its trigram universe (every df
+    // grows with the corpus), which is exactly the regime where prefix
+    // filtering stops paying for its per-candidate verify cost
+    assert(DedupQueries.prefixRouteUseCount(spark, randomCorpusDir),
+      "saturated-universe corpus should route to the count-based plan")
   }
 
   test("MaxBandBucket cap: an exact-dup flood generates no pairs, real near-dups survive") {
@@ -125,7 +147,9 @@ class DedupPropertySpec extends SparkTestBase {
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(byJ === Map(1.0 -> nClones, 0.9 -> 1L),
       s"expected $nClones clone pairs at J=1.0 + one J=0.9 pair, got $byJ")
-    val prefix = DedupQueries.ngramJaccardPrefix(spark, d.toString)
+    // pin the prefix BRANCH (the router would pick the count plan on a
+    // 1030-clone corpus): its hot-shingle handling is the claim under test
+    val prefix = DedupQueries.ngramJaccardPrefixRouted(spark, d.toString, Some(false))
     assert(exact.exceptAll(prefix).count() === 0L)
     assert(prefix.exceptAll(exact).count() === 0L)
   }
