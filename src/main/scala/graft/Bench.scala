@@ -147,6 +147,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // asof_join requires UTC (NTZ→epoch)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
+      // static conf, JVM-wide: the default 100-entry generated-class cache
+      // thrashes on the biggest plans — ann_recall_report alone compiles
+      // 364 classes in one cold execution (measured: 12 s of its 18 s cold
+      // wall) and RE-compiled 264 per warm run before this; 1000 entries
+      // drops the warm recompiles to the AQE-variant residual (118) and
+      // cuts recompiles across the whole warm pass (corpus_keep 59 → 8)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,6 +37,11 @@ object ColdProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, JVM-wide: the default 100-entry generated-class cache
+      // thrashes on the biggest plans (ann_recall_report compiles 364
+      // classes in ONE execution — measured 12 s of its 18 s cold, and 264
+      // RE-compiles per warm run from the evictions)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

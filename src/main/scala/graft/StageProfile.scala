@@ -12,6 +12,9 @@ object StageProfile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC") // asof_join requires UTC (NTZ→epoch)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
+      // 1000-entry generated-class cache (static conf): the default 100
+      // thrashes on the biggest plans — see Bench.scala
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
