@@ -91,6 +91,34 @@ class DedupPropertySpec extends SparkTestBase {
       "saturated-universe corpus should route to the count-based plan")
   }
 
+  test("prefix routing: an open-vocabulary corpus with hot boilerplate routes " +
+      "to the PREFIX branch") {
+    // Every doc: three unique-word shingles (df=1) + one boilerplate
+    // shingle shared by all 200 docs (df=200). prefixLen = 4-⌈0.5·4⌉+1 = 3
+    // → each prefix is exactly the three df=1 shingles, so the prefix pair
+    // mass is 0 while the full fan-out mass is C(200,2) — the Zipf-head
+    // regime prefix filtering exists for, in miniature. Words must be
+    // LETTERS ONLY: the shingle tokenizer is letter-runs, so a
+    // digit-bearing word like "w7a" splits into "w", "a" and the corpus
+    // degenerates into shared shingles.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("open-vocab-corpus")
+    def enc(i: Int): String = i.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"q${enc(i)}x q${enc(i)}y q${enc(i)}z common alpha beta"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    assert(!DedupQueries.prefixRouteUseCount(spark, d.toString),
+      "open-vocab corpus should route to the prefix-filter branch")
+    // and the routed query still equals the brute-force result there
+    val exact = DedupQueries.ngramJaccard(spark, d.toString)
+    val routed = DedupQueries.ngramJaccardPrefix(spark, d.toString)
+    assert(exact.exceptAll(routed).count() === 0L)
+    assert(routed.exceptAll(exact).count() === 0L)
+  }
+
   test("MaxBandBucket cap: an exact-dup flood generates no pairs, real near-dups survive") {
     // 1030 byte-identical clones exceed the 1024 bucket cap in every band
     // -> dropped before pair generation (the exact-hash dedup path owns
