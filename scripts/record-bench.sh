@@ -16,6 +16,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 sf=${1:-/root/testdata/sf0.1}
 out=${2:-/tmp/bench_recorded.json}
+# optional query names after sf/out are passed through to graft.Bench
+# (subset recordings — e.g. the sf10 scale-path subset in BASELINE.md;
+# the artifact's "queries" object shows exactly what ran)
+shift $(( $# > 2 ? 2 : $# ))
+extra="$*"
 for i in $(seq 1 60); do
   load=$(cut -d' ' -f1 /proc/loadavg)
   awk "BEGIN{exit !($load < 1.5)}" && break
@@ -47,7 +52,7 @@ on_err() {
 }
 trap on_err ERR
 SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RETIME=force \
-  sbt -batch "runMain graft.Bench" 2>"$log" |
+  sbt -batch "runMain graft.Bench $extra" 2>"$log" |
   grep -o '{"metric".*}' > "$tmp"
 trap - ERR
 # The artifact must be EXACTLY one parseable JSON line: a run that ever

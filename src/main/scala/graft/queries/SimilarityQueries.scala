@@ -1570,15 +1570,43 @@ object SimilarityQueries {
     // list and the anchor's probed lists are distinct; self-pairs die on
     // the label filter (anchor_label = its own label)
     val cos = cosine(col("av"), col("cv"), col("an"), col("cn"))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(round(cos, 6).desc, col("neg_id").asc)
-    probes.hint("shuffle_hash").join(negs, Seq("cidx"))
+    // Top-k per anchor via pack → collect → in-row sort/slice, NOT a
+    // row_number window over the candidate join output: each join row
+    // necessarily carries BOTH raw vectors (the cosine is computed here),
+    // so a window — which sorts the full candidate stream — ships ~1 KB
+    // per row through its sort. Measured at the 100× scale-up (sf10,
+    // 200 k vectors, C=64 fixed): ~1.25 G candidate rows ≈ 1.3 TB of
+    // window-sort spill — it filled a 77 GB disk and killed the stage.
+    // Here the rank key (round(cos,6) desc, neg_id asc) packs into ONE
+    // long IN THE JOIN PROJECTION (same round(cos6·10⁶) integerization as
+    // the probe-selection packing above — FP-exact for 6-decimal values),
+    // the vectors never leave the map side, and the aggregation exchange
+    // carries 8 bytes per candidate into per-anchor partial collects. The
+    // k winners (k·n rows) re-join the vector table to recompute `sim` as
+    // round(cos,4) EXACTLY — deriving it from the packed 6-decimal value
+    // would double-round. neg_id must fit 33 bits (require below; at
+    // larger corpora widen the packing — cos6 needs only 21).
+    val pk = (round(round(cos, 6) * lit(1000000d)).cast("long") + lit(1000000L)) *
+      lit(1L << 33) + (lit((1L << 33) - 1) - col("neg_id"))
+    val topPacked = probes.hint("shuffle_hash").join(negs, Seq("cidx"))
       .filter(col("anchor_label") =!= col("neg_label"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("sim", round(cos, 4))
-      .filter(col("rank") <= HardNegK)
+      .select(col("anchor_id"), col("anchor_label"), pk.as("pk"))
+      .groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(slice(reverse(sort_array(collect_list(col("pk")))), 1, HardNegK)
+        .as("pks"))
+      .select(col("anchor_id"), col("anchor_label"),
+        posexplode(col("pks")).as(Seq("pos", "pk")))
+      .select(col("anchor_id"), col("anchor_label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (lit((1L << 33) - 1) - pmod(col("pk"), lit(1L << 33))).as("neg_id"))
+    val sim = round(cosine(col("av2"), col("nv"), col("an2"), col("nn")), 4)
+    topPacked
+      .join(e.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("v").as("nv"), col("nrm").as("nn")), Seq("neg_id"))
+      .join(e.select(col("vec_id").as("anchor_id"), col("v").as("av2"),
+        col("nrm").as("an2")), Seq("anchor_id"))
       .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
-        col("neg_label"), col("rank"), col("sim"))
+        col("neg_label"), col("rank"), sim.as("sim"))
   }
 
   val hardNegativesSql: String = {
