@@ -25,6 +25,11 @@ class OracleConstantSpec extends AnyFunSuite {
   // (query name, constant, marker that must appear in its oracle SQL)
   private val checks: Seq[(String, String, String)] = Seq(
     ("ann_ivf", "Nprobe", s"cr <= $Nprobe"),
+    // the capacity law's shared formula: C = ⌊√(Nprobe·n)⌋ must be derived
+    // from the SAME Nprobe val inside the oracle, or the two engines would
+    // build different codebooks
+    ("ann_ivf_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
+    ("ann_ivf_scaled", "Nprobe", s"cr <= $Nprobe"),
     ("ann_ivf_kmeans", "Nprobe", s"cr <= $Nprobe"),
     ("ann_ivfpq", "Nprobe", s"cr <= $Nprobe"),
     ("ann_ivfpq_rerank", "Nprobe", s"cr <= $Nprobe"),

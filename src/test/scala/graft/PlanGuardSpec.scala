@@ -40,6 +40,12 @@ class PlanGuardSpec extends SparkTestBase {
     "fk_cardinality", // 1-row parent-count × 1-row child-stats assembly
     // constant-size codebook crossJoins (O(K)=64 / O(256) rows per subspace)
     "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq", "ann_ivfpq_rerank",
+    // the scaled-capacity codebook crossJoin is O(√(Nprobe·n)) rows — not
+    // constant, but sub-corpus-sized by construction (219 rows at sf0.1,
+    // ~2.2k at the sf10 scale-up; ~500 KB per 1k centroids) and the law's
+    // own scaladoc records where a production system outgrows the flat
+    // broadcast (hierarchical coarse quantization)
+    "ann_ivf_scaled",
     "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
     "hard_negatives", // same IvfC-row codebook crossJoin (per-anchor probe selection)
     // ivf_balance normally plans two aggregations over disk-cached

@@ -172,11 +172,12 @@ class SimilarityPropertySpec extends SparkTestBase {
     }
     val lsh = recallAt10(topSets(SimilarityQueries.annLsh(spark, dir)))
     val ivf = recallAt10(topSets(SimilarityQueries.annIvf(spark, dir)))
+    val ivfScaled = recallAt10(topSets(SimilarityQueries.annIvfScaled(spark, dir)))
     val ivfKm = recallAt10(topSets(SimilarityQueries.annIvfKmeans(spark, dir)))
     val pq = recallAt10(topSets(SimilarityQueries.annPq(spark, dir)))
     val ivfPq = recallAt10(topSets(SimilarityQueries.annIvfPq(spark, dir)))
     val ivfPqR = recallAt10(topSets(SimilarityQueries.annIvfPqRerank(spark, dir)))
-    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_kmeans=$ivfKm%.3f ann_pq=$pq%.3f ann_ivfpq=$ivfPq%.3f ann_ivfpq_rerank=$ivfPqR%.3f")
+    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_scaled=$ivfScaled%.3f ann_ivf_kmeans=$ivfKm%.3f ann_pq=$pq%.3f ann_ivfpq=$ivfPq%.3f ann_ivfpq_rerank=$ivfPqR%.3f")
     // Measured at the committed RECALL.md operating point (Nprobe=24,
     // RerankR=100, LSH 2 tables × radius-2): lsh 0.560 (~27% scanned),
     // ivf 0.645, ivf_kmeans 0.735 (both ~38% scanned) — the corpus is
@@ -186,6 +187,15 @@ class SimilarityPropertySpec extends SparkTestBase {
     // single-table radius-1 point)
     assert(lsh >= 0.40, f"ann_lsh recall@10 $lsh%.3f below floor (LshBits/LshRadius/LshTables mistuned?)")
     assert(ivf >= 0.45, f"ann_ivf recall@10 $ivf%.3f below floor (Nprobe/codebook mistuned?)")
+    // scaled capacity: C = ⌊√(24·2000)⌋ = 219 lists at sf0.1, probed
+    // fraction ~24/219 ≈ 11% (vs the fixed family's 38%). Measured recall
+    // 0.445 — recall-per-scan 4.1×, the BEST in the family (fixed-C 1.7×,
+    // kmeans 2.0×, lsh 2.1×): finer cells rank neighborhoods better than
+    // the ~2×-scan law RECALL.md measured across the COARSE (64-list)
+    // settings, even on this near-uniform corpus. Floor at ~0.7×
+    // measurement.
+    assert(ivfScaled >= 0.31,
+      f"ann_ivf_scaled recall@10 $ivfScaled%.3f below floor (capacity law / probe selection regressed)")
     // Lloyd refinement adapts list balance to the data; on a near-uniform
     // corpus it should at minimum not LOSE retrieval quality vs the
     // sampled codebook.
@@ -220,6 +230,7 @@ class SimilarityPropertySpec extends SparkTestBase {
     val report = SimilarityQueries.annRecallReport(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     val expected = Map("ann_lsh" -> lsh, "ann_ivf" -> ivf,
+      "ann_ivf_scaled" -> ivfScaled,
       "ann_ivf_kmeans" -> ivfKm, "ann_pq" -> pq, "ann_ivfpq" -> ivfPq,
       "ann_ivfpq_rerank" -> ivfPqR)
     assert(report.keySet === expected.keySet)
@@ -243,7 +254,42 @@ class SimilarityPropertySpec extends SparkTestBase {
       assert(fracs(nm) > 0.27 && fracs(nm) < 0.48,
         f"$nm scan_frac ${fracs(nm)}%.3f far from the ~0.375 (24/64 lists) figure")
     }
+    // the capacity law's signature at n=2000: C=219 lists → ~24/219 ≈ 11%
+    // scanned, strictly below the fixed-capacity family's 24/64 ≈ 38%
+    assert(fracs("ann_ivf_scaled") > 0.06 && fracs("ann_ivf_scaled") < 0.17,
+      f"ann_ivf_scaled scan_frac ${fracs("ann_ivf_scaled")}%.3f far from the ~0.11 (24/219 lists) figure")
+    assert(fracs("ann_ivf_scaled") < fracs("ann_ivf"),
+      "the scaled index must scan a SMALLER fraction than the fixed-capacity one at n=2000")
     info(s"scan_frac: ${fracs.toSeq.sortBy(_._1).map { case (n, f) => f"$n=$f%.3f" }.mkString(" ")}")
+  }
+
+  test("capacity law: scaledC follows ⌊√(Nprobe·n)⌋ with clamps, and the scanned fraction falls with corpus size") {
+    import SimilarityQueries.{scaledC, Nprobe, ScaledCMax}
+    // the shared engine/oracle formula, exactly
+    Seq(20L, 200L, 2000L, 20000L, 200000L, 2000000L).foreach { n =>
+      val want = math.max(4L, math.min(ScaledCMax.toLong,
+        math.floor(math.sqrt((Nprobe * n).toDouble)).toLong))
+      assert(scaledC(n).toLong === want, s"scaledC($n)")
+    }
+    assert(scaledC(2000) === 219) // the sf0.1 operating point cited in docs
+    assert(scaledC(0) === 4, "lower clamp")
+    assert(scaledC(Long.MaxValue / Nprobe - 1) === ScaledCMax, "upper clamp")
+    // monotone: more corpus never means fewer lists
+    val cs = (1 to 60).map(i => scaledC(1L << (i / 3)))
+    assert(cs === cs.sorted, "scaledC must be monotone in n")
+    // The decade behavior the operator exists for: per-query scanned
+    // fraction nprobe/C falls ~1/√10 per decade (per-query COST nprobe·n/C
+    // grows only √10), where the fixed-capacity family holds fraction
+    // constant and cost grows 10×. Pinned on the formula across five
+    // decades; the measured wall-clock exponents live in BASELINE.md.
+    (1 to 5).foreach { d =>
+      val n0 = 2000L * math.pow(10, d - 1).toLong
+      val n1 = n0 * 10
+      val (f0, f1) = (Nprobe.toDouble / scaledC(n0), Nprobe.toDouble / scaledC(n1))
+      assert(f1 < f0 * 0.4, f"decade $d: scan fraction $f0%.4f -> $f1%.4f should shrink ~√10×")
+      val (c0, c1) = (Nprobe * n0 / scaledC(n0), Nprobe * n1 / scaledC(n1))
+      assert(c1 < c0 * 4, f"decade $d: per-query scanned candidates $c0 -> $c1 should grow ~√10×, not 10×")
+    }
   }
 
   test("hard_negatives: cross-label only, contiguous ranks, recall@1 floor vs exact argmax") {
