@@ -817,18 +817,25 @@ object SimilarityQueries {
     ivfSearch(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
       "ivf_lists_scaled", c = scaledC(estimatedRows(spark, dir)))
 
-  val annIvfScaledSql: String = {
+  /** The scaled-capacity codebook as CTEs (`cap`/`cent0`/`cent`) — shared
+    * by the ann_ivf_scaled oracle and the hard_negatives_scaled oracle so
+    * the capacity formula and sampling order cannot drift between them.
+    */
+  private val scaledCentSqlCtes: String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
-    s"""WITH $embCte,
-       |cap AS (SELECT greatest(4, least($ScaledCMax,
+    s"""cap AS (SELECT greatest(4, least($ScaledCMax,
        |               CAST(floor(sqrt($Nprobe * count(*))) AS BIGINT))) AS c
        |        FROM e),
        |cent0 AS (SELECT v AS cv, nrm AS cn,
        |                 row_number() OVER (ORDER BY $ch, vec_id) AS cidx
        |          FROM e),
-       |cent AS (SELECT cent0.* FROM cent0, cap WHERE cidx <= cap.c),
-       |${ivfSearchSqlTail("cent")}""".stripMargin
+       |cent AS (SELECT cent0.* FROM cent0, cap WHERE cidx <= cap.c)""".stripMargin
   }
+
+  val annIvfScaledSql: String =
+    s"""WITH $embCte,
+       |$scaledCentSqlCtes,
+       |${ivfSearchSqlTail("cent")}""".stripMargin
 
   // ---------------------------------------------------------- ann_ivf_kmeans
   /** `ann_ivf_kmeans` — IVF search over a k-means-REFINED codebook: the
@@ -1626,14 +1633,27 @@ object SimilarityQueries {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegativesProbe(spark, dir, HardNegProbe)
 
-  /** Sweep hook: the miner at arbitrary probe depth. */
+  /** Sweep hook: the miner at arbitrary probe depth (over the committed
+    * kmeans-IVF index).
+    */
   private[graft] def hardNegativesProbe(spark: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    hardNegMine(spark, dir, nprobe, kmeansCodebook(spark, dir),
+      kmIndexLists(spark, dir), IvfC)
+
+  /** The mining stage over an arbitrary (codebook, inverted lists, list
+    * count) index — shared by the committed kmeans-IVF miner and the
+    * scaled-capacity one so the probe/rank semantics cannot drift.
+    * `lists` must be the (cidx, neighbor_id, cv, cn) table built by
+    * [[ivfAssigned]] over the SAME `cents`/`c`.
+    */
+  private def hardNegMine(spark: SparkSession, dir: String, nprobe: Int,
+      cents: DataFrame, lists: DataFrame, c: Int): DataFrame = {
     val e = emb(spark, dir)
-    val cents = kmeansCodebook(spark, dir)
+    val stride = java.lang.Long.highestOneBit(c.toLong) * 2L
     val cos6c = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
-    val ord = round(cos6c * lit(1000000d)).cast("long") * lit(IvfStride) +
-      (lit(IvfC.toLong) - col("cidx"))
+    val ord = round(cos6c * lit(1000000d)).cast("long") * lit(stride) +
+      (lit(c.toLong) - col("cidx"))
     // top-nprobe lists per anchor WITHOUT a window over n·C rows: one
     // collect_list hash aggregate (partial collapses map-side after the
     // broadcast crossJoin), slice the descending sort, unpack cidx from
@@ -1644,11 +1664,11 @@ object SimilarityQueries {
       .agg(slice(reverse(sort_array(collect_list(col("ord")))), 1, nprobe).as("ords"))
       .select(col("vec_id"), explode(col("ords")).as("ord"))
       .select(col("vec_id"),
-        (lit(IvfC.toLong) - pmod(col("ord"), lit(IvfStride))).as("cidx"))
+        (lit(c.toLong) - pmod(col("ord"), lit(stride))).as("cidx"))
       .join(e, Seq("vec_id"))
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
         col("cidx"), col("v").as("av"), col("nrm").as("an"))
-    val negs = kmIndexLists(spark, dir)
+    val negs = lists
       .select(col("cidx"), col("neighbor_id").as("neg_id"), col("cv"), col("cn"))
       .join(e.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
         Seq("neg_id"))
@@ -1695,11 +1715,12 @@ object SimilarityQueries {
         col("neg_label"), col("rank"), sim.as("sim"))
   }
 
-  val hardNegativesSql: String = {
-    val cent = s"cent$KmIters"
-    s"""WITH $kmCentSqlCtes,
-       |${kmAssignSqlCtes(cent)},
-       |probes AS (SELECT vec_id, cidx FROM tc WHERE cr <= $HardNegProbe),
+  /** The mining tail (probes → cross-label candidates → per-anchor
+    * top-k) over the tc/assigned CTEs of [[kmAssignSqlCtes]] — shared by
+    * both miner oracles so probe/rank semantics cannot drift.
+    */
+  private def hardNegSqlTail(nprobe: Int): String =
+    s"""probes AS (SELECT vec_id, cidx FROM tc WHERE cr <= $nprobe),
        |r AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
        |             n.vec_id AS neg_id, n.label AS neg_label,
        |             round(list_dot_product(a.v, n.v) / (a.nrm * n.nrm), 6) AS cos6,
@@ -1714,7 +1735,47 @@ object SimilarityQueries {
        |       FROM r)
        |SELECT anchor_id, anchor_label, neg_id, neg_label, rank, sim
        |FROM rk WHERE rank <= $HardNegK""".stripMargin
+
+  val hardNegativesSql: String = {
+    val cent = s"cent$KmIters"
+    s"""WITH $kmCentSqlCtes,
+       |${kmAssignSqlCtes(cent)},
+       |${hardNegSqlTail(HardNegProbe)}""".stripMargin
   }
+
+  // ----------------------------------------------------- hard_negatives_scaled
+  /** `hard_negatives_scaled` — the capacity law applied to the MINER: the
+    * same per-anchor cross-label top-[[HardNegK]] mining as
+    * [[hardNegatives]], but over the scaled-capacity index
+    * (C = ⌊√(Nprobe·n)⌋ sampled lists, [[scaledCodebookOf]]) at
+    * [[HardNegProbeScaled]] probe lists per anchor.
+    *
+    * Why it exists: the sf10 scale-up measured the fixed-capacity miner
+    * at 157 s warm — with EVERY vector an anchor, per-anchor candidates
+    * are nprobe·n/C, so fixed C makes total mining work n²·nprobe/C
+    * (quadratic per decade). Under the capacity law the same total is
+    * n^1.5·nprobe/√Nprobe — a decade costs ~31.6×, not 100× (measured
+    * side by side in BASELINE.md). The probe depth 7 ≈ 0.03·C(2000)
+    * matches the committed miner's ~3% scan budget at the sf0.1
+    * reference scale, so recall@1 is comparable apples-to-apples there;
+    * at fixed nprobe the scanned fraction then falls 1/√n per decade —
+    * the same recall-for-cost trade [[annIvfScaled]] documents, measured
+    * and floor-pinned in SimilarityPropertySpec.
+    */
+  val HardNegProbeScaled = 7
+
+  def hardNegativesScaled(spark: SparkSession, dir: String): DataFrame = {
+    val c = scaledC(estimatedRows(spark, dir))
+    hardNegMine(spark, dir, HardNegProbeScaled, scaledCodebookOf(spark, dir),
+      ivfAssigned(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
+        "ivf_lists_scaled", c), c)
+  }
+
+  val hardNegativesScaledSql: String =
+    s"""WITH $embCte,
+       |$scaledCentSqlCtes,
+       |${kmAssignSqlCtes("cent")},
+       |${hardNegSqlTail(HardNegProbeScaled)}""".stripMargin
 
   // --------------------------------------------------------------- gram_matrix
   /** `gram_matrix` — the d×d second-moment (Gram) matrix `Xᵀ X` of the
@@ -1998,6 +2059,8 @@ object SimilarityQueries {
     "dedup_cluster_embed" -> QueryDef(dedupClusterEmbed, Some(dedupClusterEmbedSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
+    "hard_negatives_scaled" ->
+      QueryDef(hardNegativesScaled, Some(hardNegativesScaledSql)),
     "gram_matrix" -> QueryDef(gramMatrix, Some(gramMatrixSql)),
     "pq_distortion" -> QueryDef(pqDistortion, Some(pqDistortionSql)),
     "ivf_balance" -> QueryDef(ivfBalance, Some(ivfBalanceSql)),

@@ -30,6 +30,9 @@ class OracleConstantSpec extends AnyFunSuite {
     // build different codebooks
     ("ann_ivf_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
     ("ann_ivf_scaled", "Nprobe", s"cr <= $Nprobe"),
+    ("hard_negatives_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
+    ("hard_negatives_scaled", "HardNegProbeScaled",
+      s"cr <= ${SimilarityQueries.HardNegProbeScaled}"),
     ("ann_ivf_kmeans", "Nprobe", s"cr <= $Nprobe"),
     ("ann_ivfpq", "Nprobe", s"cr <= $Nprobe"),
     ("ann_ivfpq_rerank", "Nprobe", s"cr <= $Nprobe"),

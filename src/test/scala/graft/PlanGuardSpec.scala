@@ -48,6 +48,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_ivf_scaled",
     "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
     "hard_negatives", // same IvfC-row codebook crossJoin (per-anchor probe selection)
+    "hard_negatives_scaled", // the O(√(Nprobe·n))-row scaled codebook crossJoin
     // ivf_balance normally plans two aggregations over disk-cached
     // assignment tables, but with SPARK_GRAFT_INDEX_CACHE set empty (the
     // documented disable switch) or an unwritable cache root, diskCached
