@@ -46,7 +46,7 @@ object RecallSweep {
     // unknown-query guard exists for), and the check runs BEFORE the
     // exact baseline below so the typo fails fast instead of after the
     // costliest step of the sweep.
-    val Families = Set("lsh", "ivf", "pq", "hn")
+    val Families = Set("lsh", "ivf", "pq", "hn", "scaled")
     val family = args.headOption
     family.filterNot(Families).foreach { f =>
       System.err.println(
@@ -99,6 +99,17 @@ object RecallSweep {
     if (want("ivf")) nprobes.foreach { np =>
       timed(f"ann_ivf_kmeans nprobe=$np%-3d (${np * 100.0 / SimilarityQueries.IvfC}%.0f%% lists)",
         SimilarityQueries.annIvfKmeansProbe(spark, sfDir, np))
+    }
+    if (want("scaled")) {
+      // scaled-capacity index across probe depth, incl. the EQUAL-SCAN
+      // points vs the fixed family (nprobe/C(n) = 24/64 ≈ 38% and the
+      // LSH 27% point) — is recall-per-scan at fine capacity still ahead
+      // when scanning the SAME fraction, not just at the committed 11%?
+      val c = SimilarityQueries.scaledCOf(spark, sfDir)
+      for (np <- Seq(8, 16, 24, 48, 59, 82, 110).filter(_ <= c)) {
+        timed(f"ann_ivf_scaled nprobe=$np%-3d (${np * 100.0 / c}%.0f%% of $c lists)",
+          SimilarityQueries.annIvfScaledProbe(spark, sfDir, np))
+      }
     }
     if (want("pq")) nprobes.foreach { np =>
       Seq(25, 50, 100).foreach { r =>

@@ -795,9 +795,12 @@ object SimilarityQueries {
     * recall-per-scan 4.1×, the FAMILY'S BEST (fixed-C sampled 1.7×,
     * Lloyd 2.0×, LSH 2.1×): finer cells rank neighborhoods better than
     * the coarse 64-list settings' ~2×-per-scan law, so the capacity law
-    * buys retrieval efficiency as well as cost scaling. The scan
-    * fraction is published per index by [[annRecallReport]], so the
-    * trade is visible in-engine, not just in this comment.
+    * buys retrieval efficiency as well as cost scaling — at EQUAL scan
+    * (RecallSweep `scaled` grid, RECALL.md) it dominates its fixed-C
+    * sampled twin (0.735 vs 0.645 at ~38%) and MATCHES the Lloyd-refined
+    * index with zero training iterations. The scan fraction is published
+    * per index by [[annRecallReport]], so the trade is visible
+    * in-engine, not just in this comment.
     */
   val ScaledCMax = 1 << 20
 
@@ -816,6 +819,18 @@ object SimilarityQueries {
   def annIvfScaled(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
       "ivf_lists_scaled", c = scaledC(estimatedRows(spark, dir)))
+
+  /** Sweep hooks (dev + RECALL.md): the scaled-capacity index at an
+    * arbitrary probe depth, sharing every memoized artifact; and the
+    * derived list count itself.
+    */
+  private[graft] def scaledCOf(spark: SparkSession, dir: String): Int =
+    scaledC(estimatedRows(spark, dir))
+
+  private[graft] def annIvfScaledProbe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    ivfSearch(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
+      "ivf_lists_scaled", nprobe, scaledCOf(spark, dir))
 
   /** The scaled-capacity codebook as CTEs (`cap`/`cent0`/`cent`) — shared
     * by the ann_ivf_scaled oracle and the hard_negatives_scaled oracle so
