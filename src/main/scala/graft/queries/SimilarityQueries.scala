@@ -553,6 +553,16 @@ object SimilarityQueries {
     * scan); a clustered production corpus bends the whole curve left, so
     * nprobe is the knob to re-tune per deployment, not a fixed truth.
     * Floors in SimilarityPropertySpec sit at ~0.7× the measured values.
+    *
+    * FIXED capacity holds the scanned fraction constant, so the
+    * fixed-C family's cost is quadratic across corpus decades (measured:
+    * BASELINE.md's capacity-law table, 151 s vs 1.9 s at the 100× scale
+    * point). The production capacity policy is the MEASURED operator
+    * pair [[annIvfScaled]]/[[hardNegativesScaled]] (C = ⌊√(Nprobe·n)⌋);
+    * the fixed-C variants remain committed alongside it because the
+    * Lloyd/PQ compositions (kmeans refinement, IVFADC, re-rank) are
+    * defined over this codebook and their oracles unroll its training,
+    * and because keeping both sides makes the law itself measurable.
     */
   val IvfC = 64
   val Nprobe = 24
@@ -826,6 +836,16 @@ object SimilarityQueries {
     */
   private[graft] def scaledCOf(spark: SparkSession, dir: String): Int =
     scaledC(estimatedRows(spark, dir))
+
+  /** Index-artifact accessors for the streaming probe twin (the scaled
+    * analog of [[kmIndexCodebook]]/[[kmIndexLists]]).
+    */
+  private[graft] def scaledIndexCodebook(spark: SparkSession, dir: String): DataFrame =
+    scaledCodebookOf(spark, dir)
+
+  private[graft] def scaledIndexLists(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
+      "ivf_lists_scaled", scaledCOf(spark, dir))
 
   private[graft] def annIvfScaledProbe(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame =
@@ -1779,12 +1799,9 @@ object SimilarityQueries {
     */
   val HardNegProbeScaled = 7
 
-  def hardNegativesScaled(spark: SparkSession, dir: String): DataFrame = {
-    val c = scaledC(estimatedRows(spark, dir))
+  def hardNegativesScaled(spark: SparkSession, dir: String): DataFrame =
     hardNegMine(spark, dir, HardNegProbeScaled, scaledCodebookOf(spark, dir),
-      ivfAssigned(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
-        "ivf_lists_scaled", c), c)
-  }
+      scaledIndexLists(spark, dir), scaledCOf(spark, dir))
 
   val hardNegativesScaledSql: String =
     s"""WITH $embCte,

@@ -957,12 +957,43 @@ object StreamingOps {
     * query population (tests use the batch query stride).
     */
   def annProbeStream(spark: SparkSession, emb: DataFrame, dir: String): DataFrame = {
-    import graft.functions.VectorFns
     import graft.queries.SimilarityQueries
-    import SimilarityQueries.{IvfC, Nprobe, TopK}
-    val cb1 = SimilarityQueries.kmIndexCodebook(spark, dir)
+    probeStreamOver(emb,
+      SimilarityQueries.kmIndexCodebook(spark, dir),
+      SimilarityQueries.kmIndexLists(spark, dir),
+      SimilarityQueries.IvfC)
+  }
+
+  /** The scaled-capacity analog of [[annProbeStream]] — the 27th twin:
+    * the SAME live retrieval stage served by the capacity-law index
+    * (`ann_ivf_scaled`'s C = ⌊√(Nprobe·n)⌋ codebook and lists, shared
+    * disk-cached artifacts). This is the index a growing production
+    * corpus would actually serve (BASELINE.md's measured decade
+    * exponents), and the stream-side cost follows the same law: the
+    * per-query broadcast codebook scan is O(√n) and the probed-list join
+    * fan-out is Nprobe·n/C ∝ √n, where the fixed-C stream's fan-out
+    * grows linearly. Batch agreement is pinned in StreamingSpec exactly
+    * like the fixed twin's.
+    */
+  def annProbeScaledStream(spark: SparkSession, emb: DataFrame, dir: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    probeStreamOver(emb,
+      SimilarityQueries.scaledIndexCodebook(spark, dir),
+      SimilarityQueries.scaledIndexLists(spark, dir),
+      SimilarityQueries.scaledCOf(spark, dir))
+  }
+
+  /** Shared probe stage over an arbitrary (codebook, lists, list count)
+    * IVF index; the packing stride derives from the ACTUAL list count,
+    * matching the batch assignment/probe packing.
+    */
+  private def probeStreamOver(emb: DataFrame, codebook: DataFrame,
+      lists: DataFrame, listCount: Int): DataFrame = {
+    import graft.functions.VectorFns
+    import graft.queries.SimilarityQueries.{Nprobe, TopK}
+    val stride = java.lang.Long.highestOneBit(listCount.toLong) * 2L
+    val cb1 = codebook
       .agg(collect_list(struct(col("cidx"), col("cv2"), col("cn2"))).as("cb"))
-    val lists = SimilarityQueries.kmIndexLists(spark, dir)
     val probes = emb
       .select(col("vec_id").as("query_id"),
         VectorFns.toDouble(col("embedding")).as("qv"))
@@ -971,8 +1002,8 @@ object StreamingOps {
       .withColumn("pl", slice(sort_array(transform(col("cb"), c => {
         val cos6 = round(VectorFns.dot(col("qv"), c("cv2")) / (col("qn") * c("cn2")), 6)
         struct(
-          (round(cos6 * lit(1000000d)).cast("long") * lit(128L) +
-            (lit(IvfC.toLong) - c("cidx"))).as("ord"),
+          (round(cos6 * lit(1000000d)).cast("long") * lit(stride) +
+            (lit(listCount.toLong) - c("cidx"))).as("ord"),
           c("cidx").as("cidx"))
       }), asc = false), 1, Nprobe))
       .select(col("query_id"), col("qv"), col("qn"),

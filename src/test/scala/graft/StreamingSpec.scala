@@ -467,6 +467,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty, "no probe results on the closed input: broken index join")
   }
 
+  test("streaming annProbeScaledStream equals batch ann_ivf_scaled on the closed query set") {
+    // Same contract as the fixed-capacity probe twin above, over the
+    // capacity-law index: the stream consumes the SAME scaled codebook
+    // and inverted-list artifacts batch ann_ivf_scaled builds (C derived
+    // from the corpus row count), so on a closed input the streamed
+    // per-query top-k must equal the batch rows exactly.
+    import org.apache.spark.sql.functions.col
+    val queries = StreamingOps.embStream(spark, dir)
+      .filter(col("vec_id") % graft.queries.SimilarityQueries.QueryMod === 0)
+    val stream = StreamingOps.annProbeScaledStream(spark, queries, dir)
+    val q = stream.writeStream
+      .format("memory").queryName("ann_probe_scaled_stream")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ann_probe_scaled_stream")
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expected = graft.queries.SimilarityQueries.annIvfScaled(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "no probe results on the closed input: broken index join")
+  }
+
   test("streaming manifest equals batch shard_manifest bit-for-bit") {
     val stream = StreamingOps.manifestStream(StreamingOps.docStream(spark, dir))
     val q = stream.writeStream
