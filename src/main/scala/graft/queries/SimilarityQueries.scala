@@ -575,7 +575,18 @@ object SimilarityQueries {
     * pmod unpacking. Derived from IvfC (next power of two above it) so
     * the scaladocs' "raise IvfC at 100 TB" advice can't break packing.
     */
-  val IvfStride: Long = java.lang.Long.highestOneBit(IvfC.toLong) * 2L
+  val IvfStride: Long = strideOf(IvfC)
+
+  /** The packing stride for a codebook of `c` lists — the ONE definition
+    * behind the (cos6, cidx) packed orderings in [[ivfAssigned]],
+    * [[hardNegMine]], and the streaming probe stage
+    * (`StreamingOps.probeStreamOver`): next power of two above c-1, so
+    * the dense tiebreak term (c − cidx) ∈ [0, c−1] can never overflow
+    * into the cos6 field. Shared so the invariant cannot desynchronize
+    * across the three packers.
+    */
+  private[graft] def strideOf(c: Int): Long =
+    java.lang.Long.highestOneBit(c.toLong) * 2L
 
   /** Memo for ann_recall_report's kmeans-IVF scanned-candidate count —
     * one long of audit metadata shared by the report's three
@@ -597,7 +608,7 @@ object SimilarityQueries {
 
   /** Hash-sampled codebook of `c` centroids — the shared builder behind
     * the fixed-capacity [[codebook]] and the data-scaled
-    * [[scaledCodebook]]. `orderBy.limit(c)` is TakeOrderedAndProject; the
+    * [[scaledCodebookOf]]. `orderBy.limit(c)` is TakeOrderedAndProject; the
     * dense-rank window runs over those c rows only (single tiny
     * partition).
     */
@@ -658,13 +669,21 @@ object SimilarityQueries {
   private def pqConfigKey: String =
     s"PqM=$PqM PqK=$PqK PqIters=$PqIters KmDim=$KmDim QScale=$QScale"
 
+  /** INVARIANT: each (listsMemo, diskLabel) pair is bound to exactly one
+    * codebook variant, whose `c` is a pure function of (variant, dir) —
+    * IvfC for the fixed tables, [[scaledCOf]] (memoized per session+dir)
+    * for the scaled one. The in-memory memo keys only (session, dir), so
+    * a caller passing a DIFFERENT c against an already-populated table
+    * would silently get the first-built lists back; the disk key does
+    * carry `C=$c`, but the session cache must rely on this binding.
+    */
   private def ivfAssigned(spark: SparkSession, dir: String, cents: DataFrame,
       listsMemo: Memo.Table, diskLabel: String, c: Int = IvfC): DataFrame =
     Memo.memoizeDisk(listsMemo, spark, dir, diskLabel, s"$ivfConfigKey C=$c") {
       val e = emb(spark, dir)
       // stride derived from the ACTUAL list count, not the fixed constant:
       // the scaled codebook's C is data-derived and can exceed IvfC
-      val stride = java.lang.Long.highestOneBit(c.toLong) * 2L
+      val stride = strideOf(c)
       val cos6 = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
       val packedOrder = round(cos6 * lit(1000000d)).cast("long") * lit(stride) +
         (lit(c.toLong) - col("cidx"))
@@ -828,7 +847,7 @@ object SimilarityQueries {
 
   def annIvfScaled(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
-      "ivf_lists_scaled", c = scaledC(estimatedRows(spark, dir)))
+      "ivf_lists_scaled", c = scaledCOf(spark, dir))
 
   /** Sweep hooks (dev + RECALL.md): the scaled-capacity index at an
     * arbitrary probe depth, sharing every memoized artifact; and the
@@ -1659,6 +1678,13 @@ object SimilarityQueries {
     */
   val HardNegK = 3
 
+  /** Width of the neg_id field in the miner's packed (cos6, id) rank
+    * long: 42 bits is the widest the 21-bit shifted cos6 leaves
+    * ((2·10⁶)·2⁴² + 2⁴²−1 < 2⁶³). Ids beyond it (hashed 64-bit schemes)
+    * fail fast via the in-plan guard in [[hardNegMine]].
+    */
+  val HardNegIdBits = 42
+
   /** 2 of 64 lists ≈ 3.1% of a balanced corpus — the operating point
     * matching the round-12 LSH miner's ~3.5% scan for an
     * apples-to-apples recall comparison (RECALL.md).
@@ -1685,7 +1711,7 @@ object SimilarityQueries {
   private def hardNegMine(spark: SparkSession, dir: String, nprobe: Int,
       cents: DataFrame, lists: DataFrame, c: Int): DataFrame = {
     val e = emb(spark, dir)
-    val stride = java.lang.Long.highestOneBit(c.toLong) * 2L
+    val stride = strideOf(c)
     val cos6c = round(cosine(col("v"), col("cv2"), col("nrm"), col("cn2")), 6)
     val ord = round(cos6c * lit(1000000d)).cast("long") * lit(stride) +
       (lit(c.toLong) - col("cidx"))
@@ -1725,10 +1751,20 @@ object SimilarityQueries {
     // carries 8 bytes per candidate into per-anchor partial collects. The
     // k winners (k·n rows) re-join the vector table to recompute `sim` as
     // round(cos,4) EXACTLY — deriving it from the packed 6-decimal value
-    // would double-round. neg_id must fit 33 bits (require below; at
-    // larger corpora widen the packing — cos6 needs only 21).
+    // would double-round. neg_id must fit HardNegIdBits = 42 bits — the
+    // widest field the 21-bit shifted cos6 leaves in a long
+    // ((2·10⁶)·2⁴² + 2⁴²−1 < 2⁶³) — and the bound is ENFORCED in-plan:
+    // an out-of-range id (e.g. a hashed 64-bit vec_id scheme) fails the
+    // job with a clear error instead of silently corrupting the ranking.
+    // One long comparison per candidate, negligible next to the cosine
+    // computed in the same projection.
+    val idCap = 1L << HardNegIdBits
+    val guardedId = when(col("neg_id") < 0 || col("neg_id") >= lit(idCap),
+      raise_error(concat(
+        lit(s"hard_negatives packing: neg_id outside [0, 2^$HardNegIdBits): "),
+        col("neg_id").cast("string")))).otherwise(col("neg_id"))
     val pk = (round(round(cos, 6) * lit(1000000d)).cast("long") + lit(1000000L)) *
-      lit(1L << 33) + (lit((1L << 33) - 1) - col("neg_id"))
+      lit(idCap) + (lit(idCap - 1L) - guardedId)
     val topPacked = probes.hint("shuffle_hash").join(negs, Seq("cidx"))
       .filter(col("anchor_label") =!= col("neg_label"))
       .select(col("anchor_id"), col("anchor_label"), pk.as("pk"))
@@ -1739,7 +1775,7 @@ object SimilarityQueries {
         posexplode(col("pks")).as(Seq("pos", "pk")))
       .select(col("anchor_id"), col("anchor_label"),
         (col("pos") + 1).cast("long").as("rank"),
-        (lit((1L << 33) - 1) - pmod(col("pk"), lit(1L << 33))).as("neg_id"))
+        (lit((1L << HardNegIdBits) - 1) - pmod(col("pk"), lit(1L << HardNegIdBits))).as("neg_id"))
     val sim = round(cosine(col("av2"), col("nv"), col("an2"), col("nn")), 4)
     topPacked
       .join(e.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),

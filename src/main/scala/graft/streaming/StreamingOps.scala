@@ -991,7 +991,7 @@ object StreamingOps {
       lists: DataFrame, listCount: Int): DataFrame = {
     import graft.functions.VectorFns
     import graft.queries.SimilarityQueries.{Nprobe, TopK}
-    val stride = java.lang.Long.highestOneBit(listCount.toLong) * 2L
+    val stride = graft.queries.SimilarityQueries.strideOf(listCount)
     val cb1 = codebook
       .agg(collect_list(struct(col("cidx"), col("cv2"), col("cn2"))).as("cb"))
     val probes = emb
