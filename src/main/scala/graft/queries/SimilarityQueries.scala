@@ -875,16 +875,18 @@ object SimilarityQueries {
     * by the ann_ivf_scaled oracle and the hard_negatives_scaled oracle so
     * the capacity formula and sampling order cannot drift between them.
     */
-  private val scaledCentSqlCtes: String = {
+  private def scaledCentSqlCtesAs(name: String): String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
     s"""cap AS (SELECT greatest(4, least($ScaledCMax,
        |               CAST(floor(sqrt($Nprobe * count(*))) AS BIGINT))) AS c
        |        FROM e),
-       |cent0 AS (SELECT v AS cv, nrm AS cn,
+       |${name}0 AS (SELECT v AS cv, nrm AS cn,
        |                 row_number() OVER (ORDER BY $ch, vec_id) AS cidx
        |          FROM e),
-       |cent AS (SELECT cent0.* FROM cent0, cap WHERE cidx <= cap.c)""".stripMargin
+       |$name AS (SELECT ${name}0.* FROM ${name}0, cap WHERE cidx <= cap.c)""".stripMargin
   }
+
+  private val scaledCentSqlCtes: String = scaledCentSqlCtesAs("cent")
 
   val annIvfScaledSql: String =
     s"""WITH $embCte,
@@ -1942,10 +1944,13 @@ object SimilarityQueries {
        |FROM asg GROUP BY m""".stripMargin
 
   // ---------------------------------------------------------------- ivf_balance
-  /** `ivf_balance` — the IVF index's LIST-BALANCE audit, side by side for
-    * both coarse quantizers: per inverted list, its size and corpus
-    * share, for the hash-SAMPLED codebook (`ann_ivf`) and the
-    * Lloyd-REFINED one (`ann_ivf_kmeans`). List balance is what IVF's
+  /** `ivf_balance` — the IVF index's LIST-BALANCE audit, side by side
+    * for all three coarse quantizers: per inverted list, its size and
+    * corpus share, for the hash-SAMPLED codebook (`ann_ivf`), the
+    * Lloyd-REFINED one (`ann_ivf_kmeans`), and the capacity-law SCALED
+    * one (`ann_ivf_scaled`, C = ⌊√(Nprobe·n)⌋ — mean list size
+    * √(n/Nprobe), the balance the decade cost law assumes, so a skewed
+    * scaled codebook would surface exactly here). List balance is what IVF's
     * whole cost model rests on — probe cost ∝ the probed lists' sizes, a
     * mega-list turns Nprobe into a corpus scan and an empty list is a
     * wasted centroid — and the sampled-vs-refined comparison in one
@@ -1959,21 +1964,23 @@ object SimilarityQueries {
     * same deterministic argmax both search paths use); `share` is one
     * IEEE division of exact BIGINTs.
     *
-    * Scale shape: both assignment halves are the MEMOIZED index-build
-    * artifacts (zero new corpus passes when the ANN family has run); the
-    * report is two IvfC-row aggregations + a union.
+    * Scale shape: all three assignment halves are the MEMOIZED
+    * index-build artifacts (zero new corpus passes when the ANN family
+    * has run); the report is three O(C)-row aggregations + a union.
     */
   def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
     def sizes(tag: String, cents: DataFrame, memo: Memo.Table,
-        diskLabel: String): DataFrame =
-      ivfAssigned(spark, dir, cents, memo, diskLabel)
+        diskLabel: String, c: Int = IvfC): DataFrame =
+      ivfAssigned(spark, dir, cents, memo, diskLabel, c)
         .groupBy(col("cidx")).agg(count(lit(1)).as("n_vectors"))
         .select(lit(tag).as("codebook"), col("cidx").cast("long").as("cidx"),
           col("n_vectors"))
-    val both = sizes("sampled", codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled")
+    val all = sizes("sampled", codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled")
       .unionAll(sizes("lloyd", kmeansCodebook(spark, dir), kmListsMemo, "ivf_lists_kmeans"))
+      .unionAll(sizes("scaled", scaledCodebookOf(spark, dir), scaledListsMemo,
+        "ivf_lists_scaled", scaledCOf(spark, dir)))
     val totals = Window.partitionBy(col("codebook"))
-    both.withColumn("share",
+    all.withColumn("share",
       col("n_vectors").cast("double") /
         sum(col("n_vectors")).over(totals).cast("double"))
   }
@@ -1993,9 +2000,12 @@ object SimilarityQueries {
        |cent AS (SELECT v AS cv, nrm AS cn,
        |                row_number() OVER (ORDER BY $ch, vec_id) AS cidx
        |         FROM e QUALIFY cidx <= $IvfC),
+       |${scaledCentSqlCtesAs("scent")},
        |b AS (${sizesSql("sampled", "cent")}
        |      UNION ALL
-       |      ${sizesSql("lloyd", s"cent$KmIters")})
+       |      ${sizesSql("lloyd", s"cent$KmIters")}
+       |      UNION ALL
+       |      ${sizesSql("scaled", "scent")})
        |SELECT codebook, cidx, n_vectors,
        |       CAST(n_vectors AS DOUBLE) /
        |         CAST(sum(n_vectors) OVER (PARTITION BY codebook) AS DOUBLE) AS share

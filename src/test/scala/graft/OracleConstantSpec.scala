@@ -31,6 +31,7 @@ class OracleConstantSpec extends AnyFunSuite {
     ("ann_ivf_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
     ("ann_ivf_scaled", "Nprobe", s"cr <= $Nprobe"),
     ("hard_negatives_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
+    ("ivf_balance", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
     ("hard_negatives_scaled", "HardNegProbeScaled",
       s"cr <= ${SimilarityQueries.HardNegProbeScaled}"),
     ("ann_ivf_kmeans", "Nprobe", s"cr <= $Nprobe"),
