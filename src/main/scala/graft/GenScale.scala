@@ -78,23 +78,50 @@ object GenScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.driver.memory", "8g")
       .getOrCreate()
-    try write(spark, out, mult) finally spark.stop()
+    // optional third arg "openvocab": Zipf-vocabulary documents mode
+    val openVocab = args.lift(2).contains("openvocab")
+    try write(spark, out, mult, openVocabDocs = openVocab) finally spark.stop()
   }
 
-  def write(spark: SparkSession, out: String, mult: Long): Unit = {
+  /** Zipf(1)-ish word over a 200 k vocabulary (log-uniform index encoded
+    * in base-26 LETTERS — the shingle tokenizer is letter-runs, so a
+    * digit-bearing encoding would collapse words; the same canary
+    * PrefixScale hit). Used by the open-vocabulary documents mode: the
+    * regime where rare shingles STAY rare as the corpus grows — real
+    * web-corpus behavior, vs the driver corpus's saturated 31-word
+    * trigram universe.
+    */
+  private def zipfWord(salt: Long, cols: Column*): Column =
+    translate(
+      conv(floor(pow(lit(200000.0), u(salt, cols: _*))).cast("long").cast("string"),
+        10, 26),
+      "0123456789ABCDEFGHIJKLMNOP", "abcdefghijklmnopqrstuvwxyz")
+
+  /** `div` shrinks every base row count (test hook: GenScaleSpec generates
+    * a ~1/100-of-sf0.1 corpus twice to pin determinism in seconds). The
+    * generated VALUES are pure hash-of-id functions, so div/mult change
+    * only which ids exist — never a row's content. `openVocabDocs`
+    * switches the documents table's word draw from the driver's 31-word
+    * vocabulary to the 200 k-word Zipf draw (everything else — doc
+    * lengths, exact-dup/near-dup structure, lang/source columns, the
+    * other nine tables — identical), so the text/dedup inventory can be
+    * oracle-verified in the open-vocabulary regime too.
+    */
+  def write(spark: SparkSession, out: String, mult: Long, div: Long = 1L,
+      openVocabDocs: Boolean = false): Unit = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def rng(n: Long) = spark.range(0, n, 1, parts)
     def save(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
-    val nCust = 15000L * mult
-    val nSupp = 1000L * mult
-    val nPart = 20000L * mult
-    val nOrd = 150000L * mult
-    val nEvents = 100000L * mult
-    val nUsers = 1500L * mult
-    val nDocs = 5000L * mult
-    val nVecs = 2000L * mult
+    val nCust = 15000L * mult / div
+    val nSupp = 1000L * mult / div
+    val nPart = 20000L * mult / div
+    val nOrd = 150000L * mult / div
+    val nEvents = 100000L * mult / div
+    val nUsers = math.max(1L, 1500L * mult / div)
+    val nDocs = 5000L * mult / div
+    val nVecs = 2000L * mult / div
 
     import spark.implicits._
     save(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
@@ -172,16 +199,17 @@ object GenScale {
     // documents: 10..100 words over the 31-word vocab. h71%500==0 rows
     // (~0.2%) are EXACT copies of an earlier doc; h72%200==0 rows
     // (~0.5%) are near-dups (the source text with ~2 words mutated).
+    def drawWord(salt: Long, cols: Column*): Column =
+      if (openVocabDocs) zipfWord(salt, cols: _*)
+      else element_at(array(Vocab.map(lit): _*), (h(salt, 31, cols: _*) + 1).cast("int"))
     def words(seed: Column, mutSalt: Option[Long]): Column = {
       val wc = (h(73, 91, seed) + 10).cast("int")
-      val base = transform(sequence(lit(1), wc), i =>
-        element_at(array(Vocab.map(lit): _*), (h(74, 31, seed, i) + 1).cast("int")))
+      val base = transform(sequence(lit(1), wc), i => drawWord(74, seed, i))
       mutSalt match {
         case None => array_join(base, " ")
         case Some(s) =>
           array_join(transform(base, (w, i) =>
-            when(h(s, 25, seed, i) === 0,
-              element_at(array(Vocab.map(lit): _*), (h(s + 1, 31, seed, i) + 1).cast("int")))
+            when(h(s, 25, seed, i) === 0, drawWord(s + 1, seed, i))
               .otherwise(w)), " ")
       }
     }

@@ -90,10 +90,17 @@ private[queries] object Memo {
     * Cache root: SPARK_GRAFT_INDEX_CACHE (default /tmp/graft-index-cache);
     * set it empty to disable disk caching (in-memory memo still applies).
     */
+  /** `memoKey` extends the IN-MEMORY memo key beyond (session, dir) when
+    * one table legitimately varies by a build parameter the disk key
+    * already carries (e.g. ivfAssigned's list count `c`): without it a
+    * capacity sweep hitting an already-populated entry would silently get
+    * the first-built table back. The footprint/disk key still uses the
+    * real `dir` only.
+    */
   def memoizeDisk(memo: Table, spark: SparkSession, dir: String, label: String,
-      configKey: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir), {
-      evictOnEnd(memo, spark, dir)
+      configKey: String, memoKey: String = "")(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir + memoKey), {
+      evictOnEnd(memo, spark, dir + memoKey)
       diskCached(spark, dir, label, configKey)(build).persist()
     })
 

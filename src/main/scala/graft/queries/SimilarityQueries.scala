@@ -204,7 +204,7 @@ object SimilarityQueries {
     */
   /** Disk-cached form of [[annTopk]] at the production operating point —
     * the recall=1 TRUTH TABLE is itself an index artifact: it is probed by
-    * the declared `ann_topk` query, by [[annRecallReport]]'s seven
+    * the declared `ann_topk` query, by [[annRecallReport]]'s ten
     * per-index semi-joins, and by SimilarityPropertySpec's recall floors, and its
     * O(corpus × queries) brute-force build is the most expensive plan in
     * the similarity family. Build-once/probe-many across JVMs is exactly
@@ -595,6 +595,13 @@ object SimilarityQueries {
   private val kmScanCountMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
 
+  /** Same, for the scaled Lloyd codebook's probe lists (shared by the
+    * three capacity-law consumers: kmeans_scaled / ivfpq_scaled /
+    * ivfpq_rerank_scaled).
+    */
+  private val kmScaledScanCountMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+
   /** Memo for the IVF codebook — the index-BUILD artifact of IVF search
     * (build the coarse quantizer once, probe it for every query batch):
     * IvfC rows, persisted per (session, dir) so the assignment and probe
@@ -669,17 +676,18 @@ object SimilarityQueries {
   private def pqConfigKey: String =
     s"PqM=$PqM PqK=$PqK PqIters=$PqIters KmDim=$KmDim QScale=$QScale"
 
-  /** INVARIANT: each (listsMemo, diskLabel) pair is bound to exactly one
-    * codebook variant, whose `c` is a pure function of (variant, dir) —
-    * IvfC for the fixed tables, [[scaledCOf]] (memoized per session+dir)
-    * for the scaled one. The in-memory memo keys only (session, dir), so
-    * a caller passing a DIFFERENT c against an already-populated table
-    * would silently get the first-built lists back; the disk key does
-    * carry `C=$c`, but the session cache must rely on this binding.
+  /** Each (listsMemo, diskLabel) pair is bound to one codebook variant,
+    * whose `c` is a pure function of (variant, dir) — IvfC for the fixed
+    * tables, [[scaledCOf]] (memoized per session+dir) for the scaled
+    * ones. The in-memory memo key carries `C=$c` like the disk key does,
+    * so a capacity sweep passing a different c against a populated table
+    * builds its own entry instead of silently reading the first-built
+    * lists back.
     */
   private def ivfAssigned(spark: SparkSession, dir: String, cents: DataFrame,
       listsMemo: Memo.Table, diskLabel: String, c: Int = IvfC): DataFrame =
-    Memo.memoizeDisk(listsMemo, spark, dir, diskLabel, s"$ivfConfigKey C=$c") {
+    Memo.memoizeDisk(listsMemo, spark, dir, diskLabel, s"$ivfConfigKey C=$c",
+      memoKey = s"#C=$c") {
       val e = emb(spark, dir)
       // stride derived from the ACTUAL list count, not the fixed constant:
       // the scaled codebook's C is data-derived and can exceed IvfC
@@ -707,11 +715,18 @@ object SimilarityQueries {
     * Sweep paths (non-default nprobe, sampled codebook) bypass the memo.
     */
   private val kmProbesMemo = Memo.table()
+  private val kmScaledProbesMemo = Memo.table()
 
   private def ivfProbes(spark: SparkSession, dir: String, cents: DataFrame,
       nprobe: Int = Nprobe): DataFrame =
     if (nprobe == Nprobe && kmCodebookMemo.get((spark, dir)).exists(_ eq cents))
       Memo.memoize(kmProbesMemo, spark, dir)(
+        ivfProbesBuild(spark, dir, cents, nprobe))
+    else if (nprobe == Nprobe &&
+        kmScaledCodebookMemo.get((spark, dir)).exists(_ eq cents))
+      // the scaled Lloyd codebook's probe lists have the same three
+      // default-depth consumers (search, ADC tables, recall-report scan)
+      Memo.memoize(kmScaledProbesMemo, spark, dir)(
         ivfProbesBuild(spark, dir, cents, nprobe))
     else ivfProbesBuild(spark, dir, cents, nprobe)
 
@@ -834,7 +849,11 @@ object SimilarityQueries {
   val ScaledCMax = 1 << 20
 
   private[graft] def scaledC(n: Long): Int = {
-    val c = math.sqrt((Nprobe * n).toDouble).toLong
+    require(n >= 0, s"scaledC: negative row count $n")
+    // double multiply, NOT (Nprobe * n).toDouble: a Long product overflows
+    // negative for n > Long.MaxValue/Nprobe and sqrt would yield NaN,
+    // silently clamping to the floor instead of ScaledCMax
+    val c = math.sqrt(Nprobe.toDouble * n.toDouble).toLong
     math.max(4L, math.min(ScaledCMax.toLong, c)).toInt
   }
 
@@ -933,13 +952,16 @@ object SimilarityQueries {
   private def quantized(e: DataFrame): DataFrame =
     e.withColumn("qv", transform(col("v"), x => floor(x * QScale + lit(0.5))))
 
-  /** One Lloyd step: cents (cidx, cv, cn) -> refined (cidx, cv, cn). */
-  private def lloydStep(eq: DataFrame, cents: DataFrame): DataFrame = {
+  /** One Lloyd step: cents (cidx, cv, cn) -> refined (cidx, cv, cn).
+    * `c` is the list count of the codebook being refined (cidx DENSE in
+    * [1, c]) — the packing stride derives from it like every packer.
+    */
+  private def lloydStep(eq: DataFrame, cents: DataFrame, c: Int): DataFrame = {
     val cos6 = round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6)
     // same packed (cos6 desc, cidx asc) max_by trick as the search stage:
     // keeps the whole n·C assignment in a HashAggregate
-    val ord = round(cos6 * lit(1000000d)).cast("long") * lit(IvfStride) +
-      (lit(IvfC.toLong) - col("cidx"))
+    val ord = round(cos6 * lit(1000000d)).cast("long") * lit(strideOf(c)) +
+      (lit(c.toLong) - col("cidx"))
     val assigned = eq.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cidx"), ord.as("ord"))
       .groupBy(col("vec_id"))
@@ -958,24 +980,32 @@ object SimilarityQueries {
   }
 
   private def kmeansCodebook(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoizeDisk(kmCodebookMemo, spark, dir, "km_codebook", ivfConfigKey) {
-      val eq = quantized(emb(spark, dir))
-      // Lloyd INIT = the same hash-sampled selection as [[codebook]], but
-      // with centroids in the QUANTIZED domain (cv = qv / 2^20) so
-      // iteration 0's centroids are already integer-derived like every
-      // later one (joining the existing codebook back by vector value
-      // would fan out under duplicate vectors).
-      val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
-      val init = eq.withColumn("ch", ch)
-        .orderBy(col("ch").asc, col("vec_id").asc).limit(IvfC)
-        .withColumn("cidx",
-          row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
-        .select(col("cidx"),
-          transform(col("qv"), q => q.cast("double") / lit(QScale.toDouble)).as("cv"))
-        .withColumn("cn", VectorFns.norm(col("cv")))
-      val refined = (1 to KmIters).foldLeft(init)((c, _) => lloydStep(eq, c))
-      refined.select(col("cidx"), col("cv").as("cv2"), col("cn").as("cn2"))
-    }
+    Memo.memoizeDisk(kmCodebookMemo, spark, dir, "km_codebook", ivfConfigKey)(
+      kmeansCodebookBuild(spark, dir, IvfC))
+
+  /** The Lloyd build at an arbitrary list count — shared by the fixed
+    * [[kmeansCodebook]] (c = IvfC) and the capacity-law
+    * [[kmeansScaledCodebookOf]] (c = ⌊√(Nprobe·n)⌋).
+    */
+  private def kmeansCodebookBuild(spark: SparkSession, dir: String,
+      c: Int): DataFrame = {
+    val eq = quantized(emb(spark, dir))
+    // Lloyd INIT = the same hash-sampled selection as [[codebook]], but
+    // with centroids in the QUANTIZED domain (cv = qv / 2^20) so
+    // iteration 0's centroids are already integer-derived like every
+    // later one (joining the existing codebook back by vector value
+    // would fan out under duplicate vectors).
+    val ch = graft.functions.TextFns.hash60(col("vec_id").cast("string"))
+    val init = eq.withColumn("ch", ch)
+      .orderBy(col("ch").asc, col("vec_id").asc).limit(c)
+      .withColumn("cidx",
+        row_number().over(Window.orderBy(col("ch").asc, col("vec_id").asc)).cast("long"))
+      .select(col("cidx"),
+        transform(col("qv"), q => q.cast("double") / lit(QScale.toDouble)).as("cv"))
+      .withColumn("cn", VectorFns.norm(col("cv")))
+    val refined = (1 to KmIters).foldLeft(init)((cb, _) => lloydStep(eq, cb, c))
+    refined.select(col("cidx"), col("cv").as("cv2"), col("cn").as("cn2"))
+  }
 
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
@@ -995,13 +1025,21 @@ object SimilarityQueries {
       "ivf_lists_kmeans")
 
   /** The Lloyd-codebook CTE chain (embCte, eq with (vec_id, v, nrm, qv),
-    * init c0/cq/cent0, KmIters refinement steps → `cent$KmIters`) as a
-    * WITH-body prefix. Shared by the k-means IVF oracle and the IVFADC
-    * oracle so codebook semantics cannot drift. NB: this `eq` carries
-    * (v, nrm) alongside qv — a superset of the PQ chain's needs, so the
-    * PQ CTEs can stack on top of it (see [[pqSqlCtesAfterEq]]).
+    * init c0/cq/cent0, KmIters refinement steps → `${pfx}cent$KmIters`) as
+    * a WITH-body prefix — ONE generator behind the fixed-capacity chain
+    * (capped = false: c0 keeps the first IvfC sampled rows) and the
+    * capacity-law chain (capped = true: the list count is
+    * ⌊√(Nprobe·count(*))⌋ derived INSIDE the SQL, so the law itself is
+    * hash-checked, the [[scaledCentSqlCtesAs]] pattern). Shared by the
+    * k-means IVF oracles and the IVFADC oracles so codebook semantics
+    * cannot drift. `pfx` prefixes every chain-internal CTE name so two
+    * chains can coexist in one WITH (ivf_balance); `emitEq` skips the
+    * shared embCte/eq CTEs when an earlier chain already defined them.
+    * NB: `eq` carries (v, nrm) alongside qv — a superset of the PQ
+    * chain's needs, so the PQ CTEs can stack on top of it.
     */
-  private val kmCentSqlCtes: String = {
+  private def kmCentSqlChain(pfx: String, capped: Boolean,
+      emitEq: Boolean): String = {
     val ch = Oracle.hash60("CAST(vec_id AS VARCHAR)")
     val qvList =
       s"[CAST(floor(v[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
@@ -1010,31 +1048,97 @@ object SimilarityQueries {
       .map(i => s"CAST($s.s$i AS DOUBLE) / CAST($QScale * $s.cnt AS DOUBLE)")
       .mkString("[", ", ", "]")
     def step(n: Int): String = {
-      val prev = s"cent${n - 1}"
-      s"""t$n AS (SELECT eq.vec_id, c.cidx,
+      val prev = s"${pfx}cent${n - 1}"
+      s"""${pfx}t$n AS (SELECT eq.vec_id, c.cidx,
          |              row_number() OVER (PARTITION BY eq.vec_id
          |                ORDER BY round(list_dot_product(eq.v, c.cv) / (eq.nrm * c.cn), 6) DESC,
          |                         c.cidx) AS cr
          |       FROM eq CROSS JOIN $prev c),
-         |s$n AS (SELECT t$n.cidx, count(*) AS cnt, $sumCols
-         |        FROM t$n JOIN eq ON eq.vec_id = t$n.vec_id AND t$n.cr = 1
-         |        GROUP BY t$n.cidx),
-         |m$n AS (SELECT p.cidx,
+         |${pfx}s$n AS (SELECT ${pfx}t$n.cidx, count(*) AS cnt, $sumCols
+         |        FROM ${pfx}t$n JOIN eq ON eq.vec_id = ${pfx}t$n.vec_id AND ${pfx}t$n.cr = 1
+         |        GROUP BY ${pfx}t$n.cidx),
+         |${pfx}m$n AS (SELECT p.cidx,
          |               CASE WHEN s.cnt IS NULL THEN p.cv ELSE ${meanList("s")} END AS cv
-         |        FROM $prev p LEFT JOIN s$n s ON s.cidx = p.cidx),
-         |cent$n AS (SELECT cidx, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM m$n)""".stripMargin
+         |        FROM $prev p LEFT JOIN ${pfx}s$n s ON s.cidx = p.cidx),
+         |${pfx}cent$n AS (SELECT cidx, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM ${pfx}m$n)""".stripMargin
     }
-    s"""$embCte,
-       |eq AS (SELECT vec_id, v, nrm, $qvList AS qv FROM e),
-       |c0 AS (SELECT qv, row_number() OVER (ORDER BY $ch, vec_id) AS cidx
-       |       FROM eq QUALIFY cidx <= $IvfC),
-       |cq AS (SELECT cidx, list_transform(qv, q -> CAST(q AS DOUBLE) / $QScale) AS cv FROM c0),
-       |cent0 AS (SELECT cidx, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cq),
+    val eqCtes =
+      s"""$embCte,
+         |eq AS (SELECT vec_id, v, nrm, $qvList AS qv FROM e),
+         |""".stripMargin
+    val c0 =
+      if (capped)
+        s"""${pfx}cap AS (SELECT greatest(4, least($ScaledCMax,
+           |               CAST(floor(sqrt($Nprobe * count(*))) AS BIGINT))) AS c
+           |        FROM e),
+           |${pfx}c00 AS (SELECT qv, row_number() OVER (ORDER BY $ch, vec_id) AS cidx
+           |       FROM eq),
+           |${pfx}c0 AS (SELECT ${pfx}c00.qv, ${pfx}c00.cidx FROM ${pfx}c00, ${pfx}cap
+           |      WHERE ${pfx}c00.cidx <= ${pfx}cap.c)""".stripMargin
+      else
+        s"""${pfx}c0 AS (SELECT qv, row_number() OVER (ORDER BY $ch, vec_id) AS cidx
+           |       FROM eq QUALIFY cidx <= $IvfC)""".stripMargin
+    s"""${if (emitEq) eqCtes else ""}$c0,
+       |${pfx}cq AS (SELECT cidx, list_transform(qv, q -> CAST(q AS DOUBLE) / $QScale) AS cv FROM ${pfx}c0),
+       |${pfx}cent0 AS (SELECT cidx, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM ${pfx}cq),
        |${(1 to KmIters).map(step).mkString(",\n")}""".stripMargin
   }
 
+  private val kmCentSqlCtes: String =
+    kmCentSqlChain("", capped = false, emitEq = true)
+
+  /** The capacity-law Lloyd chain (C = ⌊√(Nprobe·n)⌋ derived in-SQL). */
+  private val kmScaledCentSqlCtes: String =
+    kmCentSqlChain("", capped = true, emitEq = true)
+
   val annIvfKmeansSql: String =
     s"""WITH $kmCentSqlCtes,
+       |${ivfSearchSqlTail(s"cent$KmIters")}""".stripMargin
+
+  // -------------------------------------------------- ann_ivf_kmeans_scaled
+  /** `ann_ivf_kmeans_scaled` — the balanced capacity law applied to the
+    * LLOYD-REFINED quantizer: C = ⌊√(Nprobe·n)⌋ hash-sampled init
+    * centroids (the [[annIvfScaled]] derivation, [[scaledCOf]] from exact
+    * parquet footer counts), then the same [[KmIters]] integer-exact Lloyd
+    * iterations as [[annIvfKmeans]], then the shared IVF search stage.
+    * This closes the family's last fixed-capacity hole on the BUILD side:
+    * the round-14 measurements proved C ∝ √n turns the probe stage's
+    * across-decade cost from n² to n^1.5 for the sampled codebook, and the
+    * Lloyd refinement — the quantizer that actually balances lists on
+    * clustered data — composes with the law unchanged (each iteration is
+    * the same n·C assignment the search stage runs; the refinement is a
+    * one-time disk-cached index-BUILD cost, now n^1.5 per iteration
+    * instead of n·64).
+    *
+    * The oracle derives the same C from `count(*)` inside the SQL
+    * ([[kmScaledCentSqlCtes]]), so the law composed with the Lloyd
+    * training loop is hash-checked end to end. Recall at sf0.1: the
+    * scan fraction falls to Nprobe/C ≈ 11% like [[annIvfScaled]]'s; the
+    * Lloyd iterations buy list balance, floor-pinned in
+    * SimilarityPropertySpec and audited (with scan fraction) in
+    * [[annRecallReport]] and [[ivfBalance]].
+    */
+  private val kmScaledCodebookMemo = Memo.table()
+  private val kmScaledListsMemo = Memo.table()
+
+  private def kmeansScaledCodebookOf(spark: SparkSession, dir: String): DataFrame = {
+    val c = scaledCOf(spark, dir)
+    Memo.memoizeDisk(kmScaledCodebookMemo, spark, dir, "km_codebook_scaled",
+      s"$ivfConfigKey C=$c")(kmeansCodebookBuild(spark, dir, c))
+  }
+
+  def annIvfKmeansScaled(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
+      "ivf_lists_kmeans_scaled", c = scaledCOf(spark, dir))
+
+  /** Sweep hook: the scaled Lloyd index at arbitrary probe depth. */
+  private[graft] def annIvfKmeansScaledProbe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    ivfSearch(spark, dir, kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
+      "ivf_lists_kmeans_scaled", nprobe, scaledCOf(spark, dir))
+
+  val annIvfKmeansScaledSql: String =
+    s"""WITH $kmScaledCentSqlCtes,
        |${ivfSearchSqlTail(s"cent$KmIters")}""".stripMargin
 
   /** The bare corpus→centroid assignment as tc/assigned CTEs (vec_id and
@@ -1441,13 +1545,45 @@ object SimilarityQueries {
   private val rpqCodebookMemo = Memo.table()
   private val rIvfPqMemo = Memo.table()
   private val residualsMemo = Memo.table()
+  private val rpqScaledCodebookMemo = Memo.table()
+  private val rIvfPqScaledMemo = Memo.table()
+  private val residualsScaledMemo = Memo.table()
 
-  /** The Lloyd coarse centroids re-quantized to the integer domain
-    * (cidx, qc): one exactly-rounded floor per component of an
-    * engine-identical double → engine-identical BIGINTs.
+  /** The IVFADC chain is ONE parameterized pipeline over two coarse
+    * quantizers: `scaled = false` probes the fixed-capacity Lloyd
+    * codebook ([[kmeansCodebook]], C = IvfC — the measured control half),
+    * `scaled = true` the capacity-law one ([[kmeansScaledCodebookOf]],
+    * C = ⌊√(Nprobe·n)⌋). Residual training/encoding/ADC are shared
+    * verbatim, so the twins cannot drift in search semantics — only the
+    * coarse quantizer (and thus the probed fraction) differs.
     */
-  private def qCentroids(spark: SparkSession, dir: String): DataFrame =
-    kmeansCodebook(spark, dir).select(col("cidx"),
+  private def adcCents(spark: SparkSession, dir: String,
+      scaled: Boolean): DataFrame =
+    if (scaled) kmeansScaledCodebookOf(spark, dir) else kmeansCodebook(spark, dir)
+
+  private def adcLists(spark: SparkSession, dir: String,
+      scaled: Boolean): DataFrame =
+    if (scaled)
+      ivfAssigned(spark, dir, kmeansScaledCodebookOf(spark, dir),
+        kmScaledListsMemo, "ivf_lists_kmeans_scaled", scaledCOf(spark, dir))
+    else kmIndexLists(spark, dir)
+
+  /** Artifact-label suffix + config key per variant: the scaled
+    * artifacts' content depends on the derived C, so it rides the key.
+    */
+  private def adcSuffix(scaled: Boolean): String = if (scaled) "_scaled" else ""
+  private def adcConfigKey(spark: SparkSession, dir: String,
+      scaled: Boolean): String =
+    if (scaled) s"$ivfConfigKey $pqConfigKey C=${scaledCOf(spark, dir)}"
+    else s"$ivfConfigKey $pqConfigKey"
+
+  /** The coarse centroids re-quantized to the integer domain (cidx, qc):
+    * one exactly-rounded floor per component of an engine-identical
+    * double → engine-identical BIGINTs.
+    */
+  private def qCentroids(spark: SparkSession, dir: String,
+      scaled: Boolean = false): DataFrame =
+    adcCents(spark, dir, scaled).select(col("cidx"),
       transform(col("cv2"), x => floor(x * QScale + lit(0.5))).as("qc"))
 
   /** (vec_id, cidx, qv): each corpus vector's exact integer residual
@@ -1455,11 +1591,12 @@ object SimilarityQueries {
     * encodes. Memoized in-memory (feeds both the residual-codebook build
     * and the encode pass); the derived artifacts are disk-cached.
     */
-  private def residuals(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoize(residualsMemo, spark, dir) {
-      kmIndexLists(spark, dir).select(col("neighbor_id").as("vec_id"), col("cidx"))
+  private def residuals(spark: SparkSession, dir: String,
+      scaled: Boolean = false): DataFrame =
+    Memo.memoize(if (scaled) residualsScaledMemo else residualsMemo, spark, dir) {
+      adcLists(spark, dir, scaled).select(col("neighbor_id").as("vec_id"), col("cidx"))
         .join(quantized(emb(spark, dir)).select(col("vec_id"), col("qv")), Seq("vec_id"))
-        .join(broadcast(qCentroids(spark, dir)), Seq("cidx"))
+        .join(broadcast(qCentroids(spark, dir, scaled)), Seq("cidx"))
         .select(col("vec_id"), col("cidx"),
           zip_with(col("qv"), col("qc"), (a, b) => a - b).as("qv"))
     }
@@ -1467,20 +1604,23 @@ object SimilarityQueries {
   /** Residual sub-codebooks: the same hash-sampled-init + Lloyd training
     * loop as [[pqCodebook]], run on residuals.
     */
-  private def rpqCodebook(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoizeDisk(rpqCodebookMemo, spark, dir, "rpq_codebook",
-      s"$ivfConfigKey $pqConfigKey")(
-      trainPqCodebook(residuals(spark, dir).select(col("vec_id"), col("qv"))))
+  private def rpqCodebook(spark: SparkSession, dir: String,
+      scaled: Boolean = false): DataFrame =
+    Memo.memoizeDisk(if (scaled) rpqScaledCodebookMemo else rpqCodebookMemo,
+      spark, dir, s"rpq_codebook${adcSuffix(scaled)}",
+      adcConfigKey(spark, dir, scaled))(
+      trainPqCodebook(residuals(spark, dir, scaled).select(col("vec_id"), col("qv"))))
 
   /** The IVFADC index: (cidx, neighbor_id, codes) with codes = the PqM
     * residual codes. One disk-cached artifact — at 100 TB this table IS
     * the in-memory index a probe fleet serves from.
     */
-  private def ivfPqResIndex(spark: SparkSession, dir: String): DataFrame =
-    Memo.memoizeDisk(rIvfPqMemo, spark, dir, "ivfpq_res_index",
-      s"$ivfConfigKey $pqConfigKey") {
-      val r = residuals(spark, dir)
-      encodeCodes(pqDistances(r, rpqCodebook(spark, dir)))
+  private def ivfPqResIndex(spark: SparkSession, dir: String,
+      scaled: Boolean = false): DataFrame =
+    Memo.memoizeDisk(if (scaled) rIvfPqScaledMemo else rIvfPqMemo, spark, dir,
+      s"ivfpq_res_index${adcSuffix(scaled)}", adcConfigKey(spark, dir, scaled)) {
+      val r = residuals(spark, dir, scaled)
+      encodeCodes(pqDistances(r, rpqCodebook(spark, dir, scaled)))
         .withColumnRenamed("vec_id", "neighbor_id")
         .join(r.select(col("vec_id").as("neighbor_id"), col("cidx")),
           Seq("neighbor_id"))
@@ -1500,27 +1640,29 @@ object SimilarityQueries {
     * both — rebuilds it. Sweep paths (non-default nprobe) bypass.
     */
   private val rpqQtMemo = Memo.table()
+  private val rpqQtScaledMemo = Memo.table()
 
   private def rpqQueryTables(spark: SparkSession, dir: String,
-      nprobe: Int): DataFrame =
+      nprobe: Int, scaled: Boolean = false): DataFrame =
     if (nprobe == Nprobe)
-      Memo.memoize(rpqQtMemo, spark, dir)(rpqQueryTablesBuild(spark, dir, nprobe))
-    else rpqQueryTablesBuild(spark, dir, nprobe)
+      Memo.memoize(if (scaled) rpqQtScaledMemo else rpqQtMemo, spark, dir)(
+        rpqQueryTablesBuild(spark, dir, nprobe, scaled))
+    else rpqQueryTablesBuild(spark, dir, nprobe, scaled)
 
   private def rpqQueryTablesBuild(spark: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, scaled: Boolean = false): DataFrame = {
     val qInt = quantized(emb(spark, dir)).filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qvi"))
-    val qres = ivfProbes(spark, dir, kmeansCodebook(spark, dir), nprobe)
+    val qres = ivfProbes(spark, dir, adcCents(spark, dir, scaled), nprobe)
       .select(col("query_id"), col("cidx"))
       .join(qInt, Seq("query_id"))
-      .join(broadcast(qCentroids(spark, dir)), Seq("cidx"))
+      .join(broadcast(qCentroids(spark, dir, scaled)), Seq("cidx"))
       .select(col("query_id"), col("cidx"),
         zip_with(col("qvi"), col("qc"), (a, b) => a - b).as("qv"))
     qres
       .select(col("query_id"), col("cidx"), col("qv"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
-      .crossJoin(broadcast(rpqCodebook(spark, dir)))
+      .crossJoin(broadcast(rpqCodebook(spark, dir, scaled)))
       .select(col("query_id"), col("cidx"), col("m"), col("cj"),
         pqSubDist(col("qv"), col("qc"), col("m")).as("d"))
       .groupBy(col("query_id"), col("cidx"))
@@ -1532,35 +1674,57 @@ object SimilarityQueries {
 
   /** The IVFADC candidate stage shared by [[annIvfPq]] (k = TopK, result
     * ranks ARE the ADC ranks) and [[annIvfPqRerank]] (k = RerankR,
-    * candidates only): per-(query, list) tables ⋈ (lists ⋈ residual
-    * codes) shuffle-hash on cidx, ADC scoring, top-k per query. A
-    * candidate sits in exactly one list and probe lists are distinct, so
-    * no (query, candidate) pair is scored twice.
+    * candidates only) — and, via `scaled`, by their capacity-law twins:
+    * per-(query, list) tables ⋈ (lists ⋈ residual codes) shuffle-hash on
+    * cidx, ADC scoring, top-k per query. A candidate sits in exactly one
+    * list and probe lists are distinct, so no (query, candidate) pair is
+    * scored twice.
     */
   private def ivfPqAdc(spark: SparkSession, dir: String, k: Int,
-      nprobe: Int = Nprobe): DataFrame =
-    pqRank(rpqQueryTables(spark, dir, nprobe).hint("shuffle_hash")
-      .join(ivfPqResIndex(spark, dir), Seq("cidx"))
+      nprobe: Int = Nprobe, scaled: Boolean = false): DataFrame =
+    pqRank(rpqQueryTables(spark, dir, nprobe, scaled).hint("shuffle_hash")
+      .join(ivfPqResIndex(spark, dir, scaled), Seq("cidx"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
     ivfPqAdc(spark, dir, TopK)
 
-  /** The residual probe/assign/encode/ADC CTE chain shared by the IVFADC
-    * oracle and its re-rank twin: everything up to `ad` (query_id,
-    * neighbor_id, adist). Mirrors the Spark build step for step: quantized
-    * centroids, per-vector residuals, residual sub-codebook training
-    * ([[pqSqlCtesOver]] on `rq` — the SAME generated chain ann_pq uses on
-    * `eq`), residual encoding, per-(query, probed list) tables.
+  // ------------------------------------------------------- ann_ivfpq_scaled
+  /** `ann_ivfpq_scaled` — IVFADC whose coarse quantizer follows the
+    * balanced capacity law: the scaled Lloyd codebook
+    * ([[kmeansScaledCodebookOf]], C = ⌊√(Nprobe·n)⌋) prunes the candidate
+    * set to Nprobe lists of mean size √(n/Nprobe) — per-query scan √n,
+    * not n — while the residual PqM×PqK sub-codebooks and the ADC scoring
+    * stay EXACTLY [[annIvfPq]]'s (shared `scaled`-parameterized chain;
+    * PQ's compression budget is per-vector and does not scale with the
+    * corpus). This was the last fixed-capacity member class: round 14
+    * measured the fixed IVFADC pair quadratic across decades (34 s at
+    * sf10) because Nprobe/C held the scanned fraction constant; here the
+    * fraction falls 1/√n per decade like [[annIvfScaled]]'s, with the
+    * SAME C derived from `count(*)` in the oracle so the composed law
+    * (capacity → Lloyd training → residual encoding → ADC) is
+    * hash-checked end to end.
     */
-  private val ivfPqAdcSqlCtes: String = {
+  def annIvfPqScaled(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAdc(spark, dir, TopK, scaled = true)
+
+  /** The residual probe/assign/encode/ADC CTE chain shared by the IVFADC
+    * oracle and its re-rank twin — and, via `centChain`, by their
+    * capacity-law twins (only the coarse-codebook CTE chain differs):
+    * everything up to `ad` (query_id, neighbor_id, adist). Mirrors the
+    * Spark build step for step: quantized centroids, per-vector
+    * residuals, residual sub-codebook training ([[pqSqlCtesOver]] on
+    * `rq` — the SAME generated chain ann_pq uses on `eq`), residual
+    * encoding, per-(query, probed list) tables.
+    */
+  private def ivfPqAdcSqlCtesOver(centChain: String): String = {
     val cent = s"cent$KmIters"
     val qcList =
       s"[CAST(floor(cv[i] * $QScale + 0.5) AS BIGINT) for i in generate_series(1, $KmDim)]"
     val resList = s"[eq.qv[i] - qc.qc[i] for i in generate_series(1, $KmDim)]"
     val sq =
       s"(t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i]) * (t.qv[s.m*$PqSub+i] - c.qc[s.m*$PqSub+i])"
-    s"""$kmCentSqlCtes,
+    s"""$centChain,
        |qcent AS (SELECT cidx, $qcList AS qc FROM $cent),
        |${kmAssignSqlCtes(cent)},
        |rq AS (SELECT eq.vec_id, a.cidx, $resList AS qv
@@ -1584,8 +1748,16 @@ object SimilarityQueries {
        |       GROUP BY 1, 2)""".stripMargin
   }
 
+  private val ivfPqAdcSqlCtes: String = ivfPqAdcSqlCtesOver(kmCentSqlCtes)
+  private val ivfPqAdcScaledSqlCtes: String =
+    ivfPqAdcSqlCtesOver(kmScaledCentSqlCtes)
+
   val annIvfPqSql: String =
     s"""WITH $ivfPqAdcSqlCtes,
+       |$pqSqlRank""".stripMargin
+
+  val annIvfPqScaledSql: String =
+    s"""WITH $ivfPqAdcScaledSqlCtes,
        |$pqSqlRank""".stripMargin
 
   // -------------------------------------------------------- ann_ivfpq_rerank
@@ -1611,10 +1783,19 @@ object SimilarityQueries {
   def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
     annIvfPqRerankProbe(spark, dir, Nprobe, RerankR)
 
+  /** `ann_ivfpq_rerank_scaled` — the exact re-rank stage over the
+    * capacity-law IVFADC ([[annIvfPqScaled]]): identical R/k contract,
+    * only the coarse quantizer (and thus which ~Nprobe/√(Nprobe·n) of
+    * the corpus gets ADC-scored) differs. Completes the scaled family:
+    * every fixed-capacity search path now has a measured C ∝ √n twin.
+    */
+  def annIvfPqRerankScaled(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqRerankProbe(spark, dir, Nprobe, RerankR, scaled = true)
+
   /** Sweep hook: the re-ranked IVFADC at arbitrary (nprobe, R). */
   private[graft] def annIvfPqRerankProbe(spark: SparkSession, dir: String,
-      nprobe: Int, r: Int): DataFrame = {
-    val cand = ivfPqAdc(spark, dir, r, nprobe)
+      nprobe: Int, r: Int, scaled: Boolean = false): DataFrame = {
+    val cand = ivfPqAdc(spark, dir, r, nprobe, scaled)
       .select(col("query_id"), col("neighbor_id"))
     val e = emb(spark, dir)
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1622,8 +1803,8 @@ object SimilarityQueries {
     ranked(cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id")))
   }
 
-  val annIvfPqRerankSql: String =
-    s"""WITH $ivfPqAdcSqlCtes,
+  private def ivfPqRerankSqlOver(adcCtes: String): String =
+    s"""WITH $adcCtes,
        |cand AS (SELECT query_id, neighbor_id FROM (
        |           SELECT query_id, neighbor_id,
        |                  row_number() OVER (PARTITION BY query_id
@@ -1640,6 +1821,9 @@ object SimilarityQueries {
        |                 ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rank
        |        FROM rr)
        |SELECT query_id, neighbor_id, rank, sim FROM rrk WHERE rank <= $TopK""".stripMargin
+
+  val annIvfPqRerankSql: String = ivfPqRerankSqlOver(ivfPqAdcSqlCtes)
+  val annIvfPqRerankScaledSql: String = ivfPqRerankSqlOver(ivfPqAdcScaledSqlCtes)
 
   // ------------------------------------------------------------ hard_negatives
   /** `hard_negatives` — contrastive-training hard-negative mining: for
@@ -1979,6 +2163,8 @@ object SimilarityQueries {
       .unionAll(sizes("lloyd", kmeansCodebook(spark, dir), kmListsMemo, "ivf_lists_kmeans"))
       .unionAll(sizes("scaled", scaledCodebookOf(spark, dir), scaledListsMemo,
         "ivf_lists_scaled", scaledCOf(spark, dir)))
+      .unionAll(sizes("lloyd_scaled", kmeansScaledCodebookOf(spark, dir),
+        kmScaledListsMemo, "ivf_lists_kmeans_scaled", scaledCOf(spark, dir)))
     val totals = Window.partitionBy(col("codebook"))
     all.withColumn("share",
       col("n_vectors").cast("double") /
@@ -2001,11 +2187,14 @@ object SimilarityQueries {
        |                row_number() OVER (ORDER BY $ch, vec_id) AS cidx
        |         FROM e QUALIFY cidx <= $IvfC),
        |${scaledCentSqlCtesAs("scent")},
+       |${kmCentSqlChain("k2", capped = true, emitEq = false)},
        |b AS (${sizesSql("sampled", "cent")}
        |      UNION ALL
        |      ${sizesSql("lloyd", s"cent$KmIters")}
        |      UNION ALL
-       |      ${sizesSql("scaled", "scent")})
+       |      ${sizesSql("scaled", "scent")}
+       |      UNION ALL
+       |      ${sizesSql("lloyd_scaled", s"k2cent$KmIters")})
        |SELECT codebook, cidx, n_vectors,
        |       CAST(n_vectors AS DOUBLE) /
        |         CAST(sum(n_vectors) OVER (PARTITION BY codebook) AS DOUBLE) AS share
@@ -2096,17 +2285,28 @@ object SimilarityQueries {
         .select(col("ncand")).head().getLong(0)
     }
     val kmScan = nQueries.select(col("k"), lit(kmNcand).as("ncand"))
+    // same one-collect sharing for the scaled Lloyd lists' three consumers
+    val kmScaledNcand: Long = Memo.memoizeValue(kmScaledScanCountMemo, spark, dir) {
+      ivfScan(kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
+        "ivf_lists_kmeans_scaled", scaledCOf(spark, dir))
+        .select(col("ncand")).head().getLong(0)
+    }
+    val kmScaledScan = nQueries.select(col("k"), lit(kmScaledNcand).as("ncand"))
     val indexes: Seq[(String, DataFrame, Option[DataFrame])] = Seq(
       ("ann_lsh", annLsh(spark, dir), Some(lshCount)),
       ("ann_ivf", annIvf(spark, dir),
         Some(ivfScan(codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled"))),
       ("ann_ivf_scaled", annIvfScaled(spark, dir),
         Some(ivfScan(scaledCodebookOf(spark, dir), scaledListsMemo,
-          "ivf_lists_scaled", scaledC(estimatedRows(spark, dir))))),
+          "ivf_lists_scaled", scaledCOf(spark, dir)))),
       ("ann_ivf_kmeans", annIvfKmeans(spark, dir), Some(kmScan)),
+      ("ann_ivf_kmeans_scaled", annIvfKmeansScaled(spark, dir), Some(kmScaledScan)),
       ("ann_pq", annPq(spark, dir), None),
       ("ann_ivfpq", annIvfPq(spark, dir), Some(kmScan)),
-      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan)))
+      ("ann_ivfpq_scaled", annIvfPqScaled(spark, dir), Some(kmScaledScan)),
+      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan)),
+      ("ann_ivfpq_rerank_scaled", annIvfPqRerankScaled(spark, dir),
+        Some(kmScaledScan)))
     indexes.map { case (nm, df, cand) =>
       val hits = exact
         .join(df.select(col("query_id"), col("neighbor_id")),
@@ -2131,9 +2331,14 @@ object SimilarityQueries {
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
     "ann_ivf_scaled" -> QueryDef(annIvfScaled, Some(annIvfScaledSql)),
     "ann_ivf_kmeans" -> QueryDef(annIvfKmeans, Some(annIvfKmeansSql)),
+    "ann_ivf_kmeans_scaled" ->
+      QueryDef(annIvfKmeansScaled, Some(annIvfKmeansScaledSql)),
     "ann_pq" -> QueryDef((s, d) => annPq(s, d), Some(annPqSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
+    "ann_ivfpq_scaled" -> QueryDef(annIvfPqScaled, Some(annIvfPqScaledSql)),
     "ann_ivfpq_rerank" -> QueryDef(annIvfPqRerank, Some(annIvfPqRerankSql)),
+    "ann_ivfpq_rerank_scaled" ->
+      QueryDef(annIvfPqRerankScaled, Some(annIvfPqRerankScaledSql)),
     "dedup_cluster_embed" -> QueryDef(dedupClusterEmbed, Some(dedupClusterEmbedSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),

@@ -38,6 +38,14 @@ class OracleConstantSpec extends AnyFunSuite {
     ("ann_ivfpq", "Nprobe", s"cr <= $Nprobe"),
     ("ann_ivfpq_rerank", "Nprobe", s"cr <= $Nprobe"),
     ("ann_ivfpq_rerank", "RerankR", s"rn <= $RerankR"),
+    // the capacity-law Lloyd/IVFADC twins: same probe depth AND the
+    // in-SQL capacity derivation, so law + training loop stay mirrored
+    ("ann_ivf_kmeans_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
+    ("ann_ivf_kmeans_scaled", "Nprobe", s"cr <= $Nprobe"),
+    ("ann_ivfpq_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
+    ("ann_ivfpq_scaled", "Nprobe", s"cr <= $Nprobe"),
+    ("ann_ivfpq_rerank_scaled", "Nprobe(capacity)", s"sqrt($Nprobe * count(*))"),
+    ("ann_ivfpq_rerank_scaled", "RerankR", s"rn <= $RerankR"),
     ("ann_topk", "TopK", s"rank <= $TopK"),
     ("ann_topk", "QueryMod", s"% $QueryMod = 0"),
     // bucket width: the highest sign-bit term of the bucket expression

@@ -46,6 +46,10 @@ class PlanGuardSpec extends SparkTestBase {
     // own scaladoc records where a production system outgrows the flat
     // broadcast (hierarchical coarse quantization)
     "ann_ivf_scaled",
+    // the scaled LLOYD codebook + scaled IVFADC stages: the same
+    // O(√(Nprobe·n))-row codebook crossJoin (training iterations and
+    // probe selection), plus ann_ivfpq_*'s PqK-row sub-codebook crossJoin
+    "ann_ivf_kmeans_scaled", "ann_ivfpq_scaled", "ann_ivfpq_rerank_scaled",
     "pq_distortion", // same PqK-row sub-codebook crossJoin as ann_pq's encoder
     "hard_negatives", // same IvfC-row codebook crossJoin (per-anchor probe selection)
     "hard_negatives_scaled", // the O(√(Nprobe·n))-row scaled codebook crossJoin

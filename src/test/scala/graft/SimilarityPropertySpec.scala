@@ -174,10 +174,15 @@ class SimilarityPropertySpec extends SparkTestBase {
     val ivf = recallAt10(topSets(SimilarityQueries.annIvf(spark, dir)))
     val ivfScaled = recallAt10(topSets(SimilarityQueries.annIvfScaled(spark, dir)))
     val ivfKm = recallAt10(topSets(SimilarityQueries.annIvfKmeans(spark, dir)))
+    val ivfKmScaled =
+      recallAt10(topSets(SimilarityQueries.annIvfKmeansScaled(spark, dir)))
     val pq = recallAt10(topSets(SimilarityQueries.annPq(spark, dir)))
     val ivfPq = recallAt10(topSets(SimilarityQueries.annIvfPq(spark, dir)))
+    val ivfPqScaled = recallAt10(topSets(SimilarityQueries.annIvfPqScaled(spark, dir)))
     val ivfPqR = recallAt10(topSets(SimilarityQueries.annIvfPqRerank(spark, dir)))
-    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_scaled=$ivfScaled%.3f ann_ivf_kmeans=$ivfKm%.3f ann_pq=$pq%.3f ann_ivfpq=$ivfPq%.3f ann_ivfpq_rerank=$ivfPqR%.3f")
+    val ivfPqRScaled =
+      recallAt10(topSets(SimilarityQueries.annIvfPqRerankScaled(spark, dir)))
+    info(f"recall@10 on sf0.1: ann_lsh=$lsh%.3f ann_ivf=$ivf%.3f ann_ivf_scaled=$ivfScaled%.3f ann_ivf_kmeans=$ivfKm%.3f ann_ivf_kmeans_scaled=$ivfKmScaled%.3f ann_pq=$pq%.3f ann_ivfpq=$ivfPq%.3f ann_ivfpq_scaled=$ivfPqScaled%.3f ann_ivfpq_rerank=$ivfPqR%.3f ann_ivfpq_rerank_scaled=$ivfPqRScaled%.3f")
     // Measured at the committed RECALL.md operating point (Nprobe=24,
     // RerankR=100, LSH 2 tables × radius-2): lsh 0.560 (~27% scanned),
     // ivf 0.645, ivf_kmeans 0.735 (both ~38% scanned) — the corpus is
@@ -201,6 +206,15 @@ class SimilarityPropertySpec extends SparkTestBase {
     // sampled codebook.
     assert(ivfKm >= 0.50,
       f"ann_ivf_kmeans recall@10 $ivfKm%.3f below floor (Lloyd refinement regressed retrieval)")
+    // The capacity law COMPOSED with Lloyd refinement: measured 0.600 at
+    // ~11% scan — recall-per-scan 5.6×, the family's new best (scaled
+    // sampled 4.1×, fixed Lloyd 2.0×), and +0.155 over the scaled sampled
+    // codebook at the SAME scan fraction: the refinement's list balance
+    // is worth more when cells are fine. Floor at ~0.7× measurement.
+    assert(ivfKmScaled >= 0.42,
+      f"ann_ivf_kmeans_scaled recall@10 $ivfKmScaled%.3f below floor (capacity law + Lloyd composition regressed)")
+    assert(ivfKmScaled >= ivfScaled - 0.02,
+      f"scaled Lloyd ($ivfKmScaled%.3f) should not lose recall vs scaled sampled ($ivfScaled%.3f) at equal scan")
     // pq 0.545 (PQ16×256, 2-step Lloyd-refined sub-codebooks; the
     // round-12 PQ8×256 point measured 0.385: full compressed scan —
     // recall loss here is pure quantization distortion, there is no
@@ -214,6 +228,11 @@ class SimilarityPropertySpec extends SparkTestBase {
     // the expected IVFADC trade; floor at ~0.7× measurement
     assert(ivfPq >= 0.36,
       f"ann_ivfpq recall@10 $ivfPq%.3f below floor (probe/quantization composition regressed)")
+    // scaled IVFADC 0.440: bounded by the scaled-Lloyd 0.600 candidate
+    // ceiling, degraded by residual-ADC distortion — the same ~0.15-0.2
+    // quantization toll the fixed pair pays (0.735 → 0.515); floor ~0.7×
+    assert(ivfPqScaled >= 0.30,
+      f"ann_ivfpq_scaled recall@10 $ivfPqScaled%.3f below floor (scaled probe/quantization composition regressed)")
     // exact re-rank recovers the ADC quantization distortion: measured
     // 0.735 = EXACTLY the kmeans-IVF candidate-generation ceiling — the
     // re-rank cannot beat the probed lists' recall, and with residual
@@ -222,6 +241,14 @@ class SimilarityPropertySpec extends SparkTestBase {
       f"ann_ivfpq_rerank recall@10 $ivfPqR%.3f below floor (re-rank stage regressed)")
     assert(ivfPqR >= ivfPq - 0.02,
       f"re-rank ($ivfPqR%.3f) lost recall vs raw ADC ranks ($ivfPq%.3f)")
+    // scaled re-rank 0.600 = EXACTLY its candidate-generation ceiling
+    // (the scaled-Lloyd probed lists), same recovery the fixed re-rank
+    // shows at 0.735 — the R=100 exact pass erases ADC distortion in
+    // both capacity regimes
+    assert(ivfPqRScaled >= 0.42,
+      f"ann_ivfpq_rerank_scaled recall@10 $ivfPqRScaled%.3f below floor (scaled re-rank stage regressed)")
+    assert(ivfPqRScaled >= ivfPqScaled - 0.02,
+      f"scaled re-rank ($ivfPqRScaled%.3f) lost recall vs scaled ADC ranks ($ivfPqScaled%.3f)")
 
     // The declared ann_recall_report (the index auditing itself, in-plan)
     // must agree with this driver-side computation to the rounding digit —
@@ -231,8 +258,11 @@ class SimilarityPropertySpec extends SparkTestBase {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     val expected = Map("ann_lsh" -> lsh, "ann_ivf" -> ivf,
       "ann_ivf_scaled" -> ivfScaled,
-      "ann_ivf_kmeans" -> ivfKm, "ann_pq" -> pq, "ann_ivfpq" -> ivfPq,
-      "ann_ivfpq_rerank" -> ivfPqR)
+      "ann_ivf_kmeans" -> ivfKm, "ann_ivf_kmeans_scaled" -> ivfKmScaled,
+      "ann_pq" -> pq, "ann_ivfpq" -> ivfPq,
+      "ann_ivfpq_scaled" -> ivfPqScaled,
+      "ann_ivfpq_rerank" -> ivfPqR,
+      "ann_ivfpq_rerank_scaled" -> ivfPqRScaled)
     assert(report.keySet === expected.keySet)
     expected.foreach { case (nm, r) =>
       assert(report(nm)._1 === exact.size.toLong, s"$nm: query count drifted")
@@ -255,11 +285,18 @@ class SimilarityPropertySpec extends SparkTestBase {
         f"$nm scan_frac ${fracs(nm)}%.3f far from the ~0.375 (24/64 lists) figure")
     }
     // the capacity law's signature at n=2000: C=219 lists → ~24/219 ≈ 11%
-    // scanned, strictly below the fixed-capacity family's 24/64 ≈ 38%
-    assert(fracs("ann_ivf_scaled") > 0.06 && fracs("ann_ivf_scaled") < 0.17,
-      f"ann_ivf_scaled scan_frac ${fracs("ann_ivf_scaled")}%.3f far from the ~0.11 (24/219 lists) figure")
+    // scanned, strictly below the fixed-capacity family's 24/64 ≈ 38% —
+    // for every scaled member (sampled, Lloyd, and both IVFADC stages
+    // share the scaled-Lloyd probed lists)
+    Seq("ann_ivf_scaled", "ann_ivf_kmeans_scaled", "ann_ivfpq_scaled",
+      "ann_ivfpq_rerank_scaled").foreach { nm =>
+      assert(fracs(nm) > 0.06 && fracs(nm) < 0.17,
+        f"$nm scan_frac ${fracs(nm)}%.3f far from the ~0.11 (24/219 lists) figure")
+    }
     assert(fracs("ann_ivf_scaled") < fracs("ann_ivf"),
       "the scaled index must scan a SMALLER fraction than the fixed-capacity one at n=2000")
+    assert(fracs("ann_ivf_kmeans_scaled") < fracs("ann_ivf_kmeans"),
+      "the scaled Lloyd index must scan a SMALLER fraction than the fixed-capacity one at n=2000")
     info(s"scan_frac: ${fracs.toSeq.sortBy(_._1).map { case (n, f) => f"$n=$f%.3f" }.mkString(" ")}")
   }
 
