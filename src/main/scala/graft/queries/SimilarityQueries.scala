@@ -1679,11 +1679,22 @@ object SimilarityQueries {
     * cidx, ADC scoring, top-k per query. A candidate sits in exactly one
     * list and probe lists are distinct, so no (query, candidate) pair is
     * scored twice.
+    *
+    * The shuffle-hash BUILD side is the CODES index, not the ADC tables:
+    * a codes row is ~40 B (PqM byte-scale codes + two ids) while an ADC
+    * table row carries PqM·PqK longs (~33 KB at 16×256) — building the
+    * hash relation over the table side measured a ~1.6 GB build at the
+    * sf10 scale-up and died with "Can't acquire … bytes to build hash
+    * relation"; the codes side is ~200× smaller there and stays the
+    * smaller side at every scale (table rows ≈ 0.24·n·33 KB vs codes
+    * n·40 B). The fat tds rows STREAM through the join and are consumed
+    * by the adist projection in the same stage, so nothing wide is ever
+    * buffered.
     */
   private def ivfPqAdc(spark: SparkSession, dir: String, k: Int,
       nprobe: Int = Nprobe, scaled: Boolean = false): DataFrame =
-    pqRank(rpqQueryTables(spark, dir, nprobe, scaled).hint("shuffle_hash")
-      .join(ivfPqResIndex(spark, dir, scaled), Seq("cidx"))
+    pqRank(rpqQueryTables(spark, dir, nprobe, scaled)
+      .join(ivfPqResIndex(spark, dir, scaled).hint("shuffle_hash"), Seq("cidx"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
@@ -1951,7 +1962,11 @@ object SimilarityQueries {
         col("neg_id").cast("string")))).otherwise(col("neg_id"))
     val pk = (round(round(cos, 6) * lit(1000000d)).cast("long") + lit(1000000L)) *
       lit(idCap) + (lit(idCap - 1L) - guardedId)
-    val topPacked = probes.hint("shuffle_hash").join(negs, Seq("cidx"))
+    // build side = the LISTS (n rows): the probes side is n·nprobe rows of
+    // the same ~512 B vector width — always nprobe× larger, and large
+    // enough at the third decade (sf100: ~7 GB scaled) to fail the hash-
+    // relation build that n-row lists survive
+    val topPacked = probes.join(negs.hint("shuffle_hash"), Seq("cidx"))
       .filter(col("anchor_label") =!= col("neg_label"))
       .select(col("anchor_id"), col("anchor_label"), pk.as("pk"))
       .groupBy(col("anchor_id"), col("anchor_label"))
