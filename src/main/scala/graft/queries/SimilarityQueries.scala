@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFns
+import graft.functions.{TopKLongsAgg, VectorFns}
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, 64-dim): blocked cosine near-duplicate pairs (SURVEY
@@ -186,15 +186,57 @@ object SimilarityQueries {
   private[graft] def chunkOf(queryId: Column, nChunks: Int): Column =
     pmod(xxhash64(queryId), lit(nChunks.toLong))
 
-  private def ranked(joined: DataFrame): DataFrame = {
+  /** Per-query exact top-[[TopK]] over a candidate-pair stream carrying
+    * both raw vectors (query_id, neighbor_id, qv, qn, cv, cn). Order is
+    * `round(cos, 6) desc, neighbor_id asc`; `sim` is `round(cos, 4)`.
+    *
+    * NOT a `row_number` window: each candidate row necessarily carries
+    * both 64-double vectors (the cosine is computed here), and a window
+    * sorts the full candidate stream — ~1.1 KB per row through its
+    * exchange. Measured at the 100× scale-up (sf10, 200 k vectors): the
+    * brute-force truth build's 400 M-candidate window sort filled the
+    * disk and killed the stage (BENCH_sf10_r15.json.failed), the same
+    * failure mode hard_negatives hit a round earlier. Instead the rank
+    * key packs into ONE long in the join projection — the
+    * [[hardNegMine]] packing: round(cos6·10⁶) ∈ [−10⁶, 10⁶] shifted
+    * non-negative, 21 bits, times 2^[[HardNegIdBits]] plus the
+    * complemented id, with the id bound ENFORCED in-plan — and a bounded
+    * distinct-top-k heap aggregate ([[TopKLongsAgg]], O(k) state) keeps
+    * the k best per query: the vectors never leave the map side and the
+    * aggregation exchange carries one ≤k-long buffer per query per
+    * partition. Duplicate candidate PAIRS (the LSH multi-table union
+    * emits a pair once per matching table) pack to the SAME long and the
+    * aggregate's distinct semantics absorb them — no pre-scoring
+    * `dropDuplicates` exchange either.
+    *
+    * The k winners (≤ TopK·nq rows) re-join the vector table by id to
+    * recompute `sim` as round(cos, 4) EXACTLY — deriving it from the
+    * packed 6-decimal value would double-round.
+    */
+  private def ranked(spark: SparkSession, dir: String, joined: DataFrame): DataFrame = {
     val cos = cosine(col("qv"), col("cv"), col("qn"), col("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(cos, 6).desc, col("neighbor_id").asc)
+    val idCap = 1L << HardNegIdBits
+    val guardedId = when(col("neighbor_id") < 0 || col("neighbor_id") >= lit(idCap),
+      raise_error(concat(
+        lit(s"ranked packing: neighbor_id outside [0, 2^$HardNegIdBits): "),
+        col("neighbor_id").cast("string")))).otherwise(col("neighbor_id"))
+    val pk = (round(round(cos, 6) * lit(1000000d)).cast("long") + lit(1000000L)) *
+      lit(idCap) + (lit(idCap - 1L) - guardedId)
+    val e = emb(spark, dir)
+    val sim = round(cosine(col("qv2"), col("cv2"), col("qn2"), col("cn2")), 4)
     joined
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("sim", round(cos, 4))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .select(col("query_id"), pk.as("pk"))
+      .groupBy(col("query_id"))
+      .agg(TopKLongsAgg(col("pk"), TopK).as("pks"))
+      .select(col("query_id"), posexplode(col("pks")).as(Seq("pos", "pk")))
+      .select(col("query_id"),
+        (lit(idCap - 1L) - pmod(col("pk"), lit(idCap))).as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv2"),
+        col("nrm").as("qn2")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
+        col("nrm").as("cn2")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), sim.as("sim"))
   }
 
   /** `maxBroadcast` is the per-chunk query bound (default
@@ -238,7 +280,8 @@ object SimilarityQueries {
       val qk = if (nChunks == 1) q else q.filter(chunkOf(col("query_id"), nChunks) === k)
       broadcast(qk).join(c, col("query_id") =!= col("neighbor_id"))
     }.reduce(_ union _)
-    ranked(joined) // chunks are query_id-disjoint, so the rank window is per-chunk-safe
+    // chunks are query_id-disjoint, so the per-query top-k agg is chunk-safe
+    ranked(spark, dir, joined)
   }
 
   private def rankedSql(candJoin: String): String =
@@ -303,27 +346,30 @@ object SimilarityQueries {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLshProbe(spark, dir, LshRadius, LshTables)
 
-  /** Candidate-pair stage of the (radius, tables)-parameterized LSH
-    * search backing [[annLshProbe]] — identical plan shape at every
-    * setting, only the size of the constant (table, probe-mask) array
-    * changes. Exposed separately so [[annRecallReport]] can count the
-    * exact-scored candidate set (the deduped pairs — the same set the
-    * RECALL.md "~X% scanned" figures describe).
+  /** DEDUPED candidate-pair IDS of the (radius, tables)-parameterized
+    * LSH search — the exact-scored candidate set [[annRecallReport]]
+    * counts (the same set the RECALL.md "~X% scanned" figures
+    * describe). Ids only, deduped: the SCORING pass no longer consumes
+    * this stage (the distinct-top-k aggregate inside [[ranked]] absorbs
+    * multi-table duplicates, so [[annLshProbe]] feeds the raw bucket
+    * join straight into it), and pruning the vectors here keeps the
+    * distinct exchange at 16 B per candidate pair — the
+    * vector-carrying `dropDuplicates` this replaces shipped ~1.1 KB per
+    * pair and was one of the four sf10 stage deaths
+    * (BENCH_sf10_r15.json.failed).
     */
   private def lshCandidates(spark: SparkSession, dir: String, radius: Int,
-      tables: Int = 1): DataFrame =
+      tables: Int = 1): DataFrame = {
+    def build = lshCandidatesBuild(spark, dir, radius, tables)
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
     if (radius == LshRadius && tables == LshTables)
-      Memo.memoize(lshCandMemo, spark, dir)(
-        lshCandidatesBuild(spark, dir, radius, tables))
-    else lshCandidatesBuild(spark, dir, radius, tables)
+      Memo.memoize(lshCandMemo, spark, dir)(build)
+    else build
+  }
 
-  /** Memo for the DEFAULT-setting LSH candidate-pair stage — shared by
-    * the [[annLsh]] scoring pass and [[annRecallReport]]'s scan count.
-    * The count consumer prunes away the vector columns, so the two plans
-    * are canonically different and ReuseExchange cannot dedupe the
-    * bucket join between them; the memo computes the deduped pair set
-    * once per (session, dir). Production shape: a query batch's
-    * candidate generation is one pass, shared by scoring and audit.
+  /** Memo for the DEFAULT-setting deduped LSH candidate-pair ids —
+    * [[annRecallReport]]'s scan count, computed once per (session, dir).
     * Parameter sweeps (RECALL.md) bypass the memo.
     */
   private val lshCandMemo = Memo.table()
@@ -357,15 +403,21 @@ object SimilarityQueries {
     // parallelism (bucket count is the join's max fan-out) — probe count
     // grows O(tables·LshBits²) at radius 2 while the scanned fraction
     // falls O(LshBits²/2^LshBits) per table.
+    // NO pair dedup here: a (query, neighbor) pair matching in several
+    // tables emits one row per table, and the two consumers handle it
+    // where it's cheap — the scoring pass packs duplicates to the same
+    // rank long (absorbed by the distinct-top-k aggregate, vectors never
+    // exchanged), and the scan-count stage dedups the 16 B id pairs
+    // (lshCandidates). Deduping HERE would exchange both raw vectors per
+    // candidate — the sf10 stage death this split removes.
     q.hint("shuffle_hash").join(c,
       col("qtbl") === col("ctbl") && col("pb") === col("cb") &&
         col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
   }
 
   def annLshProbe(spark: SparkSession, dir: String, radius: Int,
       tables: Int = 1): DataFrame =
-    ranked(lshCandidates(spark, dir, radius, tables))
+    ranked(spark, dir, lshCandidatesBuild(spark, dir, radius, tables))
 
   private val bucketSql: String =
     (0 until LshBits)
@@ -763,7 +815,8 @@ object SimilarityQueries {
   private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
       listsMemo: Memo.Table, diskLabel: String, nprobe: Int = Nprobe,
       c: Int = IvfC): DataFrame =
-    ranked(ivfCandidates(spark, dir, cents, listsMemo, diskLabel, nprobe, c))
+    ranked(spark, dir,
+      ivfCandidates(spark, dir, cents, listsMemo, diskLabel, nprobe, c))
 
   /** Sweep hook (dev + property tests): [[annIvfKmeans]] at an arbitrary
     * probe depth, sharing every memoized index artifact.
@@ -1811,7 +1864,7 @@ object SimilarityQueries {
     val e = emb(spark, dir)
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    ranked(cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id")))
+    ranked(spark, dir, cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id")))
   }
 
   private def ivfPqRerankSqlOver(adcCtes: String): String =
@@ -1875,10 +1928,11 @@ object SimilarityQueries {
     */
   val HardNegK = 3
 
-  /** Width of the neg_id field in the miner's packed (cos6, id) rank
-    * long: 42 bits is the widest the 21-bit shifted cos6 leaves
+  /** Width of the candidate-id field in the packed (cos6, id) rank
+    * long — shared by the miner ([[hardNegMine]]) and every [[ranked]]
+    * search path: 42 bits is the widest the 21-bit shifted cos6 leaves
     * ((2·10⁶)·2⁴² + 2⁴²−1 < 2⁶³). Ids beyond it (hashed 64-bit schemes)
-    * fail fast via the in-plan guard in [[hardNegMine]].
+    * fail fast via the in-plan guards at both pack sites.
     */
   val HardNegIdBits = 42
 
@@ -1913,13 +1967,17 @@ object SimilarityQueries {
     val ord = round(cos6c * lit(1000000d)).cast("long") * lit(stride) +
       (lit(c.toLong) - col("cidx"))
     // top-nprobe lists per anchor WITHOUT a window over n·C rows: one
-    // collect_list hash aggregate (partial collapses map-side after the
-    // broadcast crossJoin), slice the descending sort, unpack cidx from
-    // the packed long (pmod handles negative cos6 cleanly)
+    // bounded top-k heap aggregate (partial collapses map-side after the
+    // broadcast crossJoin; O(nprobe) state per anchor vs collect_list's
+    // O(C) — the scaled codebook's C is data-derived and unbounded),
+    // unpack cidx from the packed long (pmod handles negative cos6
+    // cleanly). The packed ords are distinct per anchor (distinct cidx ⇒
+    // distinct residue), so the aggregate's distinct semantics are a
+    // no-op here.
     val probes = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), ord.as("ord"))
       .groupBy(col("vec_id"))
-      .agg(slice(reverse(sort_array(collect_list(col("ord")))), 1, nprobe).as("ords"))
+      .agg(TopKLongsAgg(col("ord"), nprobe).as("ords"))
       .select(col("vec_id"), explode(col("ords")).as("ord"))
       .select(col("vec_id"),
         (lit(c.toLong) - pmod(col("ord"), lit(stride))).as("cidx"))
@@ -1934,7 +1992,7 @@ object SimilarityQueries {
     // list and the anchor's probed lists are distinct; self-pairs die on
     // the label filter (anchor_label = its own label)
     val cos = cosine(col("av"), col("cv"), col("an"), col("cn"))
-    // Top-k per anchor via pack → collect → in-row sort/slice, NOT a
+    // Top-k per anchor via pack → bounded heap aggregate, NOT a
     // row_number window over the candidate join output: each join row
     // necessarily carries BOTH raw vectors (the cosine is computed here),
     // so a window — which sorts the full candidate stream — ships ~1 KB
@@ -1970,8 +2028,12 @@ object SimilarityQueries {
       .filter(col("anchor_label") =!= col("neg_label"))
       .select(col("anchor_id"), col("anchor_label"), pk.as("pk"))
       .groupBy(col("anchor_id"), col("anchor_label"))
-      .agg(slice(reverse(sort_array(collect_list(col("pk")))), 1, HardNegK)
-        .as("pks"))
+      // bounded heap, not collect_list: the per-anchor candidate count is
+      // O(n·nprobe/C) — unbounded across decades for the fixed-C control
+      // index — and collect_list holds ALL of it in the merge buffer;
+      // the heap holds HardNegK longs. Pairs meet at most once (see
+      // above), so distinct semantics are a no-op.
+      .agg(TopKLongsAgg(col("pk"), HardNegK).as("pks"))
       .select(col("anchor_id"), col("anchor_label"),
         posexplode(col("pks")).as(Seq("pos", "pk")))
       .select(col("anchor_id"), col("anchor_label"),
