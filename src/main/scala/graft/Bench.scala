@@ -154,6 +154,22 @@ object Bench {
       // drops the warm recompiles to the AQE-variant residual (118) and
       // cuts recompiles across the whole warm pass (corpus_keep 59 → 8)
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // ObjectHashAggregate (TypedImperativeAggregate plans: the bounded
+      // top-k heaps, collect_list, sketches) falls back to SORT-based
+      // aggregation after this many distinct keys in one task's hash map.
+      // The 128-key default is sized for UNBOUNDED buffers; for the
+      // bounded O(k) heaps it is a catastrophe at scale — the fallback
+      // sorts the aggregate's INPUT stream, and at the sf100 third decade
+      // the miner's per-anchor top-k agg (2 M groups, 1.4e10-row
+      // crossJoin input) spilled ~300 GB of sorter runs and died with
+      // "No space left on device" (BENCH_capacity3_sf100_r15.json
+      // .failed). Hash aggregation is safe by construction here: a
+      // task's map is bounded by its partition's DISTINCT keys × the
+      // buffer size, and partitions are bounded by maxPartitionBytes —
+      // measured ~12 MB/task at sf100 where the fallback was spilling
+      // 10 GB/task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

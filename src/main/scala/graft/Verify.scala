@@ -18,6 +18,11 @@ object Verify {
       // 1000-entry generated-class cache (static conf): the default 100
       // thrashes on the biggest plans — see Bench.scala
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // keep ObjectHashAggregate in hash mode for the bounded top-k heap
+      // aggregates — the 128-key sort fallback sorts the agg INPUT and
+      // died on disk at the sf100 scale-up; see Bench.scala
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
