@@ -142,35 +142,11 @@ object Bench {
         f"[bench] CONTENDED: load_avg_start=$load0%.2f > $ContendedLoad — " +
           "numbers not comparable to a quiet run; do NOT record this " +
           "artifact as the round's bench")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC") // asof_join requires UTC (NTZ→epoch)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
-      // static conf, JVM-wide: the default 100-entry generated-class cache
-      // thrashes on the biggest plans — ann_recall_report alone compiles
-      // 364 classes in one cold execution (measured: 12 s of its 18 s cold
-      // wall) and RE-compiled 264 per warm run before this; 1000 entries
-      // drops the warm recompiles to the AQE-variant residual (118) and
-      // cuts recompiles across the whole warm pass (corpus_keep 59 → 8)
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      // ObjectHashAggregate (TypedImperativeAggregate plans: the bounded
-      // top-k heaps, collect_list, sketches) falls back to SORT-based
-      // aggregation after this many distinct keys in one task's hash map.
-      // The 128-key default is sized for UNBOUNDED buffers; for the
-      // bounded O(k) heaps it is a catastrophe at scale — the fallback
-      // sorts the aggregate's INPUT stream, and at the sf100 third decade
-      // the miner's per-anchor top-k agg (2 M groups, 1.4e10-row
-      // crossJoin input) spilled ~300 GB of sorter runs and died with
-      // "No space left on device" (BENCH_capacity3_sf100_r15.json
-      // .failed). Hash aggregation is safe by construction here: a
-      // task's map is bounded by its partition's DISTINCT keys × the
-      // buffer size, and partitions are bounded by maxPartitionBytes —
-      // measured ~12 MB/task at sf100 where the fallback was spilling
-      // 10 GB/task.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 22).toString)
-      .config("spark.ui.enabled", "false")
+    // every engine-required conf (UTC, nanos compat, codegen-cache size,
+    // the ObjectHashAggregate hash-mode threshold that fixed the sf100
+    // sorter-spill death) comes from the one shared source of truth —
+    // rationale and evidence in GraftSession's scaladoc
+    val spark = GraftSession.localBuilder("graft-bench", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink everywhere: materializes every output row/column (a bare

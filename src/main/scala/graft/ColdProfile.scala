@@ -32,17 +32,8 @@ object ColdProfile {
       "ann_ivfpq_rerank")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // static conf, JVM-wide: the default 100-entry generated-class cache
-      // thrashes on the biggest plans (ann_recall_report compiles 364
-      // classes in ONE execution — measured 12 s of its 18 s cold, and 264
-      // RE-compiles per warm run from the evictions)
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.ui.enabled", "false")
+    // engine-required confs from the one shared source of truth
+    val spark = GraftSession.localBuilder("graft-cold-profile", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val store = org.apache.spark.GraftStatusBridge.store(spark.sparkContext)

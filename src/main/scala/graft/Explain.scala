@@ -13,15 +13,8 @@ object Explain {
     val which = args(1)
     val doRun = args.length > 2 && args(2) == "run"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
-      // 1000-entry generated-class cache (static conf): the default 100
-      // thrashes on the biggest plans — see Bench.scala
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.ui.enabled", "false")
+    // engine-required confs from the one shared source of truth
+    val spark = GraftSession.localBuilder("graft-explain", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (which == "all") SparkEntry.all.keys.toSeq else Seq(which)

@@ -71,12 +71,12 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val mult = args(1).toLong
-    val spark = SparkSession.builder()
+    // engine-required confs from the one shared source of truth
+    val spark = GraftSession.configure(SparkSession.builder()
       .appName("graft-genscale")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "8g")
+      .config("spark.driver.memory", "8g"))
       .getOrCreate()
     // optional third arg "openvocab": Zipf-vocabulary documents mode
     val openVocab = args.lift(2).contains("openvocab")

@@ -69,13 +69,8 @@ object PrefixScale {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.length >= 2) Seq(args(0).toLong, args(1).toLong)
       else Seq(5000L, 50000L)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.ui.enabled", "false")
+    // engine-required confs from the one shared source of truth
+    val spark = GraftSession.localBuilder("graft-prefix-scale", GraftSession.envCpus(32))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files.createTempDirectory("prefix-scale")

@@ -26,15 +26,8 @@ object RecallSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 1000-entry generated-class cache (static conf): the default 100
-      // thrashes on the biggest plans — see Bench.scala
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.ui.enabled", "false")
+    // engine-required confs from the one shared source of truth
+    val spark = GraftSession.localBuilder("graft-recall-sweep", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

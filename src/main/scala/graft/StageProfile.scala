@@ -7,15 +7,8 @@ object StageProfile {
   def main(args: Array[String]): Unit = {
     val q = if (args.nonEmpty) args(0) else "ngram_jaccard_prefix"
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC") // asof_join requires UTC (NTZ→epoch)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
-      // 1000-entry generated-class cache (static conf): the default 100
-      // thrashes on the biggest plans — see Bench.scala
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.ui.enabled", "false")
+    // engine-required confs from the one shared source of truth
+    val spark = GraftSession.localBuilder("graft-stage-profile", GraftSession.envCpus(32))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(): Unit =

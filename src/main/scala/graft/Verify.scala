@@ -10,20 +10,8 @@ object Verify {
     // to dump; the driver always invokes with two args = full inventory.
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // compat: nanos-typed events files read as BIGINT (Tables normalizes)
-      // 1000-entry generated-class cache (static conf): the default 100
-      // thrashes on the biggest plans — see Bench.scala
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      // keep ObjectHashAggregate in hash mode for the bounded top-k heap
-      // aggregates — the 128-key sort fallback sorts the agg INPUT and
-      // died on disk at the sf100 scale-up; see Bench.scala
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 22).toString)
-      .config("spark.ui.enabled", "false")
+    // engine-required confs from the one shared source of truth
+    val spark = GraftSession.localBuilder("graft-verify", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

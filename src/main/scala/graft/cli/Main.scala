@@ -33,12 +33,13 @@ object Main {
       System.err.println(s"unknown app '$appName' — expected one of ${apps.keys.mkString(", ")}")
       sys.exit(2)
     })
-    val spark = SparkSession.builder()
+    // engine-required confs from the one shared source of truth
+    val spark = graft.GraftSession.configure(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(s"graft-$appName")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val result = MapReduce.run(spark, glob, app)

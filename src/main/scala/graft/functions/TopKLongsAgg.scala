@@ -104,6 +104,12 @@ case class TopKLongsAgg(
   extends TypedImperativeAggregate[LongTopK] {
 
   require(k > 0, s"topk_longs: k must be positive, got $k")
+  // the dedup scan is O(k) per ACCEPTED candidate by design (ranking k's);
+  // enforce the scaladoc's bound so a future large-k caller fails loudly
+  // instead of degrading quadratically — above this, switch the dedup
+  // scan to a hash set
+  require(k <= 4096, s"topk_longs: k=$k exceeds the linear-dedup design bound " +
+    "(4096); switch LongTopK.contains to a hash set before raising it")
 
   override def createAggregationBuffer(): LongTopK = new LongTopK(k)
 
@@ -134,9 +140,12 @@ case class TopKLongsAgg(
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = new LongTopK(k)
+    // serialize wrote arr[0, size) verbatim — already deduped AND in valid
+    // min-heap order, so restore by direct copy (the old add() path paid
+    // an O(k) dedup scan per element = O(k²) per buffer deserialization)
     var i = 0
-    // stored values are the already-deduped heap contents — add() re-heapifies
-    while (i < n) { buf.add(bb.getLong); i += 1 }
+    while (i < n) { buf.arr(i) = bb.getLong; i += 1 }
+    buf.size = n
     buf
   }
 
