@@ -212,6 +212,15 @@ object SimilarityQueries {
     * The k winners (≤ TopK·nq rows) re-join the vector table by id to
     * recompute `sim` as round(cos, 4) EXACTLY — deriving it from the
     * packed 6-decimal value would double-round.
+    *
+    * PRECONDITION (silent-row-loss hazard, round-15 advice): BOTH id
+    * columns of `joined` must be `emb(spark, dir)` vec_ids — the winner
+    * re-join is INNER, so a candidate stream whose query or neighbor ids
+    * are not drawn from the embeddings table (e.g. a future external
+    * query-vector set) would silently drop those winners rather than
+    * fail. All current callers pass emb-derived ids; a new call site with
+    * external vectors must thread its own vector table through here
+    * instead of emb (or left-join + assert).
     */
   private def ranked(spark: SparkSession, dir: String, joined: DataFrame): DataFrame = {
     val cos = cosine(col("qv"), col("cv"), col("qn"), col("cn"))
@@ -2323,77 +2332,130 @@ object SimilarityQueries {
     * combine on a constant key with broadcast hash joins — no BNLJ,
     * nothing corpus-sized crosses the driver.
     */
-  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annTopkCached(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val truth = exact.groupBy("query_id").agg(count(lit(1)).as("t"))
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame =
+    annRecallReportOf(spark, dir, RecallAuditSampleTarget)
+
+  /** Control-audit query budget: once the query set exceeds 2× this, the
+    * FIXED-CAPACITY and exact-linear controls (ann_lsh, ann_ivf,
+    * ann_ivf_kmeans, ann_pq, ann_ivfpq, ann_ivfpq_rerank) are audited on
+    * a deterministic hash-decimated query subset of ~this size instead of
+    * every query. Rationale (round-15 verdict #2 of "what's wrong"): a
+    * control's per-query cost is Θ(n) by design, so auditing all n/101
+    * queries makes the AUDIT itself Θ(n²) — at sf10 the report was 99 s,
+    * the most expensive query in the inventory, growing ×15–20/decade.
+    * Recall is a mean over per-query recalls, so a uniform query sample
+    * estimates it unbiasedly with se ≈ σ/√256 ≲ 0.02; the controls'
+    * exact full-set numbers live in the dedicated BENCH_capacity
+    * artifacts. The SCALE-PATH members (the four *_scaled) always audit
+    * every query — they are the indexes a deployment actually ships, and
+    * their cost is the capacity law's √n. At the oracle-checked test SFs
+    * (nq ≤ 2·target) the report is bit-identical to the pre-sampling one.
+    */
+  val RecallAuditSampleTarget = 256
+
+  private[graft] def annRecallReportOf(spark: SparkSession, dir: String,
+      sampleTarget: Int): DataFrame = {
+    val exactAll = annTopkCached(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val truthAll = exactAll.groupBy("query_id").agg(count(lit(1)).as("t"))
     val nCorpus = emb(spark, dir).agg(count(lit(1)).as("nc")).withColumn("k", lit(1))
-    val nQueries = truth.agg(count(lit(1)).as("nq")).withColumn("k", lit(1))
-    // 1-row (k, ncand) from the probe lists × the C-row size table
-    def ivfScan(cents: DataFrame, listsMemo: Memo.Table,
+    def nQueriesOf(t: DataFrame): DataFrame =
+      t.agg(count(lit(1)).as("nq")).withColumn("k", lit(1))
+    // control-query decimation: keep queries with xxhash64(query_id) ≡ 0
+    // (mod m) — deterministic, engine-independent, and PUSHED DOWN into
+    // each control search's own query-side scan (every stage of the
+    // searches is query_id-keyed, so Catalyst drives the predicate below
+    // the top-k aggregate and the candidate joins: the control only
+    // GENERATES candidates for sampled queries, it doesn't discard work)
+    val nqEst = estimatedRows(spark, dir) / QueryMod + 1
+    val m = math.max(1L, nqEst / sampleTarget)
+    val sampled = m >= 2
+    val samplePred = pmod(xxhash64(col("query_id")), lit(m)) === 0
+    /** Audit regime: which queries a member is measured on. */
+    case class Regime(exact: DataFrame, truth: DataFrame, nQueries: DataFrame,
+        dec: DataFrame => DataFrame, memoTag: String)
+    val full = Regime(exactAll, truthAll, nQueriesOf(truthAll), identity, "")
+    val ctl =
+      if (!sampled) full
+      else {
+        val t = truthAll.filter(samplePred)
+        Regime(exactAll.filter(samplePred), t, nQueriesOf(t),
+          df => df.filter(samplePred), s"#m=$m")
+      }
+    // 1-row (k, ncand) from the regime's probe lists × the C-row size table
+    def ivfScan(r: Regime, cents: DataFrame, listsMemo: Memo.Table,
         diskLabel: String, c: Int = IvfC): DataFrame = {
       val sizes = ivfAssigned(spark, dir, cents, listsMemo, diskLabel, c)
         .groupBy(col("cidx")).agg(count(lit(1)).as("sz"))
-      ivfProbes(spark, dir, cents).select(col("cidx"))
+      r.dec(ivfProbes(spark, dir, cents)).select(col("cidx"))
         .join(broadcast(sizes), Seq("cidx"))
         .agg(sum(col("sz")).as("raw")).withColumn("k", lit(1))
-        .join(broadcast(nQueries), Seq("k"))
+        .join(broadcast(r.nQueries), Seq("k"))
         .select(col("k"), (col("raw") - col("nq")).as("ncand"))
     }
-    def scanFrac(cand: Option[DataFrame]): DataFrame = cand match {
+    def scanFrac(r: Regime, cand: Option[DataFrame]): DataFrame = cand match {
       case None => // linear compressed scan: every non-self pair scored
-        nQueries.select(col("k"), lit(1.0).as("scan_frac"))
+        r.nQueries.select(col("k"), lit(1.0).as("scan_frac"))
       case Some(c) =>
-        c.join(broadcast(nQueries), Seq("k"))
+        c.join(broadcast(r.nQueries), Seq("k"))
           .join(broadcast(nCorpus), Seq("k"))
           .select(col("k"), round(col("ncand").cast("double") /
             (col("nq") * (col("nc") - 1)).cast("double"), 4).as("scan_frac"))
     }
-    val lshCount = lshCandidates(spark, dir, LshRadius, LshTables)
-      .agg(count(lit(1)).as("ncand")).withColumn("k", lit(1))
+    // LSH scan count: in sampled mode build candidates for the DECIMATED
+    // query set directly (the memoized full candidate table is exactly
+    // the Θ(n²/101) mass sampling avoids — don't materialize it to count)
+    val lshCount =
+      (if (sampled)
+        lshCandidatesBuild(spark, dir, LshRadius, LshTables)
+          .select(col("query_id"), col("neighbor_id")).filter(samplePred)
+          .dropDuplicates("query_id", "neighbor_id")
+      else lshCandidates(spark, dir, LshRadius, LshTables))
+        .agg(count(lit(1)).as("ncand")).withColumn("k", lit(1))
     // Three indexes (ivf_kmeans, ivfpq, ivfpq_rerank) share the SAME
     // kmeans probe lists, so their scan count is one number — collect it
-    // ONCE per (session, dir) and embed it as a literal in all three
-    // consumers, instead of re-executing the probes × list-sizes subtree
-    // (a corpus-subset crossJoin each) three times inside one report.
-    // Memoized like the other planning pulls (bounds, row counts): warm
-    // repeats pay zero.
-    val kmNcand: Long = Memo.memoizeValue(kmScanCountMemo, spark, dir) {
-      ivfScan(kmeansCodebook(spark, dir), kmListsMemo, "ivf_lists_kmeans")
+    // ONCE per (session, dir, regime) and embed it as a literal in all
+    // three consumers, instead of re-executing the probes × list-sizes
+    // subtree (a corpus-subset crossJoin each) three times inside one
+    // report. Memoized like the other planning pulls (bounds, row
+    // counts): warm repeats pay zero. The regime tag keys the memo so a
+    // sweep mixing sample targets in one session never crosses values.
+    val kmNcand: Long = Memo.memoizeValue(kmScanCountMemo, spark, dir + ctl.memoTag) {
+      ivfScan(ctl, kmeansCodebook(spark, dir), kmListsMemo, "ivf_lists_kmeans")
         .select(col("ncand")).head().getLong(0)
     }
-    val kmScan = nQueries.select(col("k"), lit(kmNcand).as("ncand"))
+    val kmScan = ctl.nQueries.select(col("k"), lit(kmNcand).as("ncand"))
     // same one-collect sharing for the scaled Lloyd lists' three consumers
     val kmScaledNcand: Long = Memo.memoizeValue(kmScaledScanCountMemo, spark, dir) {
-      ivfScan(kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
+      ivfScan(full, kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
         "ivf_lists_kmeans_scaled", scaledCOf(spark, dir))
         .select(col("ncand")).head().getLong(0)
     }
-    val kmScaledScan = nQueries.select(col("k"), lit(kmScaledNcand).as("ncand"))
-    val indexes: Seq[(String, DataFrame, Option[DataFrame])] = Seq(
-      ("ann_lsh", annLsh(spark, dir), Some(lshCount)),
+    val kmScaledScan = full.nQueries.select(col("k"), lit(kmScaledNcand).as("ncand"))
+    val indexes: Seq[(String, DataFrame, Option[DataFrame], Regime)] = Seq(
+      ("ann_lsh", annLsh(spark, dir), Some(lshCount), ctl),
       ("ann_ivf", annIvf(spark, dir),
-        Some(ivfScan(codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled"))),
+        Some(ivfScan(ctl, codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled")), ctl),
       ("ann_ivf_scaled", annIvfScaled(spark, dir),
-        Some(ivfScan(scaledCodebookOf(spark, dir), scaledListsMemo,
-          "ivf_lists_scaled", scaledCOf(spark, dir)))),
-      ("ann_ivf_kmeans", annIvfKmeans(spark, dir), Some(kmScan)),
-      ("ann_ivf_kmeans_scaled", annIvfKmeansScaled(spark, dir), Some(kmScaledScan)),
-      ("ann_pq", annPq(spark, dir), None),
-      ("ann_ivfpq", annIvfPq(spark, dir), Some(kmScan)),
-      ("ann_ivfpq_scaled", annIvfPqScaled(spark, dir), Some(kmScaledScan)),
-      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan)),
+        Some(ivfScan(full, scaledCodebookOf(spark, dir), scaledListsMemo,
+          "ivf_lists_scaled", scaledCOf(spark, dir))), full),
+      ("ann_ivf_kmeans", annIvfKmeans(spark, dir), Some(kmScan), ctl),
+      ("ann_ivf_kmeans_scaled", annIvfKmeansScaled(spark, dir), Some(kmScaledScan), full),
+      ("ann_pq", annPq(spark, dir), None, ctl),
+      ("ann_ivfpq", annIvfPq(spark, dir), Some(kmScan), ctl),
+      ("ann_ivfpq_scaled", annIvfPqScaled(spark, dir), Some(kmScaledScan), full),
+      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan), ctl),
       ("ann_ivfpq_rerank_scaled", annIvfPqRerankScaled(spark, dir),
-        Some(kmScaledScan)))
-    indexes.map { case (nm, df, cand) =>
-      val hits = exact
-        .join(df.select(col("query_id"), col("neighbor_id")),
+        Some(kmScaledScan), full))
+    indexes.map { case (nm, df, cand, r) =>
+      val hits = r.exact
+        .join(r.dec(df).select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("h"))
-      truth.join(hits, Seq("query_id"), "left")
+      r.truth.join(hits, Seq("query_id"), "left")
         .select(col("t"), (coalesce(col("h"), lit(0L)).cast("double") / col("t")).as("r"))
         .agg(count(lit(1)).as("n_queries"), round(avg(col("r")), 4).as("recall_at_10"))
         .withColumn("k", lit(1))
-        .join(broadcast(scanFrac(cand)), Seq("k"))
+        .join(broadcast(scanFrac(r, cand)), Seq("k"))
         .select(lit(nm).as("index"), col("n_queries"), col("recall_at_10"),
           col("scan_frac"))
     }.reduce(_.unionByName(_))

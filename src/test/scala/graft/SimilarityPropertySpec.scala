@@ -300,6 +300,58 @@ class SimilarityPropertySpec extends SparkTestBase {
     info(s"scan_frac: ${fracs.toSeq.sortBy(_._1).map { case (n, f) => f"$n=$f%.3f" }.mkString(" ")}")
   }
 
+  test("recall-report control sampling: scaled members audit every query, controls a deterministic subset") {
+    // sf0.1 has ~20 queries; sampleTarget=4 forces the decimated-control
+    // regime (m = 20/4 = 5) that production hits at sf10+ where auditing
+    // every query makes the audit itself Θ(n²). The declared
+    // ann_recall_report at test SFs stays in the full regime (nq ≤
+    // 2·target) — pinned by the floor test's exact-agreement block.
+    val dir = sf("sf0.1")
+    def byName(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val full = byName(SimilarityQueries.annRecallReport(spark, dir))
+    val sampledReport = SimilarityQueries.annRecallReportOf(spark, dir, 4)
+    val s1 = byName(sampledReport)
+    val nqFull = full("ann_ivf_scaled")._1
+    val scaledMembers = Seq("ann_ivf_scaled", "ann_ivf_kmeans_scaled",
+      "ann_ivfpq_scaled", "ann_ivfpq_rerank_scaled")
+    val controls = s1.keySet -- scaledMembers
+    // scale-path members: untouched by sampling — bit-identical rows
+    scaledMembers.foreach { nm =>
+      assert(s1(nm) === full(nm), s"$nm (scale path) must not be sampled")
+    }
+    // controls: a strict non-empty subset of the queries
+    controls.foreach { nm =>
+      assert(s1(nm)._1 > 0 && s1(nm)._1 < nqFull,
+        s"$nm: sampled n_queries ${s1(nm)._1} not a strict subset of $nqFull")
+      assert(s1(nm)._2 >= 0.0 && s1(nm)._2 <= 1.0, s"$nm recall out of range")
+    }
+    assert(s1("ann_pq")._3 === 1.0, "PQ stays a declared linear scan when sampled")
+    // deterministic: the hash decimation must reproduce exactly
+    val s2 = byName(SimilarityQueries.annRecallReportOf(spark, dir, 4))
+    assert(s1 === s2, "sampled report must be deterministic")
+    // agreement: the sampled ann_ivf recall must equal the driver-side
+    // recall over exactly the decimated query set (same m, same hash) —
+    // guards the silent failure mode where truth-side and search-side
+    // predicates drift and recall collapses to garbage unnoticed
+    // same decimation formula as the report (nqEst from the parquet
+    // footer equals the actual query count on the dense-id testdata)
+    val m = math.max(1L, nqFull / 4L)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val pred = pmod(xxhash64(col("query_id")), lit(m)) === 0
+    val exactS = topSets(SimilarityQueries.annTopk(spark, dir).filter(pred))
+    assert(exactS.size.toLong === s1("ann_ivf")._1, "sampled query-set size drifted")
+    val ivfS = topSets(SimilarityQueries.annIvf(spark, dir).filter(pred))
+    val expect = exactS.map { case (q, t) =>
+      ivfS.getOrElse(q, Set.empty).count(t).toDouble / t.size
+    }.sum / exactS.size
+    assert(math.abs(s1("ann_ivf")._2 - expect) < 5e-5,
+      f"sampled ann_ivf recall ${s1("ann_ivf")._2}%.4f != driver-side $expect%.4f over the same subset")
+  }
+
   test("capacity law: scaledC follows ⌊√(Nprobe·n)⌋ with clamps, and the scanned fraction falls with corpus size") {
     import SimilarityQueries.{scaledC, Nprobe, ScaledCMax}
     // the shared engine/oracle formula, exactly
