@@ -52,6 +52,28 @@ object Bench {
     envVal == "force" ||
       ((contended || jvmsGrew || loadEnd > benchCpus + gateLoad) && envVal != "0")
 
+  /** Pure sampling policy for the re-time pass (test-pinned in
+    * BenchProtocolSpec). A recorded min is CONVERGED when the two
+    * smallest successful samples agree within [[StableRatio]] — the min
+    * is then reproducible, not a lucky quiet instant. Round-15 lesson:
+    * min-of-3 under SUSTAINED end-of-run load still recorded 2× swings
+    * on ~1 s queries between two same-tree recordings (cooc_pmi
+    * 0.43 → 1.02 with load_avg_end 16.5 — the load gate only guards the
+    * START of a run); sampling until the min converges (bounded at
+    * [[MaxExtraSamples]] extra reruns) gives the quiet window more
+    * chances, and a query whose min never converges is flagged in the
+    * artifact ("unstable") so two recordings can be compared honestly
+    * instead of silently disagreeing.
+    */
+  private[graft] def minConverged(samples: Seq[Double], ratio: Double): Boolean =
+    samples.size >= 2 && {
+      val s = samples.sorted
+      s(1) <= s(0) * ratio
+    }
+
+  private[graft] val StableRatio = 1.3
+  private[graft] val MaxExtraSamples = 5 // min-of-up-to-6
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -239,25 +261,34 @@ object Bench {
     val doRetime = shouldRetime(retimeEnv, contended, jvmsMid > jvms0,
       loadAvg1m(), benchCpus, GateLoad)
     var retimed = Map.empty[String, Double]
+    var unstable = List.empty[String]
     val finals: Map[String, Double] =
       if (!doRetime) results.toMap
       else {
         System.err.println(
           f"[bench] contended run (load_start=$load0%.2f, jvms $jvms0->$jvmsMid) — " +
-            s"re-timing queries above ${RetimeFloor}s, min-of-3")
+            s"re-timing queries above ${RetimeFloor}s until the min converges " +
+            s"(two smallest within ${StableRatio}x, up to ${1 + MaxExtraSamples} runs)")
         results.toMap.map { case (name, t1) =>
           if (t1 <= RetimeFloor || errs.exists(_._1 == name)) name -> t1
           else {
             // only SUCCESSFUL reruns count toward the min — a flaky
             // failure can return faster than the real work and would
-            // otherwise under-report the query
-            val reruns = (1 to 2).flatMap { _ =>
+            // otherwise under-report the query. Sample until the min
+            // CONVERGES (policy + rationale at minConverged): at least 2
+            // reruns, more while the two smallest still disagree.
+            var samples = Vector(t1)
+            var extra = 0
+            while (extra < MaxExtraSamples &&
+                (extra < 2 || !minConverged(samples, StableRatio))) {
               val r0 = System.nanoTime()
               val ok = try { run(picked(name)); true }
               catch { case _: Throwable => false }
-              if (ok) Some((System.nanoTime() - r0) / 1e9) else None
+              if (ok) samples :+= (System.nanoTime() - r0) / 1e9
+              extra += 1
             }
-            val best = (t1 +: reruns).min
+            if (!minConverged(samples, StableRatio)) unstable ::= name
+            val best = samples.min
             retimed += name -> best
             name -> best
           }
@@ -274,7 +305,8 @@ object Bench {
     val retimeJson =
       if (!doRetime) ""
       else s""","retimed":${retimed.map { case (k, v) => jstr(k) + ":" + v }
-        .mkString("{", ",", "}")}"""
+        .mkString("{", ",", "}")},"unstable":${
+        unstable.reverse.map(jstr).mkString("[", ",", "]")}"""
     val errJson =
       if (errs.isEmpty) ""
       else errs.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }

@@ -78,9 +78,16 @@ object GenScale {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "8g"))
       .getOrCreate()
-    // optional third arg "openvocab": Zipf-vocabulary documents mode
-    val openVocab = args.lift(2).contains("openvocab")
-    try write(spark, out, mult, openVocabDocs = openVocab) finally spark.stop()
+    // optional third arg: "openvocab" = Zipf-vocabulary documents mode;
+    // "zipfusers" = Zipf(1) events.user_id mode (hot-user skew decade)
+    val mode = args.lift(2)
+    mode.foreach { m =>
+      require(Set("openvocab", "zipfusers")(m), s"unknown GenScale mode '$m'")
+    }
+    try write(spark, out, mult,
+      openVocabDocs = mode.contains("openvocab"),
+      zipfUsers = mode.contains("zipfusers"))
+    finally spark.stop()
   }
 
   /** Zipf(1)-ish word over a 200 k vocabulary (log-uniform index encoded
@@ -108,7 +115,7 @@ object GenScale {
     * oracle-verified in the open-vocabulary regime too.
     */
   def write(spark: SparkSession, out: String, mult: Long, div: Long = 1L,
-      openVocabDocs: Boolean = false): Unit = {
+      openVocabDocs: Boolean = false, zipfUsers: Boolean = false): Unit = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def rng(n: Long) = spark.range(0, n, 1, parts)
     def save(df: DataFrame, name: String): Unit =
@@ -188,10 +195,21 @@ object GenScale {
     val spanMicros = 30L * 86400L * 1000000L
     val gap = spanMicros / nEvents
     val baseMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+    // user_id: uniform by default (events-per-user ~67 at every SF);
+    // zipfUsers switches to a Zipf(1)-ish draw — log-uniform rank, so
+    // P(user k) ≈ 1/(k·ln nUsers): user 0 alone holds ~1/ln(nUsers) of
+    // ALL events (~8-10%) — the hot-user regime that bounds the
+    // user-window family's (sessionize/session_stats/scd2_history/
+    // user_journey/trailing_features) per-task work by per-user activity.
+    // Everything else is identical, so the skew corpus isolates the skew.
+    val userId =
+      if (zipfUsers)
+        pmod(floor(pow(lit(nUsers.toDouble), u(62, col("id")))).cast("long"), lit(nUsers))
+      else h(62, nUsers, col("id"))
     save(rng(nEvents).select(
       col("id").as("event_id"),
       timestamp_micros(lit(baseMicros) + col("id") * gap + h(61, gap, col("id"))).as("ts"),
-      h(62, nUsers, col("id")).as("user_id"),
+      userId.as("user_id"),
       pick(63, EventTypes, col("id")).as("event_type"),
       round(lit(-50.0) * log(lit(1.0) - u(64, col("id"))), 2).as("value"),
       format_string("{\"k\": %d}", h(65, 100, col("id"))).as("props")), "events")

@@ -139,9 +139,17 @@ object TextQueries {
     * the plan's three unigram references each read the InMemoryTableScan,
     * not the parquet corpus; without the memo the planner re-tokenized the
     * corpus once PER REFERENCE — 4 scans, observed in Explain). Everything
-    * after runs on vocab-sized tables: the two count-attach joins
-    * broadcast the unigram table, the total-token count is a 1-row
-    * broadcast. The corpus itself never meets a join or a window.
+    * after runs on vocab-sized tables: the two count-attach joins are
+    * vocab⋈vocab keyed joins with NO broadcast hint — the vocabulary
+    * grows with Heaps' law (~n^0.5), so at 100 TB an open-vocab unigram
+    * table is tens of GB and a forced `broadcast()` would bypass AQE's
+    * size check and OOM the build side (round-15 verdict); AQE still
+    * broadcasts it while it measures small, and falls back to a
+    * shuffled join when it doesn't (both sides are vocab-sized — the
+    * bigram table is too — so the shuffle is sublinear in corpus size,
+    * the same keyed tf⋈df shape rare_bigram_rate uses). Only the 1-row
+    * total-token count keeps an explicit broadcast. The corpus itself
+    * never meets a join or a window.
     */
   def coocPmi(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir).select(TextFns.tokens(col("text")).as("t"))
@@ -156,8 +164,8 @@ object TextQueries {
         element_at(split(col("bg"), " "), 1).as("w1"),
         element_at(split(col("bg"), " "), 2).as("w2"),
         col("c12"))
-    bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"),
         ((col("c12") * col("n_total")).cast("double") /

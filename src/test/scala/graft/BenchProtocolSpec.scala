@@ -46,4 +46,25 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Bench.shouldRetime("0", contended = true, jvmsGrew = true,
       loadEnd = 99.0, cpus, gate))
   }
+
+  // --- min-convergence sampling (round-15 lesson: min-of-3 under
+  // SUSTAINED load still recorded 2× per-query swings between two
+  // same-tree recordings; the min is recorded only once REPRODUCED)
+
+  test("min converges when the two smallest samples agree within the ratio") {
+    // inflated first sample, two agreeing quiet reruns — converged
+    assert(Bench.minConverged(Seq(1.02, 0.44, 0.43), Bench.StableRatio))
+    // order-independent
+    assert(Bench.minConverged(Seq(0.43, 1.02, 0.44), Bench.StableRatio))
+  }
+
+  test("min does NOT converge while every sample disagrees (sustained load)") {
+    assert(!Bench.minConverged(Seq(1.02), Bench.StableRatio))
+    assert(!Bench.minConverged(Seq(1.02, 0.44), Bench.StableRatio))
+    assert(!Bench.minConverged(Seq(1.02, 0.70, 0.44), Bench.StableRatio))
+  }
+
+  test("a genuinely stable query converges immediately (no extra reruns beyond the mandatory two)") {
+    assert(Bench.minConverged(Seq(0.50, 0.52, 0.51), Bench.StableRatio))
+  }
 }
