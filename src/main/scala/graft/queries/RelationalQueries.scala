@@ -2093,7 +2093,19 @@ object RelationalQueries {
   val ConversionType = "purchase"
   val TouchTypes: Seq[String] = Seq("view", "click")
 
-  def firstTouch(spark: SparkSession, dir: String): DataFrame = {
+  /** Cost-routed on the shared [[maxEventsPerUser]] probe: the
+    * (user, day-bucket) equi-join form below threshold (its candidate
+    * mass per user is purchases/bucket × touches/bucket — quadratic in
+    * per-user RATE, measured 67.0 s on the sf10 Zipf hot user vs 1.7 s
+    * uniform), the sorted per-user sliding-window-minimum scan
+    * ([[firstTouchScan]]) above it.
+    */
+  def firstTouch(spark: SparkSession, dir: String): DataFrame =
+    if (maxEventsPerUser(spark, dir) <= UserSkewRouteThreshold)
+      firstTouchJoin(spark, dir)
+    else firstTouchScan(spark, dir)
+
+  private[graft] def firstTouchJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val purchases = ev.filter(col("event_type") === ConversionType)
@@ -2121,6 +2133,65 @@ object RelationalQueries {
         col("event_type").as("first_event_type"))
     purchases.select(col("purchase_id"), col("user_id"))
       .join(first, Seq("purchase_id"), "left")
+  }
+
+  /** The skew form: ONE exchange on user_id, a per-partition (user, ts)
+    * sort, then a single streaming pass holding a MONOTONIC DEQUE of
+    * live touches per user — the classic sliding-window-minimum: a touch
+    * evicts every queued touch with a ≥ (us, event_id) rank (it arrived
+    * later, so it expires later AND ranks better: the queued one can
+    * never be an answer again), so the deque stays rank-increasing in
+    * arrival order and each purchase's first-touch is the deque head
+    * after expiring entries older than t0 − 24 h. Each event enters and
+    * leaves the deque at most once — O(n log n) per user (the sort),
+    * O(1) amortized per event after it, deque memory bounded by the
+    * window's live touch count, NEVER purchases × touches: the 67.0 s
+    * sf10-Zipf hot user (840 k events in one (user, bucket) join task)
+    * runs in the time of its sort. Emission preserves the join form's
+    * exact tie contract: rows sort (ts, kind purchase-first, event_id),
+    * so a touch AT a purchase's own timestamp is not yet in the deque
+    * (the strict `< t0` bound), while the window's inclusive lower bound
+    * is the `front.ts < t0 − W` expiry. mapPartitions is the documented
+    * last-resort tier (SURVEY operator-extension order) — the per-row
+    * loop is genuinely imperative state no Catalyst frame expresses
+    * (RANGE frames re-aggregate; see trailing_features).
+    */
+  private[graft] def firstTouchScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = TouchWindowNs
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = Tables(spark, dir, "events")
+      .filter(col("event_type") === ConversionType ||
+        col("event_type").isin(TouchTypes: _*))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === ConversionType, lit(0)).otherwise(lit(1)).as("kind"),
+        col("event_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .repartition(parts, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("kind"), col("event_id"))
+      .as[(Long, Long, Int, Long, String, Long)]
+    sorted.mapPartitions { it =>
+      // deque entries: (ts, us, event_id, event_type), arrival-ordered
+      // (ts non-decreasing) AND (us, event_id)-increasing by construction
+      val dq = new scala.collection.mutable.ArrayDeque[(Long, Long, Long, String)]
+      var curUser = Long.MinValue
+      var started = false
+      it.flatMap { case (user, ts, kind, eid, typ, us) =>
+        if (!started || user != curUser) { dq.clear(); curUser = user; started = true }
+        if (kind == 0) { // purchase: answer = head after expiry
+          val lo = ts - w
+          while (dq.nonEmpty && dq.head._1 < lo) dq.removeHead()
+          val ans = dq.headOption
+          Iterator.single((eid, user, ans.map(_._2), ans.map(_._3), ans.map(_._4)))
+        } else { // touch: evict dominated tails, enqueue
+          while (dq.nonEmpty &&
+              (dq.last._2 > us || (dq.last._2 == us && dq.last._3 >= eid)))
+            dq.removeLast()
+          dq.append((ts, us, eid, typ))
+          Iterator.empty
+        }
+      }
+    }.toDF("purchase_id", "user_id", "first_ts_us", "first_event_id",
+      "first_event_type")
   }
 
   val firstTouchSql: String = {
@@ -2169,8 +2240,26 @@ object RelationalQueries {
     * domain checks on this corpus), where Spark's truncating `div` and
     * the oracle's floor `//` coincide; a ledger with REFUNDS would floor
     * both sides explicitly before splitting.
+    *
+    * Skew note (round 16): the OUTPUT here is one row per
+    * (conversion, in-window touch) pair — under a Zipf hot user that
+    * mass is quadratic in per-user rate BY DEFINITION of the linear
+    * model (every pair is a real result row), so unlike
+    * [[firstTouch]]/[[trailingFeatures]] no plan can beat it. What a
+    * plan CAN fix is that the whole hot mass lands in ONE
+    * (user, bucket) join task; past the [[UserSkewRouteThreshold]]
+    * probe the anchor side carries a [[AttributionSaltBuckets]]-way
+    * purchase-keyed salt and touches replicate across it, spreading
+    * generation evenly (each pair still meets exactly once — an anchor
+    * has ONE salt). Uniform corpora keep the unsalted join (touch
+    * replication is a ×S cost the balanced case should not pay).
     */
+  val AttributionSaltBuckets = 32
+
   def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val salt =
+      if (maxEventsPerUser(spark, dir) <= UserSkewRouteThreshold) 1
+      else AttributionSaltBuckets
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("value"))
@@ -2190,11 +2279,19 @@ object RelationalQueries {
         expr("ts div 1000").as("us"), col("event_id").as("touch_id"),
         col("event_type").as("touch_type"))
       .withColumn("b", expr(s"ts div $TouchWindowNs"))
+    // skew route: spread a hot (user, bucket)'s pair generation over
+    // `salt` tasks — anchors take ONE purchase-keyed salt cell, touches
+    // replicate across all cells (see the skew note above)
+    val anchorsS = anchors.withColumn("sb",
+      if (salt == 1) lit(0L) else pmod(xxhash64(col("purchase_id")), lit(salt.toLong)))
+    val touchesS = touches.withColumn("sb",
+      if (salt == 1) lit(0L) else explode(sequence(lit(0L), lit(salt - 1L))))
     val byTime = Window.partitionBy(col("purchase_id"))
       .orderBy(col("us").asc, col("touch_id").asc)
     val perConv = Window.partitionBy(col("purchase_id"))
-    anchors.join(touches,
-        anchors("user_id") === touches("t_user") && anchors("b") === touches("b"))
+    anchorsS.join(touchesS,
+        anchorsS("user_id") === touchesS("t_user") && anchorsS("b") === touchesS("b") &&
+          anchorsS("sb") === touchesS("sb"))
       .filter(col("ts") >= col("t0") - TouchWindowNs && col("ts") < col("t0"))
       .withColumn("rn", row_number().over(byTime).cast("long"))
       .withColumn("n_touches", count(lit(1)).over(perConv))
@@ -2947,16 +3044,66 @@ object RelationalQueries {
     * BIGINT nanosecond gap), so partial-frame accumulation order can never
     * hash-mismatch; `gap_ns` is NULL when the horizon holds no prior event.
     *
-    * Scale shape: ONE shuffle on `user_id` and a per-user time sort; the
-    * single `WindowExec` evaluates all three frames in one pass over each
-    * partition with a sliding frame pointer (no per-row rescan). Per-user
-    * slices are small and the key space is huge, so the exchange is
-    * balanced at any corpus size — the canonical backfill layout (a skewed
-    * power user bounds one task at its own event count, not the corpus).
+    * Scale shape — COST-ROUTED between the single-window form (small
+    * frames) and a DELTA/PREFIX-SUM form (skewed users), on a memoized
+    * max-events-per-user probe — see [[UserSkewRouteThreshold]].
+    * Round 16's Zipf(1) hot-user corpus measured the naive
+    * `rangeBetween(−H, −1)` window at **31.4 s vs 0.54 s uniform** at the
+    * SAME sf1 row count: Spark's `SlidingWindowFunctionFrame` moves its
+    * frame pointers incrementally but RE-AGGREGATES the frame buffer per
+    * row (count/sum have no invertible "subtract" path), so a user with n
+    * events and frame width f costs O(n·f) — ~1.2e9 adds for the 72 k-event
+    * hot user. Instead each event contributes +1/+cents at `ts` and
+    * −1/−cents at `ts + H`; both streams collapse to one row per
+    * (user, time) and a RUNNING `rowsBetween(unboundedPreceding, current)`
+    * sum — which Spark DOES evaluate incrementally, O(1)/row — minus the
+    * row's own delta gives Σ deltas STRICTLY BEFORE t. That equals the
+    * frame exactly: arrivals count once `t > ts_j` (peers at distance 0
+    * excluded, the −1 ns bound) and cancel once `t > ts_j + H` (the 7-day
+    * horizon, inclusive at exactly ts − H). `gap_ns` is the lag to the
+    * previous DISTINCT per-user timestamp, nulled past the horizon — the
+    * same "max of an empty frame" contract. Cost per user: one sort +
+    * linear passes, O(n log n) — the hot user went 31.4 s → sub-second
+    * with every output row hash-identical (BENCH_skew_r16 artifacts).
+    * The key space stays huge so the user_id exchange is balanced; a
+    * power user now bounds one task at n log n, not n·f.
     */
   val TrailingHorizonNs: Long = 7L * 86400000000000L
 
-  def trailingFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared user-skew route threshold (trailing_features, first_touch):
+    * the small-frame plans are CHEAPER while every user's window work is
+    * small, and their worst per-user cost is bounded by max_u(n_u)²-ish
+    * terms; at 8192 events/user that is ≤ 67 M row touches ≈ sub-second.
+    * Past the threshold a Zipf hot user explodes them (measured on the
+    * round-16 skew corpora: trailing_features' sliding-frame
+    * re-aggregation 31.4 s vs 0.54 s uniform at sf1; first_touch's
+    * per-(user, day-bucket) join mass 67.0 s vs 1.7 s at sf10) and the
+    * O(n log n) skew forms win outright. Same measured-routing pattern
+    * as ngram_jaccard_prefix: the statistic (max per-user event count)
+    * is one memoized partial-final agg per (session, dir).
+    */
+  val UserSkewRouteThreshold: Long = 8192L
+
+  private val tfSkewMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+
+  private[graft] def maxEventsPerUser(spark: SparkSession, dir: String): Long =
+    Memo.memoizeValue(tfSkewMemo, spark, dir) {
+      Tables(spark, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("m")).head().getLong(0)
+    }
+
+  def trailingFeatures(spark: SparkSession, dir: String): DataFrame =
+    if (maxEventsPerUser(spark, dir) <= UserSkewRouteThreshold)
+      trailingFeaturesWindow(spark, dir)
+    else trailingFeaturesDelta(spark, dir)
+
+  /** The small-frame form: one user_id exchange, one WindowExec with all
+    * three RANGE frames. Worst task = max_u(n_u·f_u) — only safe below
+    * [[UserSkewRouteThreshold]] (see the routing scaladoc).
+    */
+  private[graft] def trailingFeaturesWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rangeBetween(-TrailingHorizonNs, -1L)
     Tables(spark, dir, "events")
@@ -2966,6 +3113,41 @@ object RelationalQueries {
         count(lit(1)).over(w).as("n_7d"),
         coalesce(sum(col("cents")).over(w), lit(0L)).as("cents_7d"),
         (col("ts") - max(col("ts")).over(w)).as("gap_ns"))
+  }
+
+  private[graft] def trailingFeaturesDelta(spark: SparkSession, dir: String): DataFrame = {
+    val h = TrailingHorizonNs
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // peers collapse: one row per (user, distinct ts) with its arrival mass
+    val arr = ev.groupBy(col("user_id"), col("ts").as("t"))
+      .agg(count(lit(1)).as("an"), sum(col("cents")).as("ac"))
+    // +mass at arrival, −mass at expiry (ts + H); collapse time ties so the
+    // running-sum order is deterministic (an expiry landing exactly on an
+    // arrival time merges into one signed delta row)
+    val deltas = arr
+      .select(col("user_id"), col("t"), col("an").as("dn"), col("ac").as("dc"))
+      .unionAll(arr.select(col("user_id"), (col("t") + h).as("t"),
+        (-col("an")).as("dn"), (-col("ac")).as("dc")))
+      .groupBy(col("user_id"), col("t"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running sum MINUS the row's own delta = Σ deltas strictly before t
+    val cum = deltas.select(col("user_id"), col("t"),
+      (sum(col("dn")).over(wCum) - col("dn")).as("nb"),
+      (sum(col("dc")).over(wCum) - col("dc")).as("cb"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val feat = arr
+      .select(col("user_id"), col("t"), lag(col("t"), 1).over(wPrev).as("pt"))
+      .join(cum, Seq("user_id", "t"))
+      .withColumnRenamed("t", "ts")
+    ev.join(feat, Seq("user_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        col("nb").as("n_7d"),
+        col("cb").as("cents_7d"),
+        when(col("ts") - col("pt") <= h, col("ts") - col("pt")).as("gap_ns"))
   }
 
   val trailingFeaturesSql: String =
