@@ -109,16 +109,24 @@ object StreamSoak {
           .start()
         q.awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        val stateRows = Option(q.lastProgress)
-          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-        val stateBytes = dirBytes(ckpt.resolve("state"))
+        val ops = Option(q.lastProgress).map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+        val stateRows = ops.map(_.numRowsTotal).sum
+        // LIVE state size: the store's own metrics — memoryUsedBytes plus
+        // RocksDB's current-version SST footprint. The checkpoint DIR size
+        // is reported separately and is CUMULATIVE by design (it retains
+        // minBatchesToRetain versions for recovery) — growth there is
+        // version retention, not state growth.
+        val stateMem = ops.map(_.memoryUsedBytes).sum
+        val sstBytes = ops.flatMap(o =>
+          Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.longValue)).sum
+        val ckptBytes = dirBytes(ckpt.resolve("state"))
         spark.streams.resetTerminated()
-        (rowsIn, sec, stateRows, stateBytes)
+        (rowsIn, sec, stateRows, stateMem + sstBytes, ckptBytes)
       }
       val totalRows = epochStats.map(_._1).sum
       val totalSec = epochStats.map(_._2).sum
-      val epochJson = epochStats.map { case (r, s, sr, sb) =>
-        s"""{"rows_in":$r,"sec":$s,"state_rows":$sr,"state_bytes":$sb}"""
+      val epochJson = epochStats.map { case (r, s, sr, sb, cb) =>
+        s"""{"rows_in":$r,"sec":$s,"state_rows":$sr,"state_bytes":$sb,"ckpt_bytes":$cb}"""
       }.mkString("[", ",", "]")
       val line = s"""${jstr(t.name)}:{"epochs":$epochJson,""" +
         s""""rows_per_sec":${totalRows / totalSec}}"""
