@@ -79,14 +79,17 @@ object GenScale {
       .config("spark.driver.memory", "8g"))
       .getOrCreate()
     // optional third arg: "openvocab" = Zipf-vocabulary documents mode;
-    // "zipfusers" = Zipf(1) events.user_id mode (hot-user skew decade)
+    // "zipfusers" = Zipf(1) events.user_id mode (hot-user skew decade);
+    // "zipforders" = Zipf(1) lineitem.l_orderkey mode (hot join-key skew)
     val mode = args.lift(2)
     mode.foreach { m =>
-      require(Set("openvocab", "zipfusers")(m), s"unknown GenScale mode '$m'")
+      require(Set("openvocab", "zipfusers", "zipforders")(m),
+        s"unknown GenScale mode '$m'")
     }
     try write(spark, out, mult,
       openVocabDocs = mode.contains("openvocab"),
-      zipfUsers = mode.contains("zipfusers"))
+      zipfUsers = mode.contains("zipfusers"),
+      zipfOrders = mode.contains("zipforders"))
     finally spark.stop()
   }
 
@@ -115,7 +118,8 @@ object GenScale {
     * oracle-verified in the open-vocabulary regime too.
     */
   def write(spark: SparkSession, out: String, mult: Long, div: Long = 1L,
-      openVocabDocs: Boolean = false, zipfUsers: Boolean = false): Unit = {
+      openVocabDocs: Boolean = false, zipfUsers: Boolean = false,
+      zipfOrders: Boolean = false): Unit = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def rng(n: Long) = spark.range(0, n, 1, parts)
     def save(df: DataFrame, name: String): Unit =
@@ -171,9 +175,29 @@ object GenScale {
 
     // lineitem: per-order explode, 1 + h%7 lines (mean 4.0); shipdate =
     // orderdate + 1..95 days (sf0.1's observed ship lag envelope).
-    val li = rng(nOrd)
-      .select(col("id").as("l_orderkey"), orderDay.as("od"),
-        explode(sequence(lit(1), (h(51, 7, col("id")) + 1).cast("int"))).as("l_linenumber"))
+    // zipfOrders keeps the SAME total line mass (4·nOrd) but draws each
+    // line's l_orderkey log-uniform — floor(nOrd^u) over [1, nOrd-1], so
+    // P(order k) ≈ 1/(k·ln nOrd) and the HOT order, key 1, alone holds
+    // ~ln2/ln(nOrd) (~4-5%) of ALL lineitems (at sf10 that is ~2.7 M
+    // lines on one join key vs 7 max uniform) — the fact⋈fact join-skew
+    // regime that stresses the l_orderkey shuffle joins (order_revenue /
+    // reconcile_totals / incremental_merge and regional_revenue's star
+    // spine) the way zipfUsers stresses the user-window family. Tail
+    // orders draw ~4/ln(nOrd) lines in expectation, so some orders have
+    // none — real FK data has childless parents. l_linenumber becomes the
+    // global line id (unique per (l_orderkey, l_linenumber), which is all
+    // any query or per-line value hash requires; no query reads its
+    // 1..k sequencing); every other column is the same hash of
+    // (l_orderkey, l_linenumber) as the uniform mode.
+    val li =
+      if (zipfOrders) {
+        val ok = floor(pow(lit(nOrd.toDouble), u(66, col("id")))).cast("long")
+        rng(nOrd * 4)
+          .select(ok.as("l_orderkey"), col("id").cast("int").as("l_linenumber"))
+          .withColumn("od", lit(9131L) + h(41, 2404L + 1L, col("l_orderkey")))
+      } else rng(nOrd)
+        .select(col("id").as("l_orderkey"), orderDay.as("od"),
+          explode(sequence(lit(1), (h(51, 7, col("id")) + 1).cast("int"))).as("l_linenumber"))
     save(li.select(
       col("l_orderkey"),
       h(52, nPart, col("l_orderkey"), col("l_linenumber")).as("l_partkey"),
@@ -196,12 +220,14 @@ object GenScale {
     val gap = spanMicros / nEvents
     val baseMicros = 1704067200000000L // 2024-01-01T00:00:00Z
     // user_id: uniform by default (events-per-user ~67 at every SF);
-    // zipfUsers switches to a Zipf(1)-ish draw — log-uniform rank, so
-    // P(user k) ≈ 1/(k·ln nUsers): user 0 alone holds ~1/ln(nUsers) of
-    // ALL events (~8-10%) — the hot-user regime that bounds the
-    // user-window family's (sessionize/session_stats/scd2_history/
-    // user_journey/trailing_features) per-task work by per-user activity.
-    // Everything else is identical, so the skew corpus isolates the skew.
+    // zipfUsers switches to a Zipf(1)-ish draw — log-uniform rank:
+    // floor(nUsers^u) ranges over [1, nUsers-1] (user 0 never draws), so
+    // P(user k) ≈ 1/(k·ln nUsers) for k ≥ 1 and the HOT user is id 1 with
+    // mass P(u < ln2/ln n) = ln2/ln(nUsers) (~6-7%) — the hot-user regime
+    // that bounds the user-window family's (sessionize/session_stats/
+    // scd2_history/user_journey/trailing_features) per-task work by
+    // per-user activity. Everything else is identical, so the skew corpus
+    // isolates the skew.
     val userId =
       if (zipfUsers)
         pmod(floor(pow(lit(nUsers.toDouble), u(62, col("id")))).cast("long"), lit(nUsers))

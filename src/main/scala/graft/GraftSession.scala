@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   * the CLI, the test base) builds its session through [[configure]];
   * an EMBEDDER with an existing session calls `GraftSession(spark)` once
   * before invoking anything in `SparkEntry.queries` — it applies the
-  * runtime-settable subset and fails fast if a static (JVM-wide) conf was
-  * fixed to an incompatible value at first-session creation.
+  * runtime-settable subset and diagnoses any static (JVM-wide) conf that
+  * was fixed to an incompatible value at first-session creation (warning
+  * by default — the static conf is performance-only; `requireStatic =
+  * true` opts into fail-fast).
   *
   * Why each conf (evidence in BASELINE.md / bench artifacts):
   *
@@ -68,9 +70,10 @@ object GraftSession {
       HashAggFallbackThreshold.toString)
 
   /** Static SQL confs — readable but NOT settable after the first session
-    * of the JVM exists. [[apply]] verifies them and fails fast on mismatch
+    * of the JVM exists. [[apply]] verifies them and diagnoses mismatch
     * (a silently-default codegen cache costs seconds per big plan, and an
-    * embedder would never notice).
+    * embedder would never notice — the diagnostic names the conf and the
+    * fix).
     */
   val staticConfs: Seq[(String, String)] = Seq(
     "spark.sql.codegen.cache.maxEntries" -> "1000")
@@ -82,12 +85,18 @@ object GraftSession {
   /** Retrofit an EXISTING session (the embedder path): sets the runtime
     * confs, verifies the static ones. Returns the same session.
     *
-    * @throws IllegalStateException if a static conf is incompatible —
-    *   the embedder must set it on the FIRST SparkSession of the JVM
-    *   (or pass `requireStatic = false` to accept degraded codegen-cache
-    *   performance, which affects speed only, never results).
+    * The one static conf today (codegen cache size) affects SPEED only,
+    * never results — so the default is to WARN on mismatch rather than
+    * reject every embedder whose first session left it unset. Pass
+    * `requireStatic = true` to fail fast instead (a perf-regression-
+    * intolerant deployment that wants the misconfiguration surfaced as an
+    * error at startup, not as seconds-per-plan later).
+    *
+    * @throws IllegalStateException if `requireStatic` and a static conf is
+    *   incompatible — the embedder must set it on the FIRST SparkSession
+    *   of the JVM (static confs cannot change later).
     */
-  def apply(spark: SparkSession, requireStatic: Boolean = true): SparkSession = {
+  def apply(spark: SparkSession, requireStatic: Boolean = false): SparkSession = {
     runtimeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     staticConfs.foreach { case (k, v) =>
       staticConfError(k, v, spark.conf.getOption(k)).foreach { msg =>

@@ -61,10 +61,15 @@ object Main {
     })
 
   /** Write the result in the reference's partitioned mr-out layout: one
-    * file per FNV-1a bucket, keys sorted within the bucket. Exposed for
-    * the spec; the dataflow is a single shuffle
-    * (`repartitionAndSortWithinPartitions`) — sort scope is the bucket,
-    * never the global result.
+    * file per FNV-1a bucket — EVERY bucket, like the reference's
+    * per-reduce-task `mr-out-X` files (empty ones included) — with keys
+    * sorted within the bucket. Exposed for the spec; the dataflow is a
+    * single shuffle (`repartitionAndSortWithinPartitions`) — sort scope
+    * is the bucket, never the global result. Spark's text writer emits no
+    * part file for an empty partition, so missing bucket indices are
+    * touched as empty `part-NNNNN-empty.txt` files after the write (the
+    * RDD-backed dataset has no exchange above the partitioner, so task i
+    * writes exactly `part-i`).
     */
   private[graft] def writePartitioned(spark: SparkSession,
       result: org.apache.spark.sql.Dataset[graft.operators.KV],
@@ -74,6 +79,12 @@ object Main {
       .map { case (k, v) => s"$k $v" }
     spark.createDataset(lines)(Encoders.STRING)
       .write.mode("overwrite").text(outDir)
+    val present = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-"))
+      .map(_.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt).toSet
+    (0 until nReduce).filterNot(present).foreach { i =>
+      new java.io.File(outDir, f"part-$i%05d-empty.txt").createNewFile(): Unit
+    }
   }
 
   def main(args: Array[String]): Unit = {

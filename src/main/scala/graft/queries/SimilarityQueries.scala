@@ -2446,7 +2446,8 @@ object SimilarityQueries {
       ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan), ctl),
       ("ann_ivfpq_rerank_scaled", annIvfPqRerankScaled(spark, dir),
         Some(kmScaledScan), full))
-    indexes.map { case (nm, df, cand, r) =>
+    // Ten 1-row audit plans, one per index.
+    val rowDfs = indexes.map { case (nm, df, cand, r) =>
       val hits = r.exact
         .join(r.dec(df).select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
@@ -2458,7 +2459,48 @@ object SimilarityQueries {
         .join(broadcast(scanFrac(r, cand)), Seq("k"))
         .select(lit(nm).as("index"), col("n_queries"), col("recall_at_10"),
           col("scan_frac"))
-    }.reduce(_.unionByName(_))
+    }
+    // Execution strategy knob (round-17 measured experiment): 0 = the
+    // 10-way unionByName (ONE action — the default and the winner), N >= 1
+    // = N-way concurrent collect into a local 10-row relation. Measured at
+    // sf10 warm: union 31.4 s, 10-way concurrent 99.8 s. The union is
+    // faster BECAUSE it is one plan: Spark's ReusedExchange/ReusedSubquery
+    // dedup the subtrees the ten audits share (the exact-truth scans, the
+    // codebook broadcasts, the kmeans probe-list exchanges) across union
+    // branches WITHIN an action, and no reuse exists BETWEEN actions — so
+    // splitting the union recomputes the shared mass ten times and loses
+    // 3× despite perfect thread overlap. Kept as a knob so the experiment
+    // is reproducible; row content is identical either way
+    // (SimilarityPropertySpec pins it).
+    // A second dead end, also measured (round 17): collecting the union
+    // with AQE disabled — the warm run is 495 AQE stage-materialization
+    // round-trips (~65 ms each ≈ the whole 31 s; summed executor CPU is
+    // seconds) — OOMs a 48 GB driver at sf10, because AQE is also what
+    // right-sizes the scaled searches' runtime broadcasts and coalesces
+    // their shuffles. The per-stage replan latency is the price of the
+    // memory safety; the residual is declared, not deferred.
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_RECALL_POOL", "0").toInt
+    if (poolSize <= 0) rowDfs.reduce(_.unionByName(_))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+      val rows: Seq[org.apache.spark.sql.Row] =
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              rowDfs.map(df => scala.concurrent.Future(df.collect().toSeq))),
+            scala.concurrent.duration.Duration.Inf).flatten
+        } finally pool.shutdown()
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("index", StringType, nullable = false),
+          StructField("n_queries", LongType, nullable = false),
+          StructField("recall_at_10", DoubleType),
+          StructField("scan_frac", DoubleType))))
+    }
   }
 
   val entries: Seq[(String, QueryDef)] = Seq(

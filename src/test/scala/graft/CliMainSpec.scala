@@ -75,4 +75,22 @@ class CliMainSpec extends SparkTestBase {
     val expected = result.collect().map(kv => s"${kv.key} ${kv.value}").sorted
     assert(perFile.flatten.sorted.toSeq === expected.toSeq)
   }
+
+  test("partitioned output: empty buckets still produce a (zero-byte) file, like the reference's mr-out-X") {
+    val inDir = Files.createTempDirectory("cli-in-empty")
+    Files.writeString(inDir.resolve("one.txt"), "solo solo solo")
+    val result = MapReduce.run(spark, s"$inDir/*.txt", graft.operators.Apps.WordCount)
+    val outDir = Files.createTempDirectory("cli-out-empty").toString + "/parts"
+    val n = 4 // one key -> exactly one non-empty bucket, three empty
+    cli.Main.writePartitioned(spark, result, outDir, n)
+    val files = new java.io.File(outDir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length === n, s"expected $n files (empty buckets included), got ${files.map(_.getName).toSeq}")
+    val soloBucket = new MapReduce.FnvPartitioner(n).getPartition("solo")
+    files.zipWithIndex.foreach { case (f, i) =>
+      val lines = scala.io.Source.fromFile(f).getLines().toVector
+      if (i == soloBucket) assert(lines === Vector("solo 3"))
+      else assert(lines.isEmpty, s"bucket $i should be empty, got $lines")
+    }
+  }
 }
