@@ -50,4 +50,39 @@ class GenScaleSpec extends SparkTestBase {
     assert(nOrd == 1500L, s"orders $nOrd")
     assert(nLi > nOrd, "lineitem should fan out past orders")
   }
+
+  test("zipforders mode: deterministic, mass-conserving, hot order is key 1 at ~ln2/ln n") {
+    val a = Files.createTempDirectory("genscale-zo-a").toString
+    val b = Files.createTempDirectory("genscale-zo-b").toString
+    GenScale.write(spark, a, mult = 1L, div = 100L, zipfOrders = true)
+    GenScale.write(spark, b, mult = 1L, div = 100L, zipfOrders = true)
+    val (na, ha) = fingerprint(a, "lineitem")
+    val (nb, hb) = fingerprint(b, "lineitem")
+    assert(na == nb && ha == hb, "zipforders lineitem not deterministic")
+    // same total line mass as the uniform mode's mean-4.0 fan-out
+    val nOrd = 1500L
+    assert(na == 4 * nOrd, s"line mass $na != 4*nOrd")
+    val li = spark.read.parquet(s"$a/lineitem.parquet")
+    // (l_orderkey, l_linenumber) still a key — every per-line value hash
+    // depends on it
+    assert(li.select("l_orderkey", "l_linenumber").distinct().count() == na)
+    // the hot join key: id 1, holding ~ln2/ln(nOrd) of ALL lines (the
+    // skew regime the mode exists to produce; wide band, exact law is
+    // asymptotic)
+    val top = li.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc).limit(1).head()
+    assert(top.getLong(0) == 1L, s"hot order is ${top.getLong(0)}, want 1")
+    val mass = top.getLong(1).toDouble / na
+    val law = math.log(2) / math.log(nOrd.toDouble)
+    assert(mass > law * 0.6 && mass < law * 1.6,
+      f"hot-order mass $mass%.3f outside the ~$law%.3f ln2/ln(n) band")
+    // od derivation consistency: every line's shipdate stays inside the
+    // 1..95-day lag envelope of ITS order's o_orderdate, exactly like the
+    // uniform mode (the join axis the mode stresses must stay sound)
+    val bad = li.join(spark.read.parquet(s"$a/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(!datediff(col("l_shipdate"), col("o_orderdate")).between(1, 95))
+      .count()
+    assert(bad == 0L, s"$bad lines outside the ship-lag envelope of their order")
+  }
 }
