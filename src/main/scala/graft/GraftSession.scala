@@ -50,7 +50,19 @@ import org.apache.spark.sql.SparkSession
   *    plans: ann_recall_report alone compiles 364 classes in one cold
   *    execution (measured 12 s of its 18 s cold wall) and re-compiled 264
   *    per warm run before the raise; 1000 entries drops warm recompiles
-  *    to the AQE-variant residual.
+  *    to the AQE-variant residual. Round 17 measured the OBVIOUS next
+  *    step — raising to 4096 so one full pass of all 141 queries (2081
+  *    distinct classes; 1870 recompile on the second pass at 1000
+  *    entries) fits without eviction — and it made the suite SLOWER, not
+  *    faster: two forced-retime sf0.1 benches at 4096 recorded 62.4 s
+  *    and 61.9 s warm vs 47.1 s at 1000, with broad +0.2-0.3 s
+  *    regressions across heavy queries (cube_agg 0.62→0.91,
+  *    corpus_export 1.3→2.9) that outweighed the janino savings
+  *    (cosine_rerank −0.74 was the one big winner). Thousands of live
+  *    generated classes apparently cost more in JVM-wide overhead
+  *    (metaspace/GC class scanning) than the ~19 ms/class recompile they
+  *    avoid. Evidence: bench pair in OPTIMIZATION_r17.md. Do not
+  *    re-raise without re-measuring the full suite.
   */
 object GraftSession {
 

@@ -2305,13 +2305,14 @@ object SimilarityQueries {
     * (codebooks, lists, codes) is the same memoized table the declared
     * `ann_*` queries use, so in a shared session this adds probe cost
     * only. The exact baseline rides [[annTopkCached]] (disk-cached and
-    * session-persisted): it feeds the truth table plus one semi-join PER
-    * index, and unpersisted the O(corpus × queries) brute-force plan
-    * would re-execute ~8× inside a single report — the dominant cost of
-    * the whole audit; uncached on disk, every cold JVM would pay the
-    * brute-force build once more. A query with
-    * no candidates in some index counts as recall 0 for that index (left
-    * join + coalesce), not a dropped row.
+    * session-persisted): it feeds the truth table plus ONE tagged join
+    * against the union of all ten index outputs (round-17 single-pass
+    * form — see the pipeline comment in the body), and unpersisted the
+    * O(corpus × queries) brute-force plan would re-execute inside the
+    * report — the dominant cost of the whole audit; uncached on disk,
+    * every cold JVM would pay the brute-force build once more. A query
+    * with no candidates in some index counts as recall 0 for that index
+    * (left join + coalesce), not a dropped row.
     */
   /** Besides recall, the report carries each index's SCANNED FRACTION —
     * exact-scored candidate pairs / (n_queries · (corpus − 1)) — so the
@@ -2370,16 +2371,19 @@ object SimilarityQueries {
     val m = math.max(1L, nqEst / sampleTarget)
     val sampled = m >= 2
     val samplePred = pmod(xxhash64(col("query_id")), lit(m)) === 0
-    /** Audit regime: which queries a member is measured on. */
-    case class Regime(exact: DataFrame, truth: DataFrame, nQueries: DataFrame,
+    /** Audit regime: which queries a member is measured on. (The exact
+      * pair set needs no per-regime filter: the audit joins the full
+      * exact table against the regime-DECIMATED index outputs, so a
+      * sampled-out query simply contributes no pairs.)
+      */
+    case class Regime(truth: DataFrame, nQueries: DataFrame,
         dec: DataFrame => DataFrame, memoTag: String)
-    val full = Regime(exactAll, truthAll, nQueriesOf(truthAll), identity, "")
+    val full = Regime(truthAll, nQueriesOf(truthAll), identity, "")
     val ctl =
       if (!sampled) full
       else {
         val t = truthAll.filter(samplePred)
-        Regime(exactAll.filter(samplePred), t, nQueriesOf(t),
-          df => df.filter(samplePred), s"#m=$m")
+        Regime(t, nQueriesOf(t), df => df.filter(samplePred), s"#m=$m")
       }
     // 1-row (k, ncand) from the regime's probe lists × the C-row size table
     def ivfScan(r: Regime, cents: DataFrame, listsMemo: Memo.Table,
@@ -2446,61 +2450,49 @@ object SimilarityQueries {
       ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan), ctl),
       ("ann_ivfpq_rerank_scaled", annIvfPqRerankScaled(spark, dir),
         Some(kmScaledScan), full))
-    // Ten 1-row audit plans, one per index.
-    val rowDfs = indexes.map { case (nm, df, cand, r) =>
-      val hits = r.exact
-        .join(r.dec(df).select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-      r.truth.join(hits, Seq("query_id"), "left")
-        .select(col("t"), (coalesce(col("h"), lit(0L)).cast("double") / col("t")).as("r"))
-        .agg(count(lit(1)).as("n_queries"), round(avg(col("r")), 4).as("recall_at_10"))
-        .withColumn("k", lit(1))
-        .join(broadcast(scanFrac(r, cand)), Seq("k"))
-        .select(lit(nm).as("index"), col("n_queries"), col("recall_at_10"),
-          col("scan_frac"))
-    }
-    // Execution strategy knob (round-17 measured experiment): 0 = the
-    // 10-way unionByName (ONE action — the default and the winner), N >= 1
-    // = N-way concurrent collect into a local 10-row relation. Measured at
-    // sf10 warm: union 31.4 s, 10-way concurrent 99.8 s. The union is
-    // faster BECAUSE it is one plan: Spark's ReusedExchange/ReusedSubquery
-    // dedup the subtrees the ten audits share (the exact-truth scans, the
-    // codebook broadcasts, the kmeans probe-list exchanges) across union
-    // branches WITHIN an action, and no reuse exists BETWEEN actions — so
-    // splitting the union recomputes the shared mass ten times and loses
-    // 3× despite perfect thread overlap. Kept as a knob so the experiment
-    // is reproducible; row content is identical either way
-    // (SimilarityPropertySpec pins it).
-    // A second dead end, also measured (round 17): collecting the union
-    // with AQE disabled — the warm run is 495 AQE stage-materialization
-    // round-trips (~65 ms each ≈ the whole 31 s; summed executor CPU is
-    // seconds) — OOMs a 48 GB driver at sf10, because AQE is also what
-    // right-sizes the scaled searches' runtime broadcasts and coalesces
-    // their shuffles. The per-stage replan latency is the price of the
-    // memory safety; the residual is declared, not deferred.
-    val poolSize = sys.env.getOrElse("SPARK_GRAFT_RECALL_POOL", "0").toInt
-    if (poolSize <= 0) rowDfs.reduce(_.unionByName(_))
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
-      val rows: Seq[org.apache.spark.sql.Row] =
-        try {
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutor(pool)
-          scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(
-              rowDfs.map(df => scala.concurrent.Future(df.collect().toSeq))),
-            scala.concurrent.duration.Duration.Inf).flatten
-        } finally pool.shutdown()
-      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-      spark.createDataFrame(
-        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        StructType(Seq(
-          StructField("index", StringType, nullable = false),
-          StructField("n_queries", LongType, nullable = false),
-          StructField("recall_at_10", DoubleType),
-          StructField("scan_frac", DoubleType))))
-    }
+    // ONE audit pipeline over a TAGGED UNION of the ten index outputs
+    // (round-17 optimization, guide §2.4/§7.2): the round-16 form built
+    // ten separate per-index audit branches — ten semi-joins, ten
+    // per-query aggregations, ten truth left-joins, ten final aggregates,
+    // ten broadcast attaches — ~50 scaffolding operators whose AQE stage
+    // round-trips and per-branch generated classes dominated the report's
+    // wall time (warm, single-query JVM, sf0.1: 238 janino compiles =
+    // 4.5 s of a 4.7 s wall; executor CPU seconds). Each index's top-k
+    // rows are (query_id, neighbor_id)-unique (the bounded-heap ranked()
+    // output), so the per-index LEFT SEMI against the exact truth is
+    // exactly an INNER join on the union: tag every index's (decimated)
+    // output with its name, join the exact pairs ONCE, aggregate hits by
+    // (index, query_id) ONCE, left-join the (index-tagged) truth ONCE.
+    // Row values are unchanged (SimilarityPropertySpec pins them against
+    // a driver-side recomputation at 5e-5); the scaffolding collapses
+    // from ~50 operators to 4.
+    //
+    // Two earlier dead ends, measured in round 17 and kept on record:
+    // splitting the ten audits into concurrent collect() actions lost 3×
+    // (no ReusedExchange across actions — the shared searches recompute
+    // per action: sf10 warm 99.8 s vs 31.4 s for the one-plan union);
+    // disabling AQE for the report OOMed a 48 GB driver at sf10, because
+    // AQE is also what right-sizes the scaled searches' runtime
+    // broadcasts and coalesces their shuffles.
+    val tagged = indexes.map { case (nm, df, _, r) =>
+      r.dec(df).select(lit(nm).as("index"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val truthTagged = indexes.map { case (nm, _, _, r) =>
+      r.truth.select(lit(nm).as("index"), col("query_id"), col("t"))
+    }.reduce(_.unionByName(_))
+    val fracs = indexes.map { case (nm, _, cand, r) =>
+      scanFrac(r, cand).select(lit(nm).as("index"), col("scan_frac"))
+    }.reduce(_.unionByName(_))
+    val hits = exactAll
+      .join(tagged, Seq("query_id", "neighbor_id"))
+      .groupBy(col("index"), col("query_id")).agg(count(lit(1)).as("h"))
+    truthTagged.join(hits, Seq("index", "query_id"), "left")
+      .select(col("index"), col("t"),
+        (coalesce(col("h"), lit(0L)).cast("double") / col("t")).as("r"))
+      .groupBy(col("index"))
+      .agg(count(lit(1)).as("n_queries"), round(avg(col("r")), 4).as("recall_at_10"))
+      .join(broadcast(fracs), Seq("index"))
+      .select(col("index"), col("n_queries"), col("recall_at_10"), col("scan_frac"))
   }
 
   val entries: Seq[(String, QueryDef)] = Seq(
