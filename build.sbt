@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GC experiment knob (round 17): default G1; set SPARK_GRAFT_GC to e.g.
+  // "-XX:+UseParallelGC" to A/B garbage collectors on the forked JVM.
+  sys.env.getOrElse("SPARK_GRAFT_GC", "-XX:+UseG1GC"),
 )

@@ -27,12 +27,16 @@ object PhaseProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def compiles: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val store = org.apache.spark.GraftStatusBridge.store(spark.sparkContext)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       // untimed warmup rep
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       var best = (Double.MaxValue, Double.MaxValue, Double.MaxValue, 0L)
+      var bestCpu = Long.MaxValue
+      var bestStages = 0
       (1 to reps).foreach { _ =>
+        val before = store.stageList(null).map(_.stageId).toSet
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
         val t1 = System.nanoTime()
@@ -42,11 +46,17 @@ object PhaseProfile {
         df.write.format("noop").mode("overwrite").save()
         val t3 = System.nanoTime()
         val c1 = compiles
+        Thread.sleep(200) // listener bus drain
+        val newStages = store.stageList(null).filterNot(s => before(s.stageId))
+        val cpuMs = newStages.map(_.executorCpuTime).sum / 1000000
+        val nStages = newStages.count(_.numCompleteTasks > 0)
         val cur = ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, c1 - c0)
         if (cur._1 + cur._2 + cur._3 < best._1 + best._2 + best._3) best = cur
+        if (cpuMs < bestCpu) { bestCpu = cpuMs; bestStages = nStages }
       }
       println(f"[phase] $name%-28s build=${best._1}%5.3f plan=${best._2}%5.3f " +
-        f"exec=${best._3}%5.3f (compiles=${best._4}) total=${best._1 + best._2 + best._3}%5.3f")
+        f"exec=${best._3}%5.3f (compiles=${best._4}) total=${best._1 + best._2 + best._3}%5.3f " +
+        f"cpuSum=${bestCpu / 1000.0}%6.2fs stages=$bestStages%3d")
     }
     spark.stop()
   }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -69,23 +68,32 @@ object PipelineQueries {
 
   def corpusKeep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.docs(spark, dir)
-    // per-doc stage flags, each keyed by doc_id
-    val q = TextQueries.qualityScore(spark, dir)
-      .select(col("doc_id"), col("score"), col("stop_ratio"))
+    // Round-17 shape (guide §2.4): the quality/lang signals, the mix
+    // decision, and the split assignment are PURE per-row expressions
+    // over (doc_id, text, source) — they now evaluate inline on the
+    // keep-list's own scan. The round-16 form attached each as a
+    // doc_id-keyed self-join (7 joins total), which re-tokenized the
+    // corpus once for the quality flags and re-scanned documents twice
+    // more for hashes of columns the main scan already holds. The
+    // expression trees are the SAME objects the standalone queries use
+    // (TextQueries.quality*/mixKeepExpr/splitExpr), so the two forms and
+    // the oracle can never drift; `when(qualityValid, …)` reproduces the
+    // left-join NULLs for token-less/empty docs exactly.
+    //
+    // The exact-dup stage drops its window: group the corpus by content
+    // hash to (th, keep_id) and join back ON TH — one corpus-sized
+    // shuffle replaces two (the window's th-shuffle AND the re-key of
+    // its per-doc output back to doc_id), and the per-partition window
+    // sort disappears with it.
+    val th = sha2(col("text").cast("binary"), 256)
+    val keepers = docs
+      .groupBy(th.as("th")).agg(min(col("doc_id")).as("keep_id"))
     val rep = TextQueries.repetitionScore(spark, dir)
       .select(col("doc_id"), col("top_token_frac"))
-    val exk = docs
-      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("th"))
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("th"))))
-      .select(col("doc_id"), col("keep_id"))
     val clus = DedupQueries.dedupCluster(spark, dir)
       .select(col("doc_id"), col("is_canonical"))
     val cont = DedupQueries.decontaminate(spark, dir) // non-eval docs only
       .select(col("doc_id"), col("contaminated"))
-    val mix = TextQueries.domainMix(spark, dir) // mix SURVIVORS only
-      .select(col("doc_id"), lit(true).as("mix_ok"))
-    val split = TextQueries.dataSplit(spark, dir)
-      .select(col("doc_id"), col("split").as("split_all"))
 
     val reason: Column =
       when(col("score").isNull || col("score") < QMin, "quality")
@@ -95,17 +103,18 @@ object PipelineQueries {
         .when(!col("is_canonical"), "near_dup")
         .when(col("doc_id") % DedupQueries.EvalMod === 0, "eval")
         .when(coalesce(col("contaminated"), lit(false)), "contaminated")
-        .when(col("mix_ok").isNull, "mix")
+        .when(!col("mix_ok"), "mix")
         .otherwise("keep")
 
-    docs.select(col("doc_id"))
-      .join(q, Seq("doc_id"), "left")
+    docs.select(col("doc_id"), th.as("th"),
+        when(TextQueries.qualityValid, TextQueries.qualityScoreExpr).as("score"),
+        when(TextQueries.qualityValid, TextQueries.qualityStopRatio).as("stop_ratio"),
+        TextQueries.mixKeepExpr.as("mix_ok"),
+        TextQueries.splitExpr.as("split_all"))
+      .join(keepers, Seq("th"))
       .join(rep, Seq("doc_id"), "left")
-      .join(exk, Seq("doc_id"))
       .join(clus, Seq("doc_id"))
       .join(cont, Seq("doc_id"), "left")
-      .join(mix, Seq("doc_id"), "left")
-      .join(split, Seq("doc_id"))
       .withColumn("reason", reason)
       .select(col("doc_id"), col("reason"),
         (col("reason") === "keep").as("kept"),
@@ -302,12 +311,16 @@ object PipelineQueries {
     * chunker, and ONE partial-final aggregation to ≤ splits·shards rows.
     */
   def corpusExport(spark: SparkSession, dir: String): DataFrame = {
-    val kept = corpusKeep(spark, dir).filter(col("kept"))
-      .select(col("doc_id"), col("split"))
+    val kept = corpusKeep(spark, dir).filter(col("kept")).select(col("doc_id"))
     val docs = Tables.docs(spark, dir).join(kept, "doc_id")
+    // A kept document's split is `data_split`'s pure hash of doc_id
+    // (corpus_keep emits split_all = splitExpr for reason = 'keep'), so
+    // the chunk rows compute it INLINE instead of joining the keep-list a
+    // SECOND time to re-attach it (round-17; the keep-list join above
+    // already pruned the corpus — the re-attach join only carried a
+    // value derivable from the chunk row's own doc_id).
     TextQueries.chunkOf(docs.select(col("doc_id"), col("text")))
-      .join(kept, "doc_id")
-      .select(col("split"),
+      .select(TextQueries.splitExpr.as("split"),
         pmod(col("chunk_fp"), lit(NShards.toLong)).as("shard_id"),
         col("n_tok"), col("chunk_fp"))
       .groupBy(col("split"), col("shard_id"))

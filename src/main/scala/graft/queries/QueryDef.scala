@@ -34,6 +34,24 @@ private[queries] object Memo {
       build.persist()
     })
 
+  /** Memoize a DataFrame PLAN per (session, dir) — like [[memoize]] but
+    * WITHOUT `.persist()`: no row data is ever cached; every action on
+    * the returned DataFrame re-executes the full plan from the parquet
+    * inputs. What repeats share is the ANALYZED LOGICAL PLAN object —
+    * construction cost (sub-plan assembly, memoized-literal pulls) is
+    * paid once, and because the stored plan's expression ids are fixed,
+    * re-executions generate byte-identical codegen text and hit the
+    * generated-class cache instead of recompiling (round-17: the recall
+    * report rebuilt ten search plans per invocation — 1.4 s of driver
+    * construction and 158 janino recompiles per WARM run).
+    */
+  def memoizePlan(memo: Table, spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir), {
+      evictOnEnd(memo, spark, dir)
+      build
+    })
+
   /** Memoize a driver-side PLANNING value (split-point bounds, row
     * counts) per (session, dir) — same lifecycle as [[memoize]] but for
     * plain values that are pulled to the driver once and embedded in

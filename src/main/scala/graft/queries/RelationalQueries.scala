@@ -1405,6 +1405,12 @@ object RelationalQueries {
     */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    // Round-17 note: spreading the events scan (Tables.spread) to
+    // parallelize the Expand×7 partial aggregate was tried and measured
+    // WORSE — the repartition's row shuffle cost 15.4 s of executor CPU
+    // against the 1.1 s single-core aggregate it replaced. The one-task
+    // scan stays the cheaper plan at test scale; at real scale the scan
+    // splits naturally.
     val e = Tables(spark, dir, "events")
       .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))

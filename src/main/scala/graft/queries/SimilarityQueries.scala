@@ -352,8 +352,23 @@ object SimilarityQueries {
     }
   }
 
+  /** PLAN memo for the ten declared search DataFrames + the recall
+    * report (round-17, Memo.memoizePlan — no data cached, ever): each
+    * search assembles a deep plan from the memoized index artifacts, and
+    * the recall report assembles all ten. Re-building them per
+    * invocation cost 1.4 s of driver construction per report call and —
+    * because fresh construction means fresh expression ids — generated
+    * code that never text-matches the codegen cache (158 janino
+    * recompiles per WARM report run). One analyzed plan per (session,
+    * dir, search) fixes both; every action still executes from parquet.
+    */
+  private val searchPlanMemo = Memo.table()
+  private def planMemo(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    Memo.memoizePlan(searchPlanMemo, spark, dir + "#" + name)(build)
+
   def annLsh(spark: SparkSession, dir: String): DataFrame =
-    annLshProbe(spark, dir, LshRadius, LshTables)
+    planMemo(spark, dir, "ann_lsh")(annLshProbe(spark, dir, LshRadius, LshTables))
 
   /** DEDUPED candidate-pair IDS of the (radius, tables)-parameterized
     * LSH search — the exact-scored candidate set [[annRecallReport]]
@@ -691,7 +706,8 @@ object SimilarityQueries {
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, dir, codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled")
+    planMemo(spark, dir, "ann_ivf")(
+      ivfSearch(spark, dir, codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled"))
 
   /** Memos for the assigned inverted LISTS, one per codebook variant —
     * the other half of the IVF index-build artifact (the codebook memo is
@@ -927,8 +943,9 @@ object SimilarityQueries {
       sampledCodebook(spark, dir, scaledC(estimatedRows(spark, dir))))
 
   def annIvfScaled(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
-      "ivf_lists_scaled", c = scaledCOf(spark, dir))
+    planMemo(spark, dir, "ann_ivf_scaled")(
+      ivfSearch(spark, dir, scaledCodebookOf(spark, dir), scaledListsMemo,
+        "ivf_lists_scaled", c = scaledCOf(spark, dir)))
 
   /** Sweep hooks (dev + RECALL.md): the scaled-capacity index at an
     * arbitrary probe depth, sharing every memoized artifact; and the
@@ -1070,8 +1087,9 @@ object SimilarityQueries {
   }
 
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
-      "ivf_lists_kmeans")
+    planMemo(spark, dir, "ann_ivf_kmeans")(
+      ivfSearch(spark, dir, kmeansCodebook(spark, dir), kmListsMemo,
+        "ivf_lists_kmeans"))
 
   /** The two halves of the k-means IVF index, exposed for the STREAMING
     * probe job ([[graft.streaming.StreamingOps.annProbeStream]]): built
@@ -1190,8 +1208,9 @@ object SimilarityQueries {
   }
 
   def annIvfKmeansScaled(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, dir, kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
-      "ivf_lists_kmeans_scaled", c = scaledCOf(spark, dir))
+    planMemo(spark, dir, "ann_ivf_kmeans_scaled")(
+      ivfSearch(spark, dir, kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
+        "ivf_lists_kmeans_scaled", c = scaledCOf(spark, dir)))
 
   /** Sweep hook: the scaled Lloyd index at arbitrary probe depth. */
   private[graft] def annIvfKmeansScaledProbe(spark: SparkSession, dir: String,
@@ -1478,7 +1497,15 @@ object SimilarityQueries {
   }
 
   def annPq(spark: SparkSession, dir: String,
-      maxBroadcast: Long = PqMaxBroadcast): DataFrame = {
+      maxBroadcast: Long = PqMaxBroadcast): DataFrame =
+    // plan-memo only at the declared operating point — the test hook
+    // forcing multi-chunk paths must keep building fresh plans
+    if (maxBroadcast == PqMaxBroadcast)
+      planMemo(spark, dir, "ann_pq")(annPqBuild(spark, dir, maxBroadcast))
+    else annPqBuild(spark, dir, maxBroadcast)
+
+  private def annPqBuild(spark: SparkSession, dir: String,
+      maxBroadcast: Long): DataFrame = {
     val q = pqQueryTables(spark, dir)
     val c = pqCodes(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
@@ -1760,7 +1787,7 @@ object SimilarityQueries {
       .filter(col("query_id") =!= col("neighbor_id")), k)
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
-    ivfPqAdc(spark, dir, TopK)
+    planMemo(spark, dir, "ann_ivfpq")(ivfPqAdc(spark, dir, TopK))
 
   // ------------------------------------------------------- ann_ivfpq_scaled
   /** `ann_ivfpq_scaled` — IVFADC whose coarse quantizer follows the
@@ -1779,7 +1806,7 @@ object SimilarityQueries {
     * hash-checked end to end.
     */
   def annIvfPqScaled(spark: SparkSession, dir: String): DataFrame =
-    ivfPqAdc(spark, dir, TopK, scaled = true)
+    planMemo(spark, dir, "ann_ivfpq_scaled")(ivfPqAdc(spark, dir, TopK, scaled = true))
 
   /** The residual probe/assign/encode/ADC CTE chain shared by the IVFADC
     * oracle and its re-rank twin — and, via `centChain`, by their
@@ -1854,7 +1881,8 @@ object SimilarityQueries {
   val RerankR = 100
 
   def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
-    annIvfPqRerankProbe(spark, dir, Nprobe, RerankR)
+    planMemo(spark, dir, "ann_ivfpq_rerank")(
+      annIvfPqRerankProbe(spark, dir, Nprobe, RerankR))
 
   /** `ann_ivfpq_rerank_scaled` — the exact re-rank stage over the
     * capacity-law IVFADC ([[annIvfPqScaled]]): identical R/k contract,
@@ -1863,7 +1891,8 @@ object SimilarityQueries {
     * every fixed-capacity search path now has a measured C ∝ √n twin.
     */
   def annIvfPqRerankScaled(spark: SparkSession, dir: String): DataFrame =
-    annIvfPqRerankProbe(spark, dir, Nprobe, RerankR, scaled = true)
+    planMemo(spark, dir, "ann_ivfpq_rerank_scaled")(
+      annIvfPqRerankProbe(spark, dir, Nprobe, RerankR, scaled = true))
 
   /** Sweep hook: the re-ranked IVFADC at arbitrary (nprobe, R). */
   private[graft] def annIvfPqRerankProbe(spark: SparkSession, dir: String,
@@ -2334,7 +2363,8 @@ object SimilarityQueries {
     * nothing corpus-sized crosses the driver.
     */
   def annRecallReport(spark: SparkSession, dir: String): DataFrame =
-    annRecallReportOf(spark, dir, RecallAuditSampleTarget)
+    planMemo(spark, dir, "ann_recall_report")(
+      annRecallReportOf(spark, dir, RecallAuditSampleTarget))
 
   /** Control-audit query budget: once the query set exceeds 2× this, the
     * FIXED-CAPACITY and exact-linear controls (ann_lsh, ann_ivf,

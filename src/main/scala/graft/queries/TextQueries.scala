@@ -240,24 +240,38 @@ object TextQueries {
     * quality gate of a live pipeline): pure per-row expressions over any
     * (doc_id, text) relation, batch or stream.
     */
-  private[graft] def qualityOf(d: DataFrame): DataFrame = {
-    val t = TextFns.tokens(col("text"))
-    val nTok = size(t).cast("long")
-    val nChars = length(col("text")).cast("long")
-    val nAlpha = length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("long")
-    val nStop = graft.functions.CountInSetExpr(t, Stopwords).cast("long")
-    val alphaRatio = nAlpha.cast("double") / nChars
-    val stopRatio = nStop.cast("double") / nTok
-    val lenScore = least(nTok.cast("double") / 200.0, lit(1.0))
-    d.filter(nTok > 0 && nChars > 0)
+  private[graft] def qualityOf(d: DataFrame): DataFrame =
+    d.filter(qualityValid)
       .select(
         col("doc_id"),
-        nTok.as("n_tokens"),
-        nChars.as("n_chars"),
-        alphaRatio.as("alpha_ratio"),
-        stopRatio.as("stop_ratio"),
-        (alphaRatio * 0.5 + stopRatio * 0.3 + lenScore * 0.2).as("score"))
-  }
+        qualityNTok.as("n_tokens"),
+        qualityNChars.as("n_chars"),
+        qualityAlphaRatio.as("alpha_ratio"),
+        qualityStopRatio.as("stop_ratio"),
+        qualityScoreExpr.as("score"))
+
+  /** The quality signals as bare Columns over a (text) row — the single
+    * source of the expression trees, so [[qualityOf]] (the declared
+    * query and its streaming twin) and `corpus_keep`'s inlined
+    * scan-local flags (PipelineQueries, round-17: the flag used to
+    * arrive via a doc_id self-join that re-tokenized the corpus) can
+    * never drift: the oracle mirrors ONE tree. Guard with
+    * [[qualityValid]] (`when(qualityValid, …)`) when evaluating over
+    * unfiltered rows — token-less/empty docs divide by zero otherwise.
+    */
+  private[queries] val qualityNTok: Column =
+    size(TextFns.tokens(col("text"))).cast("long")
+  private[queries] val qualityNChars: Column = length(col("text")).cast("long")
+  private[queries] val qualityValid: Column = qualityNTok > 0 && qualityNChars > 0
+  private[queries] val qualityAlphaRatio: Column =
+    length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("long")
+      .cast("double") / qualityNChars
+  private[queries] val qualityStopRatio: Column =
+    graft.functions.CountInSetExpr(TextFns.tokens(col("text")), Stopwords)
+      .cast("long").cast("double") / qualityNTok
+  private[queries] val qualityScoreExpr: Column =
+    qualityAlphaRatio * 0.5 + qualityStopRatio * 0.3 +
+      least(qualityNTok.cast("double") / 200.0, lit(1.0)) * 0.2
 
   val qualityScoreSql: String =
     s"""WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[^\\p{L}]+'), w -> length(w) > 0) AS t FROM documents),
@@ -536,15 +550,22 @@ object TextQueries {
   val TrainUpto = 80
   val ValUpto = 90
 
-  def dataSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(TextFns.hash60(col("doc_id").cast("string")), lit(SplitBuckets.toLong))
+  /** Split bucket/label as bare Columns over a (doc_id) row — shared with
+    * `corpus_keep`'s inlined split flag (round-17; it used to arrive via a
+    * doc_id self-join re-scanning documents for a pure hash of doc_id).
+    */
+  private[queries] val splitBucketExpr: Column =
+    pmod(TextFns.hash60(col("doc_id").cast("string")), lit(SplitBuckets.toLong))
+  private[queries] val splitExpr: Column =
+    when(splitBucketExpr < TrainUpto, lit("train"))
+      .when(splitBucketExpr < ValUpto, lit("val"))
+      .otherwise(lit("test"))
+
+  def dataSplit(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      bucket.as("bucket"),
-      when(bucket < TrainUpto, lit("train"))
-        .when(bucket < ValUpto, lit("val"))
-        .otherwise(lit("test")).as("split"))
-  }
+      splitBucketExpr.as("bucket"),
+      splitExpr.as("split"))
 
   val dataSplitSql: String = {
     val bucket = s"${Oracle.hash60("CAST(doc_id AS VARCHAR)")} % $SplitBuckets"
@@ -578,16 +599,21 @@ object TextQueries {
     "src4" -> 1000L) // heavy downsample
   val MixDefaultThreshold = 2500L // everything else: quarter
 
-  def domainMix(spark: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      pmod(TextFns.hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(MixBuckets))
-    val thr = MixRates.foldLeft(lit(MixDefaultThreshold): Column) {
+  /** Mix bucket/keep-decision as bare Columns over a (doc_id, source) row —
+    * shared with `corpus_keep`'s inlined mix flag (round-17; same
+    * join-elimination as [[splitExpr]]).
+    */
+  private[queries] val mixBucketExpr: Column =
+    pmod(TextFns.hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(MixBuckets))
+  private[queries] val mixKeepExpr: Column = mixBucketExpr <
+    MixRates.foldLeft(lit(MixDefaultThreshold): Column) {
       case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
     }
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("source"), bucket.as("mix_bucket"))
-      .filter(col("mix_bucket") < thr)
-  }
+      .select(col("doc_id"), col("source"), mixBucketExpr.as("mix_bucket"))
+      .filter(mixKeepExpr)
 
   val domainMixSql: String = {
     val bucket = s"${Oracle.hash60("'mix:' || CAST(doc_id AS VARCHAR)")} % $MixBuckets"
