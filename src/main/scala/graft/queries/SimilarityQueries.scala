@@ -678,6 +678,21 @@ object SimilarityQueries {
   private val kmScaledScanCountMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
 
+  /** Round-17 metadata memos: per-regime query counts and the remaining
+    * per-index scan counts (sampled-IVF, scaled-IVF, LSH) — each a 1-row
+    * deterministic aggregate over memoized artifacts, collected once per
+    * (session, dir, regime) and embedded in the recall report as a
+    * literal, exactly the [[kmScanCountMemo]] pattern.
+    */
+  private val nQueriesMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+  private val ivfScanCountMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+  private val ivfScaledScanCountMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+  private val lshScanCountMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+
   /** Memo for the IVF codebook — the index-BUILD artifact of IVF search
     * (build the coarse quantizer once, probe it for every query batch):
     * IvfC rows, persisted per (session, dir) so the assignment and probe
@@ -2388,9 +2403,6 @@ object SimilarityQueries {
       sampleTarget: Int): DataFrame = {
     val exactAll = annTopkCached(spark, dir).select(col("query_id"), col("neighbor_id"))
     val truthAll = exactAll.groupBy("query_id").agg(count(lit(1)).as("t"))
-    val nCorpus = emb(spark, dir).agg(count(lit(1)).as("nc")).withColumn("k", lit(1))
-    def nQueriesOf(t: DataFrame): DataFrame =
-      t.agg(count(lit(1)).as("nq")).withColumn("k", lit(1))
     // control-query decimation: keep queries with xxhash64(query_id) ≡ 0
     // (mod m) — deterministic, engine-independent, and PUSHED DOWN into
     // each control search's own query-side scan (every stage of the
@@ -2406,80 +2418,84 @@ object SimilarityQueries {
       * exact table against the regime-DECIMATED index outputs, so a
       * sampled-out query simply contributes no pairs.)
       */
-    case class Regime(truth: DataFrame, nQueries: DataFrame,
+    case class Regime(truth: DataFrame,
         dec: DataFrame => DataFrame, memoTag: String)
-    val full = Regime(truthAll, nQueriesOf(truthAll), identity, "")
+    val full = Regime(truthAll, identity, "")
     val ctl =
       if (!sampled) full
-      else {
-        val t = truthAll.filter(samplePred)
-        Regime(t, nQueriesOf(t), df => df.filter(samplePred), s"#m=$m")
-      }
-    // 1-row (k, ncand) from the regime's probe lists × the C-row size table
-    def ivfScan(r: Regime, cents: DataFrame, listsMemo: Memo.Table,
-        diskLabel: String, c: Int = IvfC): DataFrame = {
+      else Regime(truthAll.filter(samplePred),
+        df => df.filter(samplePred), s"#m=$m")
+    // Scan counts and scan fractions are PLANNING METADATA (round-17,
+    // extending the round-16 kmNcand pattern to every member): each is a
+    // deterministic 1-row aggregate over memoized index artifacts, pulled
+    // ONCE per (session, dir, regime) via Memo.memoizeValue and embedded
+    // in the report as a literal. The round-16 form kept them as live
+    // sub-plans — three probes×list-sizes joins, the LSH candidate count,
+    // two query-count aggregates, a corpus count, and TEN broadcast
+    // attach joins — all re-executed (and AQE-replanned) inside every
+    // report run to reproduce constants that cannot change within a
+    // session. Warm report runs now carry zero scan-frac stages.
+    def ivfScanCount(r: Regime, cents: DataFrame, listsMemo: Memo.Table,
+        diskLabel: String, c: Int = IvfC): Long = {
       val sizes = ivfAssigned(spark, dir, cents, listsMemo, diskLabel, c)
         .groupBy(col("cidx")).agg(count(lit(1)).as("sz"))
       r.dec(ivfProbes(spark, dir, cents)).select(col("cidx"))
         .join(broadcast(sizes), Seq("cidx"))
-        .agg(sum(col("sz")).as("raw")).withColumn("k", lit(1))
-        .join(broadcast(r.nQueries), Seq("k"))
-        .select(col("k"), (col("raw") - col("nq")).as("ncand"))
+        .agg(sum(col("sz")).as("raw"))
+        .select(col("raw")).head().getLong(0) - nQueriesVal(r)
     }
-    def scanFrac(r: Regime, cand: Option[DataFrame]): DataFrame = cand match {
-      case None => // linear compressed scan: every non-self pair scored
-        r.nQueries.select(col("k"), lit(1.0).as("scan_frac"))
-      case Some(c) =>
-        c.join(broadcast(r.nQueries), Seq("k"))
-          .join(broadcast(nCorpus), Seq("k"))
-          .select(col("k"), round(col("ncand").cast("double") /
-            (col("nq") * (col("nc") - 1)).cast("double"), 4).as("scan_frac"))
-    }
+    def nQueriesVal(r: Regime): Long =
+      Memo.memoizeValue(nQueriesMemo, spark, dir + r.memoTag)(
+        r.truth.agg(count(lit(1)).as("nq")).head().getLong(0))
+    // corpus size: the embeddings table's exact parquet-footer row count
+    // (the same planning metadata the broadcast chunking uses)
+    val nCorpusVal: Long = estimatedRows(spark, dir)
+    // Spark round(x, 4) semantics exactly (HALF_UP over the shortest
+    // decimal representation) so the literal is bit-identical to what
+    // the round-16 in-plan expression produced
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fracOf(r: Regime, ncand: Long): Double =
+      round4(ncand.toDouble / (nQueriesVal(r) * (nCorpusVal - 1)).toDouble)
     // LSH scan count: in sampled mode build candidates for the DECIMATED
     // query set directly (the memoized full candidate table is exactly
     // the Θ(n²/101) mass sampling avoids — don't materialize it to count)
-    val lshCount =
+    val lshNcand: Long = Memo.memoizeValue(lshScanCountMemo, spark, dir + ctl.memoTag) {
       (if (sampled)
         lshCandidatesBuild(spark, dir, LshRadius, LshTables)
           .select(col("query_id"), col("neighbor_id")).filter(samplePred)
           .dropDuplicates("query_id", "neighbor_id")
       else lshCandidates(spark, dir, LshRadius, LshTables))
-        .agg(count(lit(1)).as("ncand")).withColumn("k", lit(1))
+        .agg(count(lit(1)).as("ncand")).select(col("ncand")).head().getLong(0)
+    }
     // Three indexes (ivf_kmeans, ivfpq, ivfpq_rerank) share the SAME
-    // kmeans probe lists, so their scan count is one number — collect it
-    // ONCE per (session, dir, regime) and embed it as a literal in all
-    // three consumers, instead of re-executing the probes × list-sizes
-    // subtree (a corpus-subset crossJoin each) three times inside one
-    // report. Memoized like the other planning pulls (bounds, row
-    // counts): warm repeats pay zero. The regime tag keys the memo so a
-    // sweep mixing sample targets in one session never crosses values.
-    val kmNcand: Long = Memo.memoizeValue(kmScanCountMemo, spark, dir + ctl.memoTag) {
-      ivfScan(ctl, kmeansCodebook(spark, dir), kmListsMemo, "ivf_lists_kmeans")
-        .select(col("ncand")).head().getLong(0)
-    }
-    val kmScan = ctl.nQueries.select(col("k"), lit(kmNcand).as("ncand"))
-    // same one-collect sharing for the scaled Lloyd lists' three consumers
-    val kmScaledNcand: Long = Memo.memoizeValue(kmScaledScanCountMemo, spark, dir) {
-      ivfScan(full, kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
-        "ivf_lists_kmeans_scaled", scaledCOf(spark, dir))
-        .select(col("ncand")).head().getLong(0)
-    }
-    val kmScaledScan = full.nQueries.select(col("k"), lit(kmScaledNcand).as("ncand"))
-    val indexes: Seq[(String, DataFrame, Option[DataFrame], Regime)] = Seq(
-      ("ann_lsh", annLsh(spark, dir), Some(lshCount), ctl),
-      ("ann_ivf", annIvf(spark, dir),
-        Some(ivfScan(ctl, codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled")), ctl),
-      ("ann_ivf_scaled", annIvfScaled(spark, dir),
-        Some(ivfScan(full, scaledCodebookOf(spark, dir), scaledListsMemo,
-          "ivf_lists_scaled", scaledCOf(spark, dir))), full),
-      ("ann_ivf_kmeans", annIvfKmeans(spark, dir), Some(kmScan), ctl),
-      ("ann_ivf_kmeans_scaled", annIvfKmeansScaled(spark, dir), Some(kmScaledScan), full),
-      ("ann_pq", annPq(spark, dir), None, ctl),
-      ("ann_ivfpq", annIvfPq(spark, dir), Some(kmScan), ctl),
-      ("ann_ivfpq_scaled", annIvfPqScaled(spark, dir), Some(kmScaledScan), full),
-      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), Some(kmScan), ctl),
+    // kmeans probe lists, so their scan count is one number; ditto the
+    // scaled-Lloyd trio. The regime tag keys each memo so a sweep mixing
+    // sample targets in one session never crosses values.
+    val kmNcand: Long = Memo.memoizeValue(kmScanCountMemo, spark, dir + ctl.memoTag)(
+      ivfScanCount(ctl, kmeansCodebook(spark, dir), kmListsMemo, "ivf_lists_kmeans"))
+    val kmScaledNcand: Long = Memo.memoizeValue(kmScaledScanCountMemo, spark, dir)(
+      ivfScanCount(full, kmeansScaledCodebookOf(spark, dir), kmScaledListsMemo,
+        "ivf_lists_kmeans_scaled", scaledCOf(spark, dir)))
+    val ivfNcand: Long = Memo.memoizeValue(ivfScanCountMemo, spark, dir + ctl.memoTag)(
+      ivfScanCount(ctl, codebook(spark, dir), ivfListsMemo, "ivf_lists_sampled"))
+    val ivfScaledNcand: Long = Memo.memoizeValue(ivfScaledScanCountMemo, spark, dir)(
+      ivfScanCount(full, scaledCodebookOf(spark, dir), scaledListsMemo,
+        "ivf_lists_scaled", scaledCOf(spark, dir)))
+    val indexes: Seq[(String, DataFrame, Double, Regime)] = Seq(
+      ("ann_lsh", annLsh(spark, dir), fracOf(ctl, lshNcand), ctl),
+      ("ann_ivf", annIvf(spark, dir), fracOf(ctl, ivfNcand), ctl),
+      ("ann_ivf_scaled", annIvfScaled(spark, dir), fracOf(full, ivfScaledNcand), full),
+      ("ann_ivf_kmeans", annIvfKmeans(spark, dir), fracOf(ctl, kmNcand), ctl),
+      ("ann_ivf_kmeans_scaled", annIvfKmeansScaled(spark, dir),
+        fracOf(full, kmScaledNcand), full),
+      ("ann_pq", annPq(spark, dir), 1.0, ctl), // linear compressed scan
+      ("ann_ivfpq", annIvfPq(spark, dir), fracOf(ctl, kmNcand), ctl),
+      ("ann_ivfpq_scaled", annIvfPqScaled(spark, dir),
+        fracOf(full, kmScaledNcand), full),
+      ("ann_ivfpq_rerank", annIvfPqRerank(spark, dir), fracOf(ctl, kmNcand), ctl),
       ("ann_ivfpq_rerank_scaled", annIvfPqRerankScaled(spark, dir),
-        Some(kmScaledScan), full))
+        fracOf(full, kmScaledNcand), full))
     // ONE audit pipeline over a TAGGED UNION of the ten index outputs
     // (round-17 optimization, guide §2.4/§7.2): the round-16 form built
     // ten separate per-index audit branches — ten semi-joins, ten
@@ -2510,9 +2526,12 @@ object SimilarityQueries {
     val truthTagged = indexes.map { case (nm, _, _, r) =>
       r.truth.select(lit(nm).as("index"), col("query_id"), col("t"))
     }.reduce(_.unionByName(_))
-    val fracs = indexes.map { case (nm, _, cand, r) =>
-      scanFrac(r, cand).select(lit(nm).as("index"), col("scan_frac"))
-    }.reduce(_.unionByName(_))
+    // scan_frac attaches as a literal CASE over the 10 result rows — the
+    // values are the memoized planning constants above
+    val fracCol = indexes.tail.foldLeft(
+      when(col("index") === indexes.head._1, lit(indexes.head._3))) {
+      case (acc, (nm, _, f, _)) => acc.when(col("index") === nm, lit(f))
+    }
     val hits = exactAll
       .join(tagged, Seq("query_id", "neighbor_id"))
       .groupBy(col("index"), col("query_id")).agg(count(lit(1)).as("h"))
@@ -2521,8 +2540,8 @@ object SimilarityQueries {
         (coalesce(col("h"), lit(0L)).cast("double") / col("t")).as("r"))
       .groupBy(col("index"))
       .agg(count(lit(1)).as("n_queries"), round(avg(col("r")), 4).as("recall_at_10"))
-      .join(broadcast(fracs), Seq("index"))
-      .select(col("index"), col("n_queries"), col("recall_at_10"), col("scan_frac"))
+      .select(col("index"), col("n_queries"), col("recall_at_10"),
+        fracCol.as("scan_frac"))
   }
 
   val entries: Seq[(String, QueryDef)] = Seq(
