@@ -39,13 +39,27 @@ object Tables {
   private val tableMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
 
+  /** Contexts that already carry an eviction listener — round-18 advice
+    * fix: one listener per SparkContext (clearing every key whose session
+    * belongs to the ending context, cloned sessions included) instead of
+    * one listener per memo entry, which accumulated on a long-lived
+    * multi-session context.
+    */
+  private val evictRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
   private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     tableMemo.getOrElseUpdate((spark, key, ""), {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          tableMemo.remove((spark, key, "")): Unit
-      })
+      val sc = spark.sparkContext
+      if (evictRegistered.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            tableMemo.keys.toSeq.filter(_._1.sparkContext eq sc)
+              .foreach(k => tableMemo.remove(k): Unit)
+            evictRegistered.remove(sc): Unit
+          }
+        })
       build
     })
 

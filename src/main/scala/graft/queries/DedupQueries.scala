@@ -1265,7 +1265,8 @@ object DedupQueries {
     *
     * Scale shape: the positional gram table is one scan-local
     * explode (native tokenize/ngram kernels); duplicated-gram selection
-    * is a partial-final distinct-count agg collapsing to the gram
+    * is a partial-final min/max agg (min(doc_id) != max(doc_id) ⟺ ≥ 2
+    * distinct docs) collapsing map-side to the gram
     * VOCABULARY; the hit join is h-keyed (the tf⋈df shape — both sides
     * shuffle on the key, no broadcast of an unbounded side); the island
     * windows partition by doc_id, whose partition size is bounded by
@@ -1286,9 +1287,15 @@ object DedupQueries {
           posexplode(TextFns.wordNgrams(TextFns.tokens(col("text")), k)))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
           (TextFns.hash60(col("col")) % P).as("h")))
+    // "occurs in ANOTHER document" = distinct-doc count >= 2 = min(doc_id)
+    // != max(doc_id): min/max partial-aggregate map-side (guide §2.3), so
+    // the exchange carries one row per (partition, gram) — the round-17
+    // countDistinct form planned a two-exchange distinct expansion whose
+    // FIRST shuffle carried the full positional-gram mass keyed
+    // (h, doc_id), the query's largest exchange at any scale.
     val dup = pg.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
     val hits = pg.join(dup, "h").select(col("doc_id"), col("pos"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)

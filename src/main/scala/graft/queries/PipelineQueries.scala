@@ -111,7 +111,13 @@ object PipelineQueries {
         when(TextQueries.qualityValid, TextQueries.qualityStopRatio).as("stop_ratio"),
         TextQueries.mixKeepExpr.as("mix_ok"),
         TextQueries.splitExpr.as("split_all"))
-      .join(keepers, Seq("th"))
+      // LEFT join (round-18, advice fix): for non-NULL text it is identical
+      // to the inner form (every doc's own hash group exists by
+      // construction), but sha2(NULL) is NULL and a NULL th equi-join key
+      // would DROP a NULL-text doc entirely, where the oracle's
+      // window-over-hash form keeps it (score is NULL → reason 'quality',
+      // which fires before the exact_dup branch ever reads keep_id).
+      .join(keepers, Seq("th"), "left")
       .join(rep, Seq("doc_id"), "left")
       .join(clus, Seq("doc_id"))
       .join(cont, Seq("doc_id"), "left")

@@ -30,7 +30,7 @@ private[queries] object Memo {
   def memoize(memo: Table, spark: SparkSession, dir: String)(
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, dir), {
-      evictOnEnd(memo, spark, dir)
+      evictOnEnd(memo, spark)
       build.persist()
     })
 
@@ -48,7 +48,7 @@ private[queries] object Memo {
   def memoizePlan(memo: Table, spark: SparkSession, dir: String)(
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, dir), {
-      evictOnEnd(memo, spark, dir)
+      evictOnEnd(memo, spark)
       build
     })
 
@@ -62,18 +62,35 @@ private[queries] object Memo {
       memo: scala.collection.concurrent.TrieMap[(SparkSession, String), A],
       spark: SparkSession, dir: String)(build: => A): A =
     memo.getOrElseUpdate((spark, dir), {
-      evictOnEnd(memo, spark, dir)
+      evictOnEnd(memo, spark)
       build
     })
 
+  /** (memo, context) pairs that already carry an eviction listener —
+    * round-18 advice fix: the round-17 form registered ONE LISTENER PER
+    * ENTRY, so sessions created via newSession()/cloneSession() on a
+    * long-lived context accumulated listeners (and their closures) until
+    * the context ended. One listener per (memo, context) now clears every
+    * key belonging to the ending context — including cloned sessions',
+    * whose cached blocks die with the shared context anyway.
+    */
+  private val evictRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(AnyRef, org.apache.spark.SparkContext)]()
+
   private def evictOnEnd[A](
       memo: scala.collection.concurrent.TrieMap[(SparkSession, String), A],
-      spark: SparkSession, dir: String): Unit =
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-        memo.remove((spark, dir))
-    })
+      spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (evictRegistered.add((memo, sc)))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          memo.keys.toSeq.filter(_._1.sparkContext eq sc)
+            .foreach(k => memo.remove(k): Unit)
+          evictRegistered.remove((memo, sc)): Unit
+        }
+      })
+  }
 
   /** Bump when the SEMANTICS of any disk-cached artifact change (algorithm
     * edits that don't move a tunable constant): stale cache entries under
@@ -118,7 +135,7 @@ private[queries] object Memo {
   def memoizeDisk(memo: Table, spark: SparkSession, dir: String, label: String,
       configKey: String, memoKey: String = "")(build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, dir + memoKey), {
-      evictOnEnd(memo, spark, dir + memoKey)
+      evictOnEnd(memo, spark)
       diskCached(spark, dir, label, configKey)(build).persist()
     })
 

@@ -2830,23 +2830,32 @@ object RelationalQueries {
     * silently collapse multiplicity. Results roll up per user so the
     * multiset cardinalities are hash-comparable.
     *
-    * Scale shape: Spark plans both as ONE partial-final count aggregation
-    * per side + a replicate-generate on the merged counts — no pairwise
-    * join, same key-collapse cost class as the aggregations around it;
-    * both scans prune to (user_id) with a pushed event_type filter.
+    * Scale shape (round-18 form, guide §2.3/§2.4): the rolled-up multiset
+    * cardinalities are pure arithmetic over the per-user occurrence
+    * counts — |EXCEPT ALL| = cv − cp where cv > cp, |INTERSECT ALL| =
+    * least(cv, cp) where both ≥ 1 — so ONE partial-final conditional
+    * count aggregation over one pushed-filter scan feeds both output
+    * branches, and the branches' identical aggregate subtrees share one
+    * exchange (ReusedExchange). The round-17 form ran Spark's generic
+    * except/intersect-ALL pipelines per branch: four scans, two
+    * union-aggregates (two user_id exchanges), and a replicate-Generate
+    * whose expanded rows were immediately re-counted by the rollup —
+    * multiplicity materialized only to be aggregated away.
     */
   def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+    val counts = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_type"))
-    def side(t: String) =
-      ev.filter(col("event_type") === t).select(col("user_id"))
-    val views = side("view")
-    val purchases = side("purchase")
-    def rollup(tag: String, bag: DataFrame) =
-      bag.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .select(lit(tag).as("tag"), col("user_id"), col("n"))
-    rollup("views_minus_purchases", views.exceptAll(purchases))
-      .union(rollup("min_views_purchases", views.intersectAll(purchases)))
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "view", lit(1))).as("cv"),
+        count(when(col("event_type") === "purchase", lit(1))).as("cp"))
+    counts.filter(col("cv") > col("cp"))
+      .select(lit("views_minus_purchases").as("tag"), col("user_id"),
+        (col("cv") - col("cp")).as("n"))
+      .union(counts.filter(col("cv") >= 1 && col("cp") >= 1)
+        .select(lit("min_views_purchases").as("tag"), col("user_id"),
+          least(col("cv"), col("cp")).as("n")))
   }
 
   val setOpsAllSql: String =

@@ -2439,10 +2439,14 @@ object SimilarityQueries {
         diskLabel: String, c: Int = IvfC): Long = {
       val sizes = ivfAssigned(spark, dir, cents, listsMemo, diskLabel, c)
         .groupBy(col("cidx")).agg(count(lit(1)).as("sz"))
-      r.dec(ivfProbes(spark, dir, cents)).select(col("cidx"))
+      val raw = r.dec(ivfProbes(spark, dir, cents)).select(col("cidx"))
         .join(broadcast(sizes), Seq("cidx"))
         .agg(sum(col("sz")).as("raw"))
-        .select(col("raw")).head().getLong(0) - nQueriesVal(r)
+        .select(col("raw")).head()
+      // sum over an empty join is NULL (a decimated query set whose probes
+      // match no list) — treat as 0 scanned rather than NPE (advice fix;
+      // the round-16 in-plan form propagated the NULL into scan_frac)
+      (if (raw.isNullAt(0)) 0L else raw.getLong(0)) - nQueriesVal(r)
     }
     def nQueriesVal(r: Regime): Long =
       Memo.memoizeValue(nQueriesMemo, spark, dir + r.memoTag)(

@@ -300,6 +300,39 @@ class SimilarityPropertySpec extends SparkTestBase {
     info(s"scan_frac: ${fracs.toSeq.sortBy(_._1).map { case (n, f) => f"$n=$f%.3f" }.mkString(" ")}")
   }
 
+  test("tagged-union audit contract: every index output is (query_id, neighbor_id)-unique") {
+    // The round-17 single-pass report replaced the per-index LEFT SEMI
+    // joins with ONE inner join against the exact pairs — equivalent only
+    // while every index's output is (query_id, neighbor_id)-unique (true
+    // of the ranked()/dropDuplicates shapes today). An index that started
+    // emitting duplicate pairs would silently INFLATE its recall instead
+    // of being deduplicated as the semi form did; this pin makes such an
+    // index fail loudly at the contract boundary (round-18 advice fix).
+    val dir = sf("sf0.1")
+    val indexes = Seq(
+      "ann_lsh" -> SimilarityQueries.annLsh(spark, dir),
+      "ann_ivf" -> SimilarityQueries.annIvf(spark, dir),
+      "ann_ivf_scaled" -> SimilarityQueries.annIvfScaled(spark, dir),
+      "ann_ivf_kmeans" -> SimilarityQueries.annIvfKmeans(spark, dir),
+      "ann_ivf_kmeans_scaled" -> SimilarityQueries.annIvfKmeansScaled(spark, dir),
+      "ann_pq" -> SimilarityQueries.annPq(spark, dir),
+      "ann_ivfpq" -> SimilarityQueries.annIvfPq(spark, dir),
+      "ann_ivfpq_scaled" -> SimilarityQueries.annIvfPqScaled(spark, dir),
+      "ann_ivfpq_rerank" -> SimilarityQueries.annIvfPqRerank(spark, dir),
+      "ann_ivfpq_rerank_scaled" ->
+        SimilarityQueries.annIvfPqRerankScaled(spark, dir))
+    indexes.foreach { case (nm, df) =>
+      val pairs = df.select(col("query_id"), col("neighbor_id"))
+      val n = pairs.count()
+      val nd = pairs.distinct().count()
+      assert(n > 0, s"$nm returned nothing — test is vacuous")
+      assert(n === nd,
+        s"$nm emits duplicate (query_id, neighbor_id) pairs ($n rows, $nd " +
+          "distinct) — the tagged-union audit would inflate its recall; " +
+          "dedup at the index boundary or restore the per-index semi join")
+    }
+  }
+
   test("recall-report control sampling: scaled members audit every query, controls a deterministic subset") {
     // sf0.1 has ~20 queries; sampleTarget=4 forces the decimated-control
     // regime (m = 20/4 = 5) that production hits at sf10+ where auditing
