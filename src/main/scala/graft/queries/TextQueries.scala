@@ -1540,15 +1540,27 @@ object TextQueries {
     val pairs = DedupQueries.ngramJaccard(spark, dir)
     val tf = termFreq(spark, dir)
     val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("s2"))
-    val dot = pairs.select(col("doc_a"), col("doc_b"))
+    // ONE pass over the candidate pipeline (round-18, guide §2.4): the
+    // round-17 form referenced `pairs` twice — once feeding the dot
+    // aggregation and once in a final left join that re-attached jaccard
+    // and zero-filled no-common-term pairs — and the pair pipeline's
+    // shingle-intersection compute is all broadcast-hash-join probe work
+    // (no Exchange), which ReuseExchange cannot dedupe: StageProfile
+    // measured the TWO pair evaluations at 12.6 s + 9.5 s of executor CPU
+    // per warm run at sf0.1 (the whole query's output is 25 rows).
+    // Threading jaccard through the dot aggregation and making the
+    // common-term join LEFT keeps both jobs of the second reference:
+    // jaccard survives as a grouping key (functionally dependent on the
+    // pair), and a pair with no common term keeps its |vocab(doc_a)| left
+    // rows whose NULL products sum to NULL — the same coalesce-0
+    // zero-fill — with the pair pipeline evaluated once.
+    pairs
       .join(tf.select(col("doc_id").as("doc_a"), col("term"), col("tf").as("tfa")),
         "doc_a")
       .join(tf.select(col("doc_id").as("doc_b"), col("term"), col("tf").as("tfb")),
-        Seq("doc_b", "term"))
-      .groupBy(col("doc_a"), col("doc_b"))
+        Seq("doc_b", "term"), "left")
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
       .agg(sum(col("tfa") * col("tfb")).as("dot"))
-    pairs
-      .join(dot, Seq("doc_a", "doc_b"), "left")
       .join(norms.select(col("doc_id").as("doc_a"), col("s2").as("sa")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("s2").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
