@@ -111,8 +111,14 @@ class PlanGuardSpec extends SparkTestBase {
   // ann_topk / ann_recall_report joined the set when the exact truth table
   // became a disk-cached artifact: cache enabled they scan parquet (no
   // BNLJ); cache disabled the bounded chunk-broadcast BNLJ re-surfaces.
+  // ann_ivf_kmeans / ann_ivf_kmeans_scaled joined in round 18 when their
+  // PROBE tables became disk-cached artifacts too (the lists already
+  // were): with the cache enabled every stage that planned the codebook
+  // crossJoin reads parquet instead; cache disabled, the raw probe build
+  // (and its O(C)-row codebook crossJoin BNLJ) re-surfaces.
   private val bnljEnvDependent =
-    Set("ivf_balance", "ann_topk", "ann_recall_report", "bpe_train")
+    Set("ivf_balance", "ann_topk", "ann_recall_report", "bpe_train",
+      "ann_ivf_kmeans", "ann_ivf_kmeans_scaled")
 
   test("env-dependent entries: the cache-enabled plan scans the disk artifact, no BNLJ") {
     // the exemption above must still pin SOMETHING (round-11 advice): in
